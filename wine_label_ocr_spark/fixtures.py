@@ -1,0 +1,209 @@
+"""Deterministic synthetic pages table (FIXTURES.md §1, seed=42).
+
+Builds the engine's primary input table
+``(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING)``
+per BASELINE.json ``input_hint`` — Common-Crawl-style pages with known main
+content wrapped in boilerplate. Local-only, no external data.
+
+Every row is generated from a *pure function of its row index* (no shared
+RNG sequence), so generation is order-independent and can run distributed:
+``pages_spark`` generates the same rows whether built on 1 partition or 256.
+
+The ``text`` column is the ground truth the oracle (and therefore the Spark
+pipeline) must recover byte-identically. The fixture set deliberately
+includes, per FIXTURES.md:
+
+* a Zipf-skewed host pool (3 hot hosts ≈ 30% of rows — skew/salting is
+  exercised, not just claimed: SURVEY.md §7.3.5);
+* ~5% ``%PDF-`` payloads (layout-parse branch);
+* ~2% degraded rows (truncated inside the footer — tolerant parsing,
+  the analog of final_run_ocr.py:121-142);
+* fr/de/es pages with accented characters, half of them latin-1-encoded
+  with a meta charset declaration (charset-detection branch);
+* HTML entities in the body (&amp;, &eacute;) that must decode exactly.
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import random
+from datetime import datetime, timedelta
+from typing import Any
+
+SEED = 42
+
+HOT_HOSTS = ["bigportal.example.com", "hub.example.net", "megasite.example.org"]
+COLD_HOSTS = [f"site{i:03d}.example.com" for i in range(47)]
+
+WORDS = {
+    "en": ("the quick brown fox jumps over a lazy dog while autumn wind "
+           "carries dry leaves across the old stone bridge near the river "
+           "mill and farmers gather ripe grapes under pale morning light "
+           "before the harvest festival begins in the valley town square "
+           "market vendors arrange bottles of aged wine on wooden tables").split(),
+    "fr": ("le château produit un vin élégant avec des arômes de fruits "
+           "rouges et une finale soyeuse récolté à la main dans les vignes "
+           "anciennes près de la rivière où les coteaux calcaires donnent "
+           "une belle minéralité au cépage noble élevé en fût de chêne").split(),
+    "de": ("der Winzer keltert einen kräftigen Wein mit feiner Säure und "
+           "Noten von Äpfeln und Gewürzen die Trauben reifen spät am steilen "
+           "Hang über dem Fluss wo kühle Nächte für Frische sorgen und das "
+           "Fass aus Eiche rundet den Geschmack harmonisch ab").split(),
+    "es": ("la bodega elabora un vino intenso con aromas de cereza madura y "
+           "especias dulces las viñas viejas crecen en suelos calcáreos "
+           "junto al río donde el clima fresco conserva la acidez natural y "
+           "la crianza en barrica aporta taninos sedosos").split(),
+}
+LANGS = ["en"] * 7 + ["fr", "de", "es"]
+
+TITLE_WORDS = ("Ridge Crest Valley Stone Creek Oak River Hill Summit Vineyard "
+               "Cellars Estate Reserve Heritage Grand Royal Silver Golden "
+               "Château Niño Über").split()
+
+NAV_ANCHORS = ("Home About Contact Products News Blog Shop Login Register "
+               "Careers Support FAQ Terms Privacy Sitemap Press Events "
+               "Partners Gallery Reviews").split()
+
+EPOCH = datetime(2025, 1, 1)
+
+
+def _rng(i: int) -> random.Random:
+    return random.Random((SEED * 0x9E3779B97F4A7C15 + i * 0xC2B2AE3D27D4EB4F) & 0xFFFFFFFFFFFF)
+
+
+def _host(rng: random.Random) -> str:
+    # 30% of rows on 3 hot hosts (FIXTURES.md §1 skew requirement)
+    if rng.random() < 0.30:
+        return rng.choice(HOT_HOSTS)
+    return rng.choice(COLD_HOSTS)
+
+
+def _paragraph(rng: random.Random, lang: str, n_words: int) -> str:
+    words = WORDS[lang]
+    toks = [rng.choice(words) for _ in range(n_words)]
+    # occasional ampersand — exercises entity decode round-trip
+    if rng.random() < 0.2:
+        toks[rng.randrange(len(toks))] = "&"
+    return " ".join(toks)
+
+
+def _pdf_escape(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def _make_pdf(paras: list[str], title: str) -> bytes:
+    """A minimal deterministic PDF-like payload: uncompressed text-show ops."""
+    out = [b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"]
+    out.append(b"1 0 obj << /Title (" + _pdf_escape(title) + b") >> endobj\n")
+    out.append(b"2 0 obj << /Length 0 >> stream\n")
+    for p in paras:
+        out.append(b"BT (" + _pdf_escape(p) + b") Tj ET\n")
+    out.append(b"endstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n")
+    return b"".join(out)
+
+
+def make_page(i: int) -> dict[str, Any]:
+    """Pure function: row index → one page row + ground truth.
+
+    Returns ``{url, warc_ts, html, text, lang, title, year, kind}`` where
+    ``title``/``year``/``kind`` are extra ground-truth fields for tests (the
+    5-column pages table projects them away).
+    """
+    rng = _rng(i)
+    lang = LANGS[rng.randrange(len(LANGS))]
+    host = _host(rng)
+    url = f"https://{host}/p/{i:09d}.html"
+    warc_ts = EPOCH + timedelta(seconds=i * 37 % 31_536_000, microseconds=(i * 777) % 1_000_000)
+
+    n_paras = rng.randint(2, 6)
+    paras = [_paragraph(rng, lang, rng.randint(30, 80)) for _ in range(n_paras)]
+    title = " ".join(rng.choice(TITLE_WORDS) for _ in range(rng.randint(2, 4)))
+    year = rng.randint(1900, 2030) if rng.random() < 0.8 else None
+    if year is not None and rng.random() < 0.4:
+        # year also inside the main text (primary path of the E5 cascade)
+        k = rng.randrange(n_paras)
+        paras[k] = paras[k] + f" Vintage {year}."
+
+    kind = "html"
+    r = rng.random()
+    if r < 0.05:
+        kind = "pdf"
+    elif r < 0.07 and lang == "en":
+        kind = "degraded"
+
+    if kind == "pdf" and year is not None and f"Vintage {year}." not in paras[-1]:
+        # PDFs carry no footer, so the year must live in the body
+        paras[-1] = paras[-1] + f" Vintage {year}."
+
+    text = "\n\n".join(paras)
+
+    if kind == "pdf":
+        payload = _make_pdf(paras, title)
+        return {"url": url, "warc_ts": warc_ts, "html": payload, "text": text,
+                "lang": lang, "title": title, "year": year, "kind": kind}
+
+    latin1 = lang in ("fr", "de", "es") and rng.random() < 0.5
+    charset = "iso-8859-1" if latin1 else "utf-8"
+
+    nav_items = "".join(
+        f'<li><a href="/{a.lower()}">{a}</a></li>'
+        for a in rng.sample(NAV_ANCHORS, rng.randint(8, 14))
+    )
+    farm_items = "".join(
+        f'<li><a href="https://{rng.choice(COLD_HOSTS)}/x{j}">'
+        f'{" ".join(rng.choice(NAV_ANCHORS) for _ in range(rng.randint(1, 3)))}</a></li>'
+        for j in range(rng.randint(5, 12))
+    )
+    body_paras = "".join(f"<p>{_htmlmod.escape(p)}</p>" for p in paras)
+    footer_year = f"© {year} {host}. All rights reserved." if year else f"{host}. All rights reserved."
+    doc = (
+        f'<!DOCTYPE html><html><head><meta charset="{charset}">'
+        f"<title>{_htmlmod.escape(title)}</title>"
+        f"<style>body{{margin:0}}.x{{color:#333}}</style>"
+        f'<script>var q={{"a":1}};</script></head>'
+        f"<body><header><nav><ul>{nav_items}</ul></nav></header>"
+        f'<div class="sidebar"><ul>{farm_items}</ul></div>'
+        f"<article>{body_paras}</article>"
+        f"<footer><p>{footer_year}</p><p>Follow us on social media for updates"
+        f" and exclusive offers every week.</p></footer></body></html>"
+    )
+    payload = doc.encode("latin-1" if latin1 else "utf-8")
+    if kind == "degraded":
+        # truncate inside the (pure-ASCII, en-only) footer's SECOND paragraph:
+        # main text and the footer year stay intact, the tail is torn mid-tag
+        cut = doc.index("Follow us") + rng.randint(5, 30)
+        payload = doc[:cut].encode("utf-8")
+    return {"url": url, "warc_ts": warc_ts, "html": payload, "text": text,
+            "lang": lang, "title": title, "year": year, "kind": kind}
+
+
+def pages_pandas(n: int, offset: int = 0):
+    """Small-scale generation → pandas DataFrame (tests)."""
+    import pandas as pd
+    rows = [make_page(i) for i in range(offset, offset + n)]
+    return pd.DataFrame(rows)
+
+
+PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
+             "text string, lang string")
+
+
+def pages_spark(spark, n: int, partitions: int = 32):
+    """Distributed generation: spark.range → mapInPandas (Arrow-batched).
+
+    Same rows regardless of partition count — each row derives only from
+    its index. This is how the bench builds its 100k+-row input without
+    shipping data from the driver.
+    """
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = [make_page(int(i)) for i in pdf["id"]]
+            out = pd.DataFrame(rows)
+            yield out[["url", "warc_ts", "html", "text", "lang"]]
+
+    return (
+        spark.range(0, n, 1, partitions)
+        .mapInPandas(gen, schema=PAGES_DDL)
+    )

@@ -1,0 +1,402 @@
+"""Frozen single-document reference extractor (the byte-identity oracle).
+
+Pure Python, zero Spark. This module *defines* correct output: the Spark
+pipeline's per-url extracted ``text`` must be byte-identical to
+``extract(html, url)["text"]``. It plays the role the reference's golden
+JSONL files play (``/root/reference/wine_database.jsonl:1-5``,
+``/root/reference/storing_images/cellar.jsonl:1-11``).
+
+Structure mirrors the reference's detect-then-read pipeline:
+
+* charset detection        — rotation-alignment-search analog
+                             (``hybrid.py:148-170``: try variants, keep the
+                             one that scores best / decodes cleanly);
+* HTML block lexer         — connected-component labeling analog
+                             (``hybrid.py:189-227``: split the document into
+                             contiguous regions with per-region stats);
+* block feature gate       — blob predicate gate analog
+                             (``hybrid.py:196-218``: keep a region iff its
+                             geometry passes fixed thresholds);
+* block scorer             — heuristic region detect analog
+                             (``hybrid.py:131``: score = 0.4*size +
+                             0.3*link-cleanliness + 0.3*density);
+* title / year extraction  — field extraction analog
+                             (``final_run_ocr.py:299-378``), with the
+                             main-text-first / whole-page-fallback cascade of
+                             ``_full_image_vintage_search``
+                             (``final_run_ocr.py:187-297``);
+* maker normalization      — ``_normalize_maker`` (``final_run_ocr.py:353-359``);
+* layout fingerprint       — ``generate_blob_fingerprint``
+                             (``hybrid.py:229-242``), with pinned float
+                             formatting for determinism;
+* PDF branch               — payloads starting with ``%PDF`` route through a
+                             layout parse emitting the same span schema.
+
+DO NOT change the constants or the normalization order here without
+regenerating every golden fixture: byte-identity tests in
+``tests/test_pipeline.py`` depend on this exact behavior.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import html as _htmlmod
+import re
+from typing import Any
+
+# --------------------------------------------------------------------------
+# Constants (the analog of the reference's gate thresholds, hybrid.py:196-218
+# and the 0.4/0.3/0.3 score weights of hybrid.py:131).
+# --------------------------------------------------------------------------
+
+MIN_BLOCK_CHARS = 25          # analog of min blob area 30 (hybrid.py:203)
+MAX_LINK_DENSITY = 0.40       # analog of solidity gate (hybrid.py:214)
+SCORE_THRESHOLD = 0.55        # analog of decision threshold (BlobSimilarity.py:107)
+W_SIZE, W_LINK, W_DENSITY = 0.4, 0.3, 0.3   # hybrid.py:131 weights
+SIZE_NORM_CHARS = 200.0
+YEAR_MIN, YEAR_MAX = 1900, 2030   # final_run_ocr.py:161 range check
+
+# Containers whose content is never main text (readability convention; the
+# analog of the reference ignoring non-"bottle" classes,
+# Char_Count_TurnTable.py:104-106).
+BOILER_CONTAINERS = frozenset({"nav", "header", "footer", "aside"})
+SKIP_CONTAINERS = frozenset({"script", "style", "head", "noscript", "template"})
+BLOCK_TAGS = frozenset({
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "td", "th",
+    "article", "section", "main", "blockquote", "pre", "table", "ul", "ol",
+    "tr", "br", "hr", "title", "body", "html", "figcaption", "dd", "dt",
+})
+
+# Ordered year patterns — the analog of the 4 ordered regex patterns in
+# _extract_year_from_text (final_run_ocr.py:153-185): labeled contexts first,
+# bare 4-digit fallback last. Keep these expressible in BOTH Python `re` and
+# Java regex (the Spark pipeline uses the same strings via regexp_extract).
+YEAR_PATTERNS = (
+    r"(?i)(?:vintage|copyright|©|\(c\))\s*:?\s*((?:19|20)\d{2})",
+    r"(?<![0-9])((?:19|20)\d{2})(?![0-9])",
+)
+
+# Maker charset whitelist — final_run_ocr.py:355 ALLOWED = "A-Z0-9 &'-".
+_MAKER_STRIP_RE = re.compile(r"[^A-Z0-9 &'-]")
+_WS_RE = re.compile(r"\s+")
+_ALNUM_RE = re.compile(r"[A-Za-z0-9]")
+
+_TAG_RE = re.compile(
+    r"<!--.*?-->|<!\[CDATA\[.*?\]\]>|<!DOCTYPE[^>]*>"
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>",
+    re.DOTALL,
+)
+_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_-]+)")
+_TITLE_RE = re.compile(r"(?is)<title[^>]*>(.*?)</title>")
+
+# PDF branch: uncompressed text-show operators `BT (..) Tj ET` and the Info
+# dict `/Title (..)` (a real subset of the PDF content-stream syntax).
+_PDF_TEXT_RE = re.compile(rb"BT\s*\(((?:[^()\\]|\\.)*)\)\s*Tj\s*ET", re.DOTALL)
+_PDF_TITLE_RE = re.compile(rb"/Title\s*\(((?:[^()\\]|\\.)*)\)")
+
+
+def normalize_ws(s: str) -> str:
+    """Collapse all whitespace runs to single spaces and strip.
+
+    The single canonical whitespace policy shared by oracle and pipeline
+    (risk §7.3.1 of SURVEY.md). Analog of the reference's
+    ``re.sub(r"\\s+", " ", s).strip()`` in final_run_ocr.py:358.
+    """
+    return _WS_RE.sub(" ", s).strip()
+
+
+def normalize_maker(s: str | None) -> str | None:
+    """E7 — maker normalization, exact reference semantics.
+
+    ``_normalize_maker`` (final_run_ocr.py:353-359): uppercase, whitelist
+    charset ``A-Z0-9 &'-``, collapse whitespace. Returns None for empty.
+    """
+    if s is None:
+        return None
+    s = _MAKER_STRIP_RE.sub("", s.upper())
+    s = normalize_ws(s)
+    return s or None
+
+
+def extract_year(text: str) -> int | None:
+    """E4 — ordered-pattern year extraction with range check.
+
+    Mirrors ``_extract_year_from_text`` (final_run_ocr.py:153-185): try each
+    pattern in priority order; the first in-range hit wins.
+    """
+    for pat in YEAR_PATTERNS:
+        for m in re.finditer(pat, text):
+            y = int(m.group(1))
+            if YEAR_MIN <= y <= YEAR_MAX:
+                return y
+    return None
+
+
+def detect_charset(payload: bytes) -> str:
+    """D7 analog — pick the best decode variant of the binary payload.
+
+    Honors an explicit ``charset=`` declaration in the first 2048 bytes;
+    otherwise tries strict utf-8 and falls back to latin-1 (which never
+    fails). Mirrors the try-variants-keep-best-score structure of
+    ``align_vertically`` (hybrid.py:148-170).
+    """
+    m = _CHARSET_RE.search(payload[:2048])
+    if m:
+        name = m.group(1).decode("ascii", "replace").lower()
+        aliases = {
+            "utf-8": "utf-8", "utf8": "utf-8",
+            "iso-8859-1": "latin-1", "latin-1": "latin-1", "latin1": "latin-1",
+            "windows-1252": "cp1252", "cp1252": "cp1252",
+            "ascii": "ascii", "us-ascii": "ascii",
+        }
+        if name in aliases:
+            return aliases[name]
+    try:
+        payload.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "latin-1"
+
+
+def _pdf_unescape(raw: bytes) -> str:
+    out = []
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i]
+        if c == 0x5C and i + 1 < n:  # backslash escape: \( \) \\ \n \r \t
+            nxt = raw[i + 1]
+            mapped = {0x6E: "\n", 0x72: "\r", 0x74: "\t"}.get(nxt)
+            out.append(mapped if mapped is not None else chr(nxt))
+            i += 2
+        else:
+            out.append(chr(c))
+            i += 1
+    return "".join(out).encode("latin-1").decode("utf-8", "replace")
+
+
+def lex_blocks(decoded: str) -> list[dict[str, Any]]:
+    """D4 analog — split a decoded HTML document into contiguous text blocks.
+
+    Returns raw blocks with per-block stats, the analog of
+    ``connectedComponentsWithStats`` per-blob stats (hybrid.py:189-227):
+    ``{text, n_chars, link_chars, boiler, tag}``. Order is document order.
+    """
+    blocks: list[dict[str, Any]] = []
+    # current block accumulator: list of (raw_text, is_link)
+    segs: list[tuple[str, bool]] = []
+    cur_tag = "body"
+    boiler_depth = 0
+    skip_depth = 0
+    link_depth = 0
+    seg_boiler = False  # whether any seg in current block was under boiler
+
+    def flush(next_tag: str) -> None:
+        nonlocal segs, seg_boiler, cur_tag
+        if segs:
+            raw = "".join(t for t, _ in segs)
+            text = normalize_ws(_htmlmod.unescape(raw))
+            if text:
+                link_chars = 0
+                for t, is_link in segs:
+                    if is_link:
+                        link_chars += len(normalize_ws(_htmlmod.unescape(t)))
+                blocks.append({
+                    "text": text,
+                    "n_chars": len(text),
+                    "link_chars": min(link_chars, len(text)),
+                    "boiler": seg_boiler,
+                    "tag": cur_tag,
+                })
+        segs = []
+        seg_boiler = False
+        cur_tag = next_tag
+
+    pos = 0
+    for m in _TAG_RE.finditer(decoded):
+        pre = decoded[pos:m.start()]
+        if pre and skip_depth == 0:
+            if pre.strip():
+                segs.append((pre, link_depth > 0))
+                if boiler_depth > 0:
+                    seg_boiler = True
+            elif segs:
+                segs.append((pre, link_depth > 0))
+        pos = m.end()
+        if m.group(2) is None:
+            continue  # comment / doctype / CDATA
+        closing, tag, selfclosed = m.group(1) == "/", m.group(2).lower(), m.group(4) == "/"
+        if tag in SKIP_CONTAINERS:
+            if selfclosed:
+                pass
+            elif closing:
+                skip_depth = max(0, skip_depth - 1)
+            else:
+                skip_depth += 1
+            flush(cur_tag)
+            continue
+        if tag == "a":
+            if closing:
+                link_depth = max(0, link_depth - 1)
+            elif not selfclosed:
+                link_depth += 1
+            continue
+        if tag in BOILER_CONTAINERS:
+            if closing:
+                boiler_depth = max(0, boiler_depth - 1)
+            elif not selfclosed:
+                boiler_depth += 1
+            flush(tag if not closing else cur_tag)
+            continue
+        if tag in BLOCK_TAGS:
+            flush(tag if not closing else cur_tag)
+    # trailing text after the last tag (degraded/truncated documents)
+    tail = decoded[pos:]
+    if tail.strip() and skip_depth == 0:
+        segs.append((tail, link_depth > 0))
+        if boiler_depth > 0:
+            seg_boiler = True
+    flush(cur_tag)
+    return blocks
+
+
+def score_block(n_chars: int, link_density: float, text_density: float) -> float:
+    """D2 analog — heuristic block score, hybrid.py:131 weight structure."""
+    return (
+        W_SIZE * min(n_chars / SIZE_NORM_CHARS, 1.0)
+        + W_LINK * (1.0 - link_density)
+        + W_DENSITY * text_density
+    )
+
+
+def _features(b: dict[str, Any]) -> tuple[float, float]:
+    """(link_density, text_density) for a raw block."""
+    n = max(b["n_chars"], 1)
+    link_density = min(b["link_chars"] / n, 1.0)
+    text_density = len(_ALNUM_RE.findall(b["text"])) / n
+    return link_density, text_density
+
+
+def keep_block(b: dict[str, Any]) -> bool:
+    """P5 analog — the fixed predicate gate deciding main-content membership."""
+    if b["boiler"]:
+        return False
+    if b["n_chars"] < MIN_BLOCK_CHARS:
+        return False
+    link_density, text_density = _features(b)
+    if link_density > MAX_LINK_DENSITY:
+        return False
+    return score_block(b["n_chars"], link_density, text_density) >= SCORE_THRESHOLD
+
+
+def fingerprint_spans(spans: list[dict[str, Any]]) -> str:
+    """E13 — layout fingerprint with pinned float formatting.
+
+    ``generate_blob_fingerprint`` (hybrid.py:229-242): sort by position,
+    normalize, round, hash. We pin explicit %-format strings (risk §7.3.1)
+    instead of Python ``str()`` of rounded floats.
+    """
+    if not spans:
+        return "empty"
+    parts = []
+    for s in sorted(spans, key=lambda x: (x["start"], x["end"])):
+        parts.append(
+            "%.4f,%.4f,%.3f,%.3f,%.3f,%.3f"
+            % (s["cx"], s["cy"], s["area"], s["aspect_ratio"],
+               s["solidity"], s["extent"])
+        )
+    return hashlib.md5(";".join(parts).encode("utf-8")).hexdigest()[:16]
+
+
+def rec_id(key: str) -> str:
+    """E12 — content-hash id, ``hash_id`` (scan_and_store.py:49-52)."""
+    return hashlib.sha1(key.encode("utf-8")).hexdigest()[:12]
+
+
+def _spans_from_kept(kept: list[dict[str, Any]], n_blocks_total: int,
+                     texts: list[str]) -> list[dict[str, Any]]:
+    """Build span structs over the joined main text (FIXTURES.md §3 schema)."""
+    total_len = len("\n\n".join(texts))
+    spans = []
+    offset = 0
+    denom_idx = max(n_blocks_total - 1, 1)
+    for i, (b, t) in enumerate(zip(kept, texts)):
+        start = offset
+        end = start + len(t)
+        offset = end + 2  # "\n\n" separator
+        link_density, text_density = _features(b)
+        words = t.split(" ")
+        aspect = (sum(len(w) for w in words) / len(words)) if words else 0.0
+        spans.append({
+            "start": start,
+            "end": end,
+            "tag": b["tag"],
+            "cx": b["block_index"] / denom_idx,
+            "cy": start / max(total_len, 1),
+            "area": float(len(t)),
+            "aspect_ratio": aspect,
+            "solidity": text_density,
+            "extent": 1.0 - link_density,
+            "score": score_block(b["n_chars"], link_density, text_density),
+        })
+    return spans
+
+
+def extract(payload: bytes, url: str) -> dict[str, Any]:
+    """The oracle: one document in, the canonical record out.
+
+    Returns ``{text, title, maker_name, year, spans, fingerprint, method,
+    charset, n_blocks, kept_blocks, raw_text}``. ``text`` is the
+    byte-identity target; ``raw_text`` is the full visible text (used by the
+    year fallback cascade, E5 analog).
+    """
+    if payload[:5] == b"%PDF-":
+        paras = [_pdf_unescape(m.group(1)) for m in _PDF_TEXT_RE.finditer(payload)]
+        paras = [normalize_ws(p) for p in paras]
+        paras = [p for p in paras if p]
+        text = "\n\n".join(paras)
+        tm = _PDF_TITLE_RE.search(payload)
+        title = normalize_ws(_pdf_unescape(tm.group(1))) if tm else None
+        kept = [{
+            "text": p, "n_chars": len(p), "link_chars": 0,
+            "boiler": False, "tag": "pdf", "block_index": i,
+        } for i, p in enumerate(paras)]
+        spans = _spans_from_kept(kept, max(len(paras), 1), paras)
+        raw_text = text
+        method, charset, n_blocks = "pdf", "binary", len(paras)
+    else:
+        charset = detect_charset(payload)
+        decoded = payload.decode(charset, "replace")
+        blocks = lex_blocks(decoded)
+        for i, b in enumerate(blocks):
+            b["block_index"] = i
+        kept = [b for b in blocks if keep_block(b)]
+        texts = [b["text"] for b in kept]
+        text = "\n\n".join(texts)
+        tm = _TITLE_RE.search(decoded)
+        title = normalize_ws(_htmlmod.unescape(tm.group(1))) if tm else None
+        spans = _spans_from_kept(kept, max(len(blocks), 1), texts)
+        raw_text = "\n".join(b["text"] for b in blocks)
+        method, n_blocks = "html", len(blocks)
+
+    # E5 cascade: main text first, whole visible page as fallback.
+    year = extract_year(text)
+    if year is None:
+        year = extract_year(raw_text)
+    maker = normalize_maker(title)
+    custom_id = f"{maker}|{year}" if (maker is not None and year is not None) else None
+    return {
+        "url": url,
+        "text": text,
+        "title": title,
+        "maker_name": maker,
+        "year": year,
+        "custom_id": custom_id,
+        "rec_id": rec_id(custom_id) if custom_id else None,
+        "spans": spans,
+        "fingerprint": fingerprint_spans(spans),
+        "method": method,
+        "charset": charset,
+        "n_blocks": n_blocks,
+        "kept_blocks": len(spans),
+        "raw_text": raw_text,
+    }
