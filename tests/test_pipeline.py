@@ -1,0 +1,78 @@
+"""Golden byte-identity tests: Spark pipeline vs. ground truth vs. oracle.
+
+The north-rule gate (BASELINE.json): per-url extracted text from the Spark
+pipeline must be byte-identical to the frozen oracle's output — which the
+fixture generator guarantees equals the ground-truth ``text`` column.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from wine_label_ocr_spark import oracle
+from wine_label_ocr_spark.fixtures import PAGES_DDL, make_page, pages_spark
+from wine_label_ocr_spark.plans.pipeline import extract_records
+
+N_PAGES = 400
+
+
+@pytest.fixture(scope="module")
+def records(spark):
+    pages = pages_spark(spark, N_PAGES, partitions=4)
+    return extract_records(pages).cache()
+
+
+def test_text_byte_identity(records):
+    got = {r["url"]: r["text"] for r in records.collect()}
+    assert len(got) == N_PAGES
+    for i in range(N_PAGES):
+        p = make_page(i)
+        assert got[p["url"]] == p["text"], (i, p["kind"], p["lang"])
+
+
+def test_fields_match_oracle(records):
+    rows = {r["url"]: r for r in records.collect()}
+    for i in range(N_PAGES):
+        p = make_page(i)
+        o = oracle.extract(p["html"], p["url"])
+        r = rows[p["url"]]
+        assert r["vintage"] == o["year"], (i, p["kind"])
+        assert r["maker_name"] == o["maker_name"], i
+        assert r["custom_id"] == o["custom_id"], i
+        assert r["rec_id"] == o["rec_id"], i
+        assert r["fingerprint"] == o["fingerprint"], i
+        assert r["barcode"] == p["canonical"], i
+
+
+def test_spans_struct(records):
+    row = records.filter("blob_data.blob_count > 0").first()
+    spans = row["blob_data"]["spans"]
+    assert len(spans) == row["blob_data"]["blob_count"]
+    s0 = spans[0]
+    assert s0["end"] > s0["start"] >= 0
+    assert 0.0 <= s0["solidity"] <= 1.0
+    # roi_bbox covers [first span start, last span end]
+    assert row["blob_data"]["roi_bbox"] == [spans[0]["start"], spans[-1]["end"]]
+
+
+def test_extract_plan_has_no_shuffle(records):
+    """Scale property: the extract path is a pure map — no Exchange node."""
+    plan = records._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_generation_is_partition_invariant(spark):
+    """pages_spark yields identical rows at different parallelism (the
+    precondition for the N-vs-4N scaling claim to be apples-to-apples)."""
+    a = pages_spark(spark, 50, partitions=1).select("url", "text").collect()
+    b = pages_spark(spark, 50, partitions=7).select("url", "text").collect()
+    assert sorted((r["url"], r["text"]) for r in a) == \
+        sorted((r["url"], r["text"]) for r in b)
+
+
+def test_pages_schema_matches_input_hint(spark):
+    df = pages_spark(spark, 5, partitions=1)
+    assert [f.simpleString() for f in df.schema.fields] == [
+        "url:string", "warc_ts:timestamp", "html:binary",
+        "text:string", "lang:string"]
+    assert PAGES_DDL.startswith("url string")

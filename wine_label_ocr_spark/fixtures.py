@@ -141,7 +141,8 @@ def make_page(i: int) -> dict[str, Any]:
     if kind == "pdf":
         payload = _make_pdf(paras, title)
         return {"url": url, "warc_ts": warc_ts, "html": payload, "text": text,
-                "lang": lang, "title": title, "year": year, "kind": kind}
+                "lang": lang, "title": title, "year": year, "kind": kind,
+                "canonical": None}
 
     latin1 = lang in ("fr", "de", "es") and rng.random() < 0.5
     charset = "iso-8859-1" if latin1 else "utf-8"
@@ -157,9 +158,11 @@ def make_page(i: int) -> dict[str, Any]:
     )
     body_paras = "".join(f"<p>{_htmlmod.escape(p)}</p>" for p in paras)
     footer_year = f"© {year} {host}. All rights reserved." if year else f"{host}. All rights reserved."
+    canonical = (f'<link rel="canonical" href="{url}">'
+                 if rng.random() < 0.6 else "")
     doc = (
         f'<!DOCTYPE html><html><head><meta charset="{charset}">'
-        f"<title>{_htmlmod.escape(title)}</title>"
+        f"{canonical}<title>{_htmlmod.escape(title)}</title>"
         f"<style>body{{margin:0}}.x{{color:#333}}</style>"
         f'<script>var q={{"a":1}};</script></head>'
         f"<body><header><nav><ul>{nav_items}</ul></nav></header>"
@@ -175,7 +178,8 @@ def make_page(i: int) -> dict[str, Any]:
         cut = doc.index("Follow us") + rng.randint(5, 30)
         payload = doc[:cut].encode("utf-8")
     return {"url": url, "warc_ts": warc_ts, "html": payload, "text": text,
-            "lang": lang, "title": title, "year": year, "kind": kind}
+            "lang": lang, "title": title, "year": year, "kind": kind,
+            "canonical": url if canonical else None}
 
 
 def pages_pandas(n: int, offset: int = 0):

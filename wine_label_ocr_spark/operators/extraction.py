@@ -1,0 +1,126 @@
+"""Stage 2 — field extraction ("read") in native pyspark.sql.functions.
+
+Everything here is JVM-side, whole-stage-codegen'd column arithmetic — no
+Python. Reference analogs (SURVEY.md §2.4): year/regex extract E4
+(``final_run_ocr.py:153-185``), escalating fallback E5
+(``final_run_ocr.py:187-297``), maker normalization E7
+(``final_run_ocr.py:353-359``), year cast E10, CustomID concat E11
+(``final_run_ocr.py:436``), content-hash id E12
+(``scan_and_store.py:49-52``), metadata sidecar extract E15
+(``QRCodeScanner.py:60-108`` analog).
+
+The E5 fallback cascade ("search the whole page only when the primary
+region yielded nothing", final_run_ocr.py:343-349) is expressed as a
+per-row-lazy ``coalesce`` — in generated code, the second regex only
+evaluates on rows where the first missed, which is genuine work-skipping
+without a second pass over the expensive stage-1 output (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..oracle import YEAR_MAX, YEAR_MIN, YEAR_PATTERNS
+
+
+def year_from(col: Column) -> Column:
+    """E4 — ordered-pattern year extraction, identical to oracle.extract_year.
+
+    Pattern priority first, position-within-document second, with the
+    1900–2030 range check applied per candidate (not just to the winner):
+    ``regexp_extract_all`` keeps candidates in document order, ``filter``
+    applies the range gate, ``element_at(.., 1)`` is first-hit-wins.
+    """
+    per_pattern = [
+        F.get(
+            F.filter(
+                F.transform(
+                    F.regexp_extract_all(col, F.lit(pat), 1),
+                    lambda x: x.cast("int"),
+                ),
+                lambda y: (y >= YEAR_MIN) & (y <= YEAR_MAX),
+            ),
+            0,  # F.get is null-on-missing (ANSI-safe), first-hit-wins
+        )
+        for pat in YEAR_PATTERNS
+    ]
+    return F.coalesce(*per_pattern)
+
+
+def normalize_maker_col(col: Column) -> Column:
+    """E7 — upper, whitelist ``A-Z0-9 &'-``, collapse ws, NULL if empty."""
+    s = F.upper(col)
+    s = F.regexp_replace(s, r"[^A-Z0-9 &'-]", "")
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return F.nullif(s, F.lit(""))
+
+
+def custom_id_col(maker: Column, vintage: Column) -> Column:
+    """E11 — ``maker|vintage`` only when both present (final_run_ocr.py:436)."""
+    return F.when(
+        maker.isNotNull() & vintage.isNotNull(),
+        F.concat_ws("|", maker, vintage.cast("string")),
+    )
+
+
+def rec_id_col(key: Column) -> Column:
+    """E12 — ``sha1(key)[:12]`` (scan_and_store.py:49-52)."""
+    return F.when(key.isNotNull(), F.substring(F.sha1(key), 1, 12))
+
+
+def barcode_col(head_raw: Column) -> Column:
+    """E15 — metadata sidecar identity: canonical-link extract, first hit."""
+    c = F.regexp_extract(head_raw, r'<link\s+rel="canonical"\s+href="([^"]+)"', 1)
+    return F.nullif(c, F.lit(""))
+
+
+def extract_fields(seg: DataFrame) -> DataFrame:
+    """Segmented pages → typed record columns (E6 dispatch analog).
+
+    Adds ``maker_name, vintage, custom_id, rec_id, barcode, blob_data`` and
+    drops the wide ``raw_text``/``head_raw`` intermediates so downstream
+    plans never carry them (column pruning friendly).
+    """
+    out = (
+        seg
+        # E5 cascade: main text first; whole visible page only on miss.
+        .withColumn("vintage", F.coalesce(year_from(F.col("text")),
+                                          year_from(F.col("raw_text"))))
+        .withColumn("maker_name", normalize_maker_col(F.col("title_raw")))
+        .withColumn("barcode", barcode_col(F.col("head_raw")))
+    )
+    out = out.withColumn("custom_id",
+                         custom_id_col(F.col("maker_name"), F.col("vintage")))
+    out = out.withColumn("rec_id", rec_id_col(F.col("custom_id")))
+    # BlobData-analog struct (FIXTURES.md §3) assembled natively.
+    out = out.withColumn(
+        "blob_data",
+        F.struct(
+            F.when(
+                F.size("spans") > 0,
+                F.array(F.get("spans", 0)["start"],
+                        F.get("spans", F.size("spans") - 1)["end"]),
+            ).otherwise(F.array(F.lit(0), F.lit(0))).alias("roi_bbox"),
+            F.array(F.col("n_blocks"), F.length("text")).alias("roi_shape"),
+            F.struct(
+                F.col("method").alias("method"),
+                (F.length("text") /
+                 F.greatest(F.length("raw_text"), F.lit(1))).alias("foreground_ratio"),
+                F.col("charset").alias("note"),
+            ).alias("mask_info"),
+            F.col("kept_blocks").alias("blob_count"),
+            F.col("fingerprint").alias("fingerprint"),
+            F.col("spans").alias("spans"),
+        ),
+    )
+    return out.drop("raw_text", "head_raw")
+
+
+RECORD_COLUMNS = ["url", "warc_ts", "custom_id", "maker_name", "vintage",
+                  "barcode", "fingerprint", "rec_id", "text", "lang",
+                  "blob_data"]
+
+
+def to_records(extracted: DataFrame) -> DataFrame:
+    """Final record projection (FIXTURES.md §2 / WineTracker.py:22-29 analog)."""
+    return extracted.select(*RECORD_COLUMNS)
