@@ -1,38 +1,340 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline (pages → spans →
+fields → records) over the sf0.001 ``documents`` table rendered as
+boilerplated web pages. ``queries()``/``oracle_sql()`` cover the operator
+inventory of SURVEY.md §2, checked side-by-side against DuckDB at sf0.01.
+
+Alignment rules used throughout (Spark ↔ DuckDB):
+
+* money sums → integer cents (``cast(round(x*100)) as bigint``) so sums are
+  exact and order-insensitive in both engines;
+* regexes restricted to RE2-compatible syntax (no lookaround) for oracle
+  queries; ``nullif(.., '')`` normalizes the no-match result;
+* every computed column aliased identically on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    documents → rendered pages (url, warc_ts, html, text, lang) →
+    two-stage extraction → records, with a per-url byte-identity flag
+    against the carried ground truth.
+    """
+    from wine_label_ocr_spark.fixtures import documents_as_pages
+    from wine_label_ocr_spark.operators.extraction import extract_fields
+    from wine_label_ocr_spark.operators.segmentation import segment
+
+    pages = documents_as_pages(spark, SF_DEFAULT)
+    truth = pages.select("url", F.col("text").alias("truth_text"))
+    rec = extract_fields(segment(pages)).select(
+        "url", "warc_ts", "lang", "text", "maker_name", "vintage",
+        "custom_id", "rec_id", "fingerprint")
+    return (
+        rec.join(truth, "url")
+        .withColumn("byte_identical", F.col("text") == F.col("truth_text"))
+        .drop("truth_text")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked queries (SURVEY.md §2 inventory)
+# ---------------------------------------------------------------------------
+
+def q_lineitem_agg(spark, sf):  # A1/A4/A8 — grouped hash agg, exact cents
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+                  .cast("bigint")).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_top_customer_per_nation(spark, sf):  # W2 — top-1 per group
+    c = _t(spark, sf, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("c_nationkey").cast("int").alias("nationkey"),
+                F.col("c_custkey").cast("bigint").alias("custkey"),
+                F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+def q_orders_by_segment(spark, sf):  # J1-style equi join (broadcast dim) + agg
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+             .alias("total_cents"))
+    )
+
+
+def q_customers_with_orders(spark, sf):  # J1 — semi join ("seen")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select(F.col("c_custkey").cast("bigint").alias("custkey")))
+
+
+def q_customers_without_orders(spark, sf):  # J11 — anti join (dedup insert)
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select(F.col("c_custkey").cast("bigint").alias("custkey")))
+
+
+def q_year_extract(spark, sf):  # E4/E10 — ordered regex year + range gate
+    d = _t(spark, sf, "documents")
+    synth = F.concat(F.lit("rev vintage "),
+                     (F.lit(1900) + F.col("doc_id") % 140).cast("string"),
+                     F.lit(" tail "), F.substring("text", 1, 20))
+    year = F.nullif(F.regexp_extract(synth, r"vintage ((?:19|20)[0-9]{2})", 1),
+                    F.lit("")).cast("int")
+    year = F.when((year >= 1900) & (year <= 2030), year)
+    return d.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    year.cast("int").alias("vintage"))
+
+
+def q_normalize_maker(spark, sf):  # E7 — charset-whitelist normalization
+    d = _t(spark, sf, "documents")
+    s = F.upper(F.substring("text", 1, 50))
+    s = F.regexp_replace(s, r"[^A-Z0-9 &'-]", "")
+    s = F.trim(F.regexp_replace(s, " +", " "))
+    return d.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.nullif(s, F.lit("")).alias("maker_name"))
+
+
+def q_custom_id(spark, sf):  # E11/E12 — key concat + content-hash id
+    d = _t(spark, sf, "documents")
+    maker = F.trim(F.upper(F.substring("text", 1, 24)))
+    year = (F.lit(1900) + F.col("doc_id") % 131).cast("string")
+    cid = F.concat(maker, F.lit("|"), year)
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        cid.alias("custom_id"),
+        F.substring(F.md5(cid), 1, 12).alias("rec_id"))
+
+
+def q_alnum_stats(spark, sf):  # E14 + A1 — alnum char count, grouped mean
+    d = _t(spark, sf, "documents")
+    alnum = F.length(F.regexp_replace("text", "[^A-Za-z0-9]", ""))
+    return (d.groupBy("lang")
+            .agg(F.sum(alnum.cast("bigint")).alias("sum_alnum"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
+def q_token_counts(spark, sf):  # token counting (training-pipeline op)
+    d = _t(spark, sf, "documents")
+    return (d.groupBy("lang")
+            .agg(F.sum(F.size(F.split("text", " ")).cast("bigint"))
+                 .alias("sum_tokens")))
+
+
+def q_exact_dup_groups(spark, sf):  # exact dedup — hash-groupBy on prefix
+    d = _t(spark, sf, "documents")
+    return (d.groupBy(F.md5(F.substring("text", 1, 32)).alias("prefix_hash"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1))
+
+
+def q_window_spread_5s(spark, sf):  # W5/A7 — 5s range frame, max-min spread
+    e = _t(spark, sf, "events")
+    # ts is TIMESTAMP_NTZ; session tz is UTC so the cast is lossless
+    w = (W.partitionBy("user_id").orderBy(F.unix_millis(F.col("ts").cast("timestamp")))
+         .rangeBetween(-5000, 0))
+    return e.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.round(F.max("value").over(w) - F.min("value").over(w), 6).alias("spread"))
+
+
+def q_running_peak(spark, sf):  # W6 — monotone running max per key
+    e = _t(spark, sf, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    return e.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.round(F.max("value").over(w), 6).alias("peak"))
+
+
+def q_stopword_strip(spark, sf):  # U2/E8 — token set-difference
+    d = _t(spark, sf, "documents").filter(F.col("lang") == "en")
+    toks = F.array_distinct(F.split("text", " "))
+    kept = F.array_sort(F.array_except(toks, F.array(*[F.lit(s) for s in STOPWORDS])))
+    return d.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.array_join(kept, " ").alias("kept_tokens"))
+
+
+def q_fuzzy_blocked_join(spark, sf):  # J2/J3/J6 — blocked fuzzy theta join
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "lang", "source", F.substring("text", 1, 40).alias("pfx"))
+    a = d.alias("a")
+    b = d.alias("b")
+    lev = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+    sim = F.lit(1.0) - lev / F.greatest(F.length("a.pfx"), F.length("b.pfx"))
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.source") == F.col("b.source"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").cast("bigint").alias("doc_a"),
+                F.col("b.doc_id").cast("bigint").alias("doc_b"),
+                F.round(sim, 6).alias("sim"))
+        .filter(F.col("sim") >= 0.5)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "lineitem_agg": q_lineitem_agg,
+        "top_customer_per_nation": q_top_customer_per_nation,
+        "orders_by_segment": q_orders_by_segment,
+        "customers_with_orders": q_customers_with_orders,
+        "customers_without_orders": q_customers_without_orders,
+        "year_extract": q_year_extract,
+        "normalize_maker": q_normalize_maker,
+        "custom_id": q_custom_id,
+        "alnum_stats": q_alnum_stats,
+        "token_counts": q_token_counts,
+        "exact_dup_groups": q_exact_dup_groups,
+        "window_spread_5s": q_window_spread_5s,
+        "running_peak": q_running_peak,
+        "stopword_strip": q_stopword_strip,
+        "fuzzy_blocked_join": q_fuzzy_blocked_join,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_sql = ",".join(f"'{s}'" for s in STOPWORDS)
+    return {
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS revenue_cents,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customer_per_nation": """
+            SELECT CAST(c_nationkey AS INT) AS nationkey,
+                   CAST(c_custkey AS BIGINT) AS custkey,
+                   ROUND(c_acctbal, 2) AS acctbal
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal DESC, c_custkey) AS rn
+                  FROM customer) WHERE rn = 1
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS total_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "customers_with_orders": """
+            SELECT CAST(c_custkey AS BIGINT) AS custkey FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "customers_without_orders": """
+            SELECT CAST(c_custkey AS BIGINT) AS custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "year_extract": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(CASE WHEN y BETWEEN 1900 AND 2030 THEN y END AS INT) AS vintage
+            FROM (SELECT doc_id,
+                         CAST(NULLIF(regexp_extract(
+                             concat('rev vintage ', CAST(1900 + doc_id % 140 AS VARCHAR),
+                                    ' tail ', substr(text, 1, 20)),
+                             'vintage ((?:19|20)[0-9]{2})', 1), '') AS INT) AS y
+                  FROM documents)
+        """,
+        "normalize_maker": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   NULLIF(TRIM(regexp_replace(regexp_replace(
+                       UPPER(substr(text, 1, 50)),
+                       '[^A-Z0-9 &''-]', '', 'g'), ' +', ' ', 'g')), '') AS maker_name
+            FROM documents
+        """,
+        "custom_id": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   cid AS custom_id,
+                   substr(md5(cid), 1, 12) AS rec_id
+            FROM (SELECT doc_id,
+                         concat(TRIM(UPPER(substr(text, 1, 24))), '|',
+                                CAST(1900 + doc_id % 131 AS VARCHAR)) AS cid
+                  FROM documents)
+        """,
+        "alnum_stats": """
+            SELECT lang,
+                   SUM(CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT)) AS sum_alnum,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "token_counts": """
+            SELECT lang,
+                   SUM(CAST(length(string_split(text, ' ')) AS BIGINT)) AS sum_tokens
+            FROM documents GROUP BY lang
+        """,
+        "exact_dup_groups": """
+            SELECT md5(substr(text, 1, 32)) AS prefix_hash, COUNT(*) AS n
+            FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "window_spread_5s": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   ROUND(MAX(value) OVER w - MIN(value) OVER w, 6) AS spread
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                         RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)
+        """,
+        "running_peak": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   ROUND(MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS peak
+            FROM events
+        """,
+        "stopword_strip": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   array_to_string(list_sort(list_filter(
+                       list_distinct(string_split(text, ' ')),
+                       x -> NOT list_contains([{stop_sql}], x))), ' ') AS kept_tokens
+            FROM documents WHERE lang = 'en'
+        """,
+        "fuzzy_blocked_join": """
+            SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+                   CAST(b.doc_id AS BIGINT) AS doc_b,
+                   ROUND(1.0 - levenshtein(substr(a.text,1,40), substr(b.text,1,40))
+                         / GREATEST(length(substr(a.text,1,40)), length(substr(b.text,1,40))), 6) AS sim
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+            WHERE 1.0 - levenshtein(substr(a.text,1,40), substr(b.text,1,40))
+                  / GREATEST(length(substr(a.text,1,40)), length(substr(b.text,1,40))) >= 0.5
+        """,
+    }

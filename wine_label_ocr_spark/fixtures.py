@@ -182,6 +182,50 @@ def make_page(i: int) -> dict[str, Any]:
             "canonical": url if canonical else None}
 
 
+def render_doc_page(doc_id: int, text: str, lang: str, source: str) -> dict[str, Any]:
+    """Wrap one testdata ``documents`` row as a boilerplated web page.
+
+    Deterministic per doc_id; the extraction pipeline must recover ``text``
+    byte-identically. Used by ``__spark_entry__.entry`` to run the flagship
+    query over driver-provided tables.
+    """
+    rng = _rng(0x0D0C ^ (doc_id * 2654435761))
+    host = _host(rng)
+    url = f"https://{host}/doc/{doc_id:09d}.html"
+    warc_ts = EPOCH + timedelta(seconds=(doc_id * 53) % 31_536_000)
+    title = f"{source.upper()} DOC {doc_id}"
+    year = 1900 + (doc_id % 131)
+    nav_items = "".join(
+        f'<li><a href="/{a.lower()}">{a}</a></li>'
+        for a in rng.sample(NAV_ANCHORS, 10))
+    doc = (
+        f'<!DOCTYPE html><html><head><meta charset="utf-8">'
+        f"<title>{_htmlmod.escape(title)}</title></head>"
+        f"<body><header><nav><ul>{nav_items}</ul></nav></header>"
+        f"<article><p>{_htmlmod.escape(text)}</p></article>"
+        f"<footer><p>© {year} {host}. All rights reserved.</p></footer>"
+        f"</body></html>"
+    )
+    return {"url": url, "warc_ts": warc_ts, "html": doc.encode("utf-8"),
+            "text": text, "lang": lang, "title": title, "year": year}
+
+
+def documents_as_pages(spark, sf_dir: str):
+    """documents.parquet → pages DataFrame (url, warc_ts, html, text, lang)."""
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = [render_doc_page(int(d), t, l, s)
+                    for d, t, l, s in zip(pdf["doc_id"], pdf["text"],
+                                          pdf["lang"], pdf["source"])]
+            out = pd.DataFrame(rows)
+            yield out[["url", "warc_ts", "html", "text", "lang"]]
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", "text", "lang", "source").mapInPandas(
+        gen, schema=PAGES_DDL)
+
+
 def pages_pandas(n: int, offset: int = 0):
     """Small-scale generation → pandas DataFrame (tests)."""
     import pandas as pd
