@@ -1,0 +1,85 @@
+"""Round benchmark: headline queries on $SPARK_GRAFT_SF_DIR at local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {name: sec},
+"sf": ..., "docs_per_sec": ..., "n_pages": ..., "cpus": ...}``.
+
+The flagship measurement is the full extraction pipeline — synthesize
+N = sf·1e6 Common-Crawl-style pages distributed (never via the driver),
+segment + extract, force full materialization through the noop sink.
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+tools/bench_scaling.py / BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.1
+    n_pages = max(int(sf * 1_000_000), 1000)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from wine_label_ocr_spark.fixtures import pages_spark
+    from wine_label_ocr_spark.plans.pipeline import extract_records
+    from wine_label_ocr_spark.session import get_spark
+
+    spark = get_spark(app="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # warm the JVM + python workers on a tiny slice (excluded from timings)
+    force(extract_records(pages_spark(spark, 512, partitions=cpus)))
+
+    pages = pages_spark(spark, n_pages, partitions=cpus * 4)
+    timed("extract_pipeline", lambda: force(extract_records(pages)))
+
+    with tempfile.TemporaryDirectory() as tmp:
+        timed("extract_write_parquet", lambda: (
+            extract_records(pages_spark(spark, n_pages // 4, partitions=cpus * 2))
+            .drop("blob_data")
+            .write.mode("overwrite").parquet(f"{tmp}/records")))
+
+    qs = entrymod.queries()
+    for name in ("lineitem_agg", "orders_by_segment", "window_spread_5s",
+                 "running_peak", "fuzzy_blocked_join", "exact_dup_groups"):
+        timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_pages / timings["extract_pipeline"], 1)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_pages": n_pages,
+        "docs_per_sec": docs_per_sec,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

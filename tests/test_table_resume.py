@@ -1,0 +1,95 @@
+"""Tests for the snapshot table and resumable-run protocol."""
+
+from __future__ import annotations
+
+import pytest
+
+from wine_label_ocr_spark.fixtures import pages_spark
+from wine_label_ocr_spark.plans.pipeline import extract_records
+from wine_label_ocr_spark.plans.resumable import ResumableRun
+from wine_label_ocr_spark.sources.table import ManifestTable
+
+
+def test_append_and_snapshot_history(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    assert t.is_empty()
+    df1 = spark.range(5).withColumnRenamed("id", "k")
+    df2 = spark.range(5, 8).withColumnRenamed("id", "k")
+    s1 = t.append(df1)
+    s2 = t.append(df2)
+    assert [s["id"] for s in t.snapshots()] == [s1, s2]
+    assert t.read(spark).count() == 8
+    # time travel to the first snapshot
+    assert t.read(spark, snapshot_id=s1).count() == 5
+
+
+def test_merge_insert_is_anti_join(spark, tmp_path):
+    """S4/J11 — MERGE WHEN NOT MATCHED: re-ingesting overlapping keys is a
+    no-op for the overlap (the reference's 'append iff not seen',
+    scan_and_store.py:234-235)."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.range(10).withColumnRenamed("id", "k"))
+    t.merge_insert(spark, spark.range(5, 15).withColumnRenamed("id", "k"), "k")
+    rows = sorted(r["k"] for r in t.read(spark).collect())
+    assert rows == list(range(15))
+    # idempotent: merging the same batch again adds nothing
+    t.merge_insert(spark, spark.range(5, 15).withColumnRenamed("id", "k"), "k")
+    assert t.read(spark).count() == 15
+
+
+def test_overwrite_replaces(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.range(10).withColumnRenamed("id", "k"))
+    t.overwrite(spark.range(3).withColumnRenamed("id", "k"))
+    assert t.read(spark).count() == 3
+
+
+N = 120
+
+
+@pytest.mark.parametrize("fail_after", [None, 3])
+def test_resumable_run(spark, tmp_path, fail_after):
+    """Kill mid-run, restart from checkpoint → identical final table, no
+    duplicate urls (SURVEY.md §5.5)."""
+    pages = pages_spark(spark, N, partitions=3)
+    rr = ResumableRun(str(tmp_path / "out"), run_id="r1", n_buckets=6)
+    if fail_after:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            rr.run(spark, pages, extract_records, fail_after=fail_after)
+        assert len(rr.done_buckets()) == fail_after
+        # restart: fresh object, same roots
+        rr = ResumableRun(str(tmp_path / "out"), run_id="r1", n_buckets=6)
+    res = rr.run(spark, pages, extract_records)
+    assert res["buckets_done"] == 6
+
+    rec = rr.records.read(spark)
+    urls = [r["url"] for r in rec.select("url").collect()]
+    assert len(urls) == N
+    assert len(set(urls)) == N  # no duplicates after resume
+
+    # lineage: every record row carries (run_id, bucket)
+    assert rec.filter("run_id = 'r1'").count() == N
+    # metrics table: one row per bucket, counters sum to N
+    met = rr.metrics.read(spark)
+    assert met.count() == 6
+    assert sum(r["n_records"] for r in met.collect()) == N
+    assert met.columns == ["run_id", "bucket", "n_pages", "n_records",
+                           "n_with_vintage", "n_bytes_text", "wall_sec",
+                           "committed_ts"]
+
+
+def test_rollback_unmarked_bucket(spark, tmp_path):
+    """A bucket committed to the table but not checkpointed (crash between
+    append and marker) is rolled back on restart — append is exactly-once."""
+    pages = pages_spark(spark, N, partitions=3)
+    rr = ResumableRun(str(tmp_path / "out"), run_id="r1", n_buckets=6)
+    with pytest.raises(RuntimeError):
+        rr.run(spark, pages, extract_records, fail_after=2)
+    # simulate the crash window: delete one marker, keep the snapshot
+    done = sorted(rr.done_buckets())
+    import os
+    os.remove(rr._marker(done[-1]))
+    rr2 = ResumableRun(str(tmp_path / "out"), run_id="r1", n_buckets=6)
+    rr2.run(spark, pages, extract_records)
+    urls = [r["url"] for r in rr2.records.read(spark).select("url").collect()]
+    assert len(urls) == N and len(set(urls)) == N

@@ -1,0 +1,339 @@
+"""Similarity suite — the analog of ``similarity_functions/*``.
+
+* J4  — null-rejecting equality predicates (``VintageSimilarity.py:12-17``,
+        ``QRCodeSimilarity.py:13-18``);
+* J5  — guarded fuzzy CustomID (``MakerAndCustomIDSimilarity.py:86-96``:
+        both years present and different → hard False, else fuzzy ≥85);
+* J6  — fuzzy string predicate (``MakerAndCustomIDSimilarity.py:23-32``;
+        rapidfuzz unavailable here, so we ship the reference's own difflib
+        fallback, vectorized over Arrow batches);
+* E8  — similarity-side normalization (``MakerAndCustomIDSimilarity.py:36-54``:
+        NFKD ascii-fold, lower, ``&``→" and ", strip punct, stop-word strip);
+* J2/J3 — blocked fuzzy theta join (``scan_and_store.py:138-164``): exact
+        key first, then fuzzy over a vintage-blocked candidate set with a
+        +5 same-vintage boost, accept ≥85;
+* J7-J10 — span-layout matcher (``BlobSimilarity.py``): translation
+        pre-alignment, weighted cost matrix, gated assignment
+        (scipy Hungarian when available, else the reference's greedy
+        fallback), coverage×quality harmonic score. Runs as
+        ``applyInPandas`` grouped per candidate pair — whole-matrix numpy,
+        exactly how the reference batches per-document math.
+
+Scale notes: the fuzzy join is *blocked* before any scoring (Catalyst
+cannot infer this — SURVEY.md §4); the scorer UDF sees only the blocked
+pairs. The span matcher is grouped by pair key, so skewed pairs are just
+bigger groups — pre-gate with cheap fingerprint equality when exactness
+isn't needed.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from difflib import SequenceMatcher
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+# 19 winery stop-words (the analog of _WINERY_WORDS,
+# MakerAndCustomIDSimilarity.py:46-50)
+STOP_WORDS = frozenset(
+    "winery wines wine vineyards vineyard cellars cellar estate estates "
+    "chateau domaine bodega bodegas weingut cantina maison house and co".split()
+)
+
+FUZZY_THRESHOLD = 85.0          # scan_and_store.py:126
+SAME_VINTAGE_BOOST = 5.0        # scan_and_store.py:155-156
+PAIR_COST_GATE = 0.22           # BlobSimilarity.py:106
+DECISION_THRESHOLD = 0.55       # BlobSimilarity.py:107
+TRACKER_THRESHOLD = 0.75        # WineTracker.py:81-82
+
+_PUNCT_RE = re.compile(r"[^a-z0-9 ]+")
+_WS_RE = re.compile(r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# E8 — similarity-side normalization (pure fn + vectorized UDF)
+# ---------------------------------------------------------------------------
+
+def ascii_fold(s: str) -> str:
+    """NFKD fold to ascii (MakerAndCustomIDSimilarity.py:42-43)."""
+    return unicodedata.normalize("NFKD", s).encode("ascii", "ignore").decode("ascii")
+
+
+def normalize_for_match(s: str | None, strip_stopwords: bool = True) -> str:
+    if not s:
+        return ""
+    s = ascii_fold(s).lower().replace("&", " and ")
+    s = _PUNCT_RE.sub(" ", s)
+    toks = _WS_RE.sub(" ", s).strip().split(" ")
+    if strip_stopwords:
+        kept = [t for t in toks if t and t not in STOP_WORDS]
+        if kept:  # never normalize everything away (reference keeps original)
+            toks = kept
+    return " ".join(t for t in toks if t)
+
+
+def _normalize_batch(s: pd.Series) -> pd.Series:
+    return s.map(lambda x: normalize_for_match(x) if x is not None else None)
+
+
+_UDF_CACHE: dict = {}
+
+
+def normalize_for_match_udf(col):
+    """NFKD fold has no native Spark function (SURVEY.md §2.4 E8) —
+    Arrow-batched pandas UDF, one python call per batch. Created lazily:
+    pandas_udf registration needs an active session."""
+    if "norm" not in _UDF_CACHE:
+        _UDF_CACHE["norm"] = pandas_udf(_normalize_batch, "string")
+    return _UDF_CACHE["norm"](col)
+
+
+# ---------------------------------------------------------------------------
+# J6 — fuzzy scorer (token_set_ratio semantics on a difflib base)
+# ---------------------------------------------------------------------------
+
+def _ratio(a: str, b: str) -> float:
+    if not a and not b:
+        return 100.0
+    return SequenceMatcher(None, a, b).ratio() * 100.0
+
+
+def token_set_ratio(a: str, b: str) -> float:
+    """token_set_ratio over normalized strings — the scorer of
+    strings_similar (MakerAndCustomIDSimilarity.py:59-70)."""
+    ta, tb = set(a.split()), set(b.split())
+    ta.discard("")
+    tb.discard("")
+    inter = " ".join(sorted(ta & tb))
+    sa = (inter + " " + " ".join(sorted(ta - tb))).strip()
+    sb = (inter + " " + " ".join(sorted(tb - ta))).strip()
+    return max(_ratio(inter, sa), _ratio(inter, sb), _ratio(sa, sb))
+
+
+def strings_similar_score(a: str | None, b: str | None) -> float:
+    na, nb = normalize_for_match(a), normalize_for_match(b)
+    if not na or not nb:
+        return 0.0
+    return token_set_ratio(na, nb)
+
+
+def _fuzzy_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([strings_similar_score(x, y) for x, y in zip(a, b)],
+                     dtype="float64")
+
+
+def fuzzy_score_udf(a, b):
+    """Vectorized pair scorer — one Arrow batch per call (J6)."""
+    if "fuzzy" not in _UDF_CACHE:
+        _UDF_CACHE["fuzzy"] = pandas_udf(_fuzzy_batch, "double")
+    return _UDF_CACHE["fuzzy"](a, b)
+
+
+# ---------------------------------------------------------------------------
+# J4 — equality predicates (null-rejecting, like the reference)
+# ---------------------------------------------------------------------------
+
+def vintage_similar(a: Column, b: Column) -> Column:
+    """VintageSimilarity.py:12-17 — falsy/missing rejects, then equality."""
+    return a.isNotNull() & b.isNotNull() & (a == b)
+
+
+def barcode_similar(a: Column, b: Column) -> Column:
+    """QRCodeSimilarity.py:13-18 — same semantics on the metadata id."""
+    return a.isNotNull() & b.isNotNull() & (a == b)
+
+
+def custom_id_similar(id_a: Column, id_b: Column, score: Column) -> Column:
+    """J5 — guarded fuzzy equality (MakerAndCustomIDSimilarity.py:86-96).
+
+    Hard rule: both vintages present and different → False regardless of
+    string score; else fuzzy full-string ≥85. ``score`` is the fuzzy score
+    column computed by ``fuzzy_score_udf(id_a, id_b)``.
+    """
+    ya = F.regexp_extract(id_a, r"\|(\d{4})$", 1)
+    yb = F.regexp_extract(id_b, r"\|(\d{4})$", 1)
+    years_conflict = (ya != "") & (yb != "") & (ya != yb)
+    return F.when(id_a.isNull() | id_b.isNull(), F.lit(False)).otherwise(
+        ~years_conflict & (score >= FUZZY_THRESHOLD))
+
+
+# ---------------------------------------------------------------------------
+# J2/J3 — blocked fuzzy dedup join (the ingest decision)
+# ---------------------------------------------------------------------------
+
+def fuzzy_match_decisions(new: DataFrame, store: DataFrame) -> DataFrame:
+    """best_match (scan_and_store.py:121-164) as a Spark plan.
+
+    Tiers: (1) exact canonical-key equi join → "seen-exact";
+    (2) fuzzy maker score over a blocked candidate set — same-vintage rows
+    (J3 blocking) plus vintage-null rows against everything — with a +5
+    same-vintage boost, argmax per new row, accept ≥85 → "seen-fuzzy";
+    (3) otherwise "not seen".
+
+    Returns ``new`` columns + ``decision, matched_key, match_score``.
+    Input contract: both sides carry (custom_id, maker_name, vintage).
+    """
+    n = new.select(
+        F.col("custom_id").alias("n_key"),
+        F.col("maker_name").alias("n_maker"),
+        F.col("vintage").alias("n_vintage"),
+    ).dropDuplicates(["n_key"])
+    s = store.select(
+        F.col("custom_id").alias("s_key"),
+        F.col("maker_name").alias("s_maker"),
+        F.col("vintage").alias("s_vintage"),
+    ).dropDuplicates(["s_key"])
+
+    exact = n.join(s, n.n_key == s.s_key, "left_semi").select(
+        "n_key", F.lit("seen-exact").alias("decision"),
+        F.col("n_key").alias("matched_key"), F.lit(100.0).alias("match_score"))
+
+    rest = n.join(s, n.n_key == s.s_key, "left_anti")
+    # J3 blocking: same vintage when present; null vintage scans all.
+    blocked = rest.join(
+        s, (rest.n_vintage.isNull()) | (rest.n_vintage == s.s_vintage), "inner")
+    scored = blocked.withColumn(
+        "raw_score", fuzzy_score_udf(F.col("n_maker"), F.col("s_maker")))
+    scored = scored.withColumn(
+        "match_score",
+        F.least(F.col("raw_score") + F.when(
+            F.col("n_vintage").isNotNull() & (F.col("n_vintage") == F.col("s_vintage")),
+            F.lit(SAME_VINTAGE_BOOST)).otherwise(F.lit(0.0)), F.lit(100.0)))
+    best = (scored.groupBy("n_key")
+            .agg(F.max_by(F.col("s_key"), F.struct("match_score", "s_key")).alias("matched_key"),
+                 F.max("match_score").alias("match_score")))
+    fuzzy = best.select(
+        "n_key",
+        F.when(F.col("match_score") >= FUZZY_THRESHOLD, F.lit("seen-fuzzy"))
+         .otherwise(F.lit("not seen")).alias("decision"),
+        F.when(F.col("match_score") >= FUZZY_THRESHOLD, F.col("matched_key")).alias("matched_key"),
+        "match_score")
+    no_cand = (rest.join(scored.select("n_key"), "n_key", "left_anti")
+               .select("n_key", F.lit("not seen").alias("decision"),
+                       F.lit(None).cast("string").alias("matched_key"),
+                       F.lit(0.0).alias("match_score")))
+    decisions = exact.unionByName(fuzzy).unionByName(no_cand)
+    return new.join(decisions, new.custom_id == decisions.n_key, "left").drop("n_key")
+
+
+# ---------------------------------------------------------------------------
+# J7-J10 — span-layout similarity (applyInPandas custom operator)
+# ---------------------------------------------------------------------------
+
+def _span_matrix(spans) -> "object":
+    """rows: [cx, cy, area, aspect_ratio, solidity, extent]"""
+    import numpy as np
+    if spans is None or len(spans) == 0:
+        return np.zeros((0, 6))
+    return np.array(
+        [[s["cx"], s["cy"], s["area"], s["aspect_ratio"], s["solidity"], s["extent"]]
+         for s in spans], dtype=float)
+
+
+def span_layout_score(a, b) -> dict:
+    """One pair → {score, matched_pairs, coverage, quality}.
+
+    Mirrors isBlobDataSimilar (BlobSimilarity.py:95-147): both empty → 1.0,
+    one empty → 0.0; translation pre-alignment (J9), weighted cost matrix
+    (J10), gated assignment (J7; Hungarian via scipy when installed, else
+    the reference's greedy fallback), harmonic coverage/quality combine (A6).
+    """
+    import numpy as np
+
+    A, B = _span_matrix(a), _span_matrix(b)
+    n1, n2 = len(A), len(B)
+    if n1 == 0 and n2 == 0:
+        return {"score": 1.0, "matched_pairs": 0, "coverage": 1.0, "quality": 1.0}
+    if n1 == 0 or n2 == 0:
+        return {"score": 0.0, "matched_pairs": 0, "coverage": 0.0, "quality": 0.0}
+
+    pa, pb = A[:, :2].copy(), B[:, :2].copy()
+    # J9 — translation pre-alignment: per-row nearest neighbour, median offset
+    d2 = (pa ** 2).sum(1)[:, None] + (pb ** 2).sum(1)[None, :] - 2 * pa @ pb.T
+    nn = d2.argmin(axis=1)
+    offset = np.median(pb[nn] - pa, axis=0)
+    pa = pa + offset
+
+    # J10 — weighted cost matrix (weights: BlobSimilarity.py:52-75)
+    d = np.sqrt(np.maximum(
+        (pa ** 2).sum(1)[:, None] + (pb ** 2).sum(1)[None, :] - 2 * pa @ pb.T, 0))
+    pos = np.minimum(d / 0.5, 2.0)
+    area_a, area_b = A[:, 2][:, None], B[:, 2][None, :]
+    scale = np.abs(area_a - area_b) / np.maximum(np.maximum(area_a, area_b), 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        logr = np.abs(np.log(
+            np.maximum(A[:, 3], 1e-6)[:, None] / np.maximum(B[:, 3], 1e-6)[None, :]))
+    aspect = np.minimum(np.nan_to_num(logr), 2.0)
+    sol = np.abs(A[:, 4][:, None] - B[:, 4][None, :])
+    ext = np.abs(A[:, 5][:, None] - B[:, 5][None, :])
+    cost = 0.60 * pos / 2.0 + 0.15 * scale + 0.10 * aspect / 2.0 + 0.075 * sol + 0.075 * ext
+
+    # J7 — assignment with gate (Hungarian if scipy exists, else greedy —
+    # the reference itself falls back to greedy argsort, BlobSimilarity.py:85-93)
+    pairs: list[tuple[int, int]] = []
+    try:
+        from scipy.optimize import linear_sum_assignment
+        ri, ci = linear_sum_assignment(cost)
+        cand = list(zip(ri.tolist(), ci.tolist()))
+    except ImportError:
+        order = np.dstack(np.unravel_index(np.argsort(cost, axis=None), cost.shape))[0]
+        used_r, used_c = set(), set()
+        cand = []
+        for r, c in order:
+            if r not in used_r and c not in used_c:
+                used_r.add(r); used_c.add(c)
+                cand.append((int(r), int(c)))
+    costs = []
+    for r, c in cand:
+        if cost[r, c] <= PAIR_COST_GATE:
+            pairs.append((r, c))
+            costs.append(cost[r, c])
+
+    coverage = len(pairs) / max(n1, n2)
+    quality = float(max(0.0, 1.0 - (np.median(costs) if costs else 1.0)))
+    if coverage + quality == 0:
+        score = 0.0
+    else:
+        score = max(0.0, min(1.0, 2.0 * coverage * quality / (coverage + quality)))
+    return {"score": score, "matched_pairs": len(pairs),
+            "coverage": coverage, "quality": quality}
+
+
+SPAN_PAIR_RESULT_DDL = ("pair_id bigint, url_a string, url_b string, "
+                        "score double, matched_pairs int, coverage double, "
+                        "quality double, similar boolean")
+
+
+def span_similarity_join(a: DataFrame, b: DataFrame,
+                         threshold: float = DECISION_THRESHOLD,
+                         pair_cond: Column | None = None) -> DataFrame:
+    """Pairwise span-layout similarity as a grouped custom operator.
+
+    ``a``/``b``: DataFrames with (url, spans). Pairs are formed by
+    ``pair_cond`` (default: same fingerprint-length block — callers should
+    pass a real blocking condition; a cross join of 10^12 docs is not a
+    thing). Each pair group runs the numpy matcher via applyInPandas.
+    """
+    fa = a.select(F.col("url").alias("url_a"), F.col("spans").alias("spans_a"))
+    fb = b.select(F.col("url").alias("url_b"), F.col("spans").alias("spans_b"))
+    cond = pair_cond if pair_cond is not None else (F.lit(True))
+    pairs = (fa.join(fb, cond)
+             .filter(F.col("url_a") < F.col("url_b"))
+             .withColumn("pair_id", F.xxhash64("url_a", "url_b")))
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            r = span_layout_score(row["spans_a"], row["spans_b"])
+            out.append((row["pair_id"], row["url_a"], row["url_b"],
+                        r["score"], r["matched_pairs"], r["coverage"],
+                        r["quality"], r["score"] >= threshold))
+        return pd.DataFrame(out, columns=["pair_id", "url_a", "url_b", "score",
+                                          "matched_pairs", "coverage",
+                                          "quality", "similar"])
+
+    return (pairs.groupBy(F.pmod(F.col("pair_id"), F.lit(64)))
+            .applyInPandas(score_group, schema=SPAN_PAIR_RESULT_DDL))
