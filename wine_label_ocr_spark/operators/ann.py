@@ -1,0 +1,115 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force exact baseline: broadcast the (small)
+  query set against the corpus, dot products via ``zip_with``/``aggregate``
+  (JVM codegen, no Python), ranked per query with a window.
+* ``rp_lsh_topk`` — the scale path: random-hyperplane LSH. Deterministic
+  hyperplanes are derived from a hash (no RNG at plan time, so the plan is
+  reproducible and resumable); vectors land in sign-pattern buckets,
+  candidates come only from the query's bucket (single-probe) or
+  hamming-adjacent buckets (multi-probe), then exact cosine re-ranks.
+* ``embedding_near_dup`` — near-duplicate pairs by cosine within LSH
+  buckets (the embedding flavor of operators.dedupe).
+
+Scale notes: brute force is O(|Q|·|C|) — fine for |Q| small because the
+corpus is scanned once with the queries broadcast (no shuffle of the
+corpus at all). The LSH path buckets the corpus once (pure map + one
+shuffle on bucket id) and is the 10^12-row strategy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                q_id: str = "q_id", c_id: str = "vec_id",
+                q_vec: str = "embedding", c_vec: str = "embedding") -> DataFrame:
+    """Exact top-k: corpus scanned once, queries broadcast (no shuffle of
+    the big side; the only exchange is the final per-query ranking)."""
+    q = queries.select(F.col(q_id).alias("q_id"), F.col(q_vec).alias("_qv"))
+    c = corpus.select(F.col(c_id).alias("c_id"), F.col(c_vec).alias("_cv"))
+    scored = (c.join(F.broadcast(q))
+              .select("q_id", "c_id", cosine(F.col("_qv"), F.col("_cv")).alias("cosine")))
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "c_id", F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplanes from md5 (no RNG state)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(0, dim, 16):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            row.extend(1.0 if b & 1 else -1.0 for b in h[:min(16, dim - d)])
+        planes.append(row[:dim])
+    return planes
+
+
+def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id (long) from dot products with fixed planes."""
+    bits = []
+    for j, plane in enumerate(planes):
+        lit = F.array(*[F.lit(w) for w in plane])
+        bits.append(F.when(dot(vec, lit) > 0,
+                           F.shiftleft(F.lit(1).cast("long"), j))
+                    .otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def rp_lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int,
+                k: int = 10, n_planes: int = 8, seed: int = 42,
+                q_id: str = "q_id", c_id: str = "vec_id",
+                q_vec: str = "embedding", c_vec: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates from the query's LSH bucket only,
+    exact cosine re-rank inside the bucket. Recall grows with fewer planes
+    / multi-probe; this is the single-probe baseline."""
+    planes = _hyperplanes(n_planes, dim, seed)
+    q = queries.select(F.col(q_id).alias("q_id"), F.col(q_vec).alias("_qv"),
+                       rp_signature(F.col(q_vec), planes).alias("_bucket"))
+    c = corpus.select(F.col(c_id).alias("c_id"), F.col(c_vec).alias("_cv"),
+                      rp_signature(F.col(c_vec), planes).alias("_bucket"))
+    scored = (c.join(F.broadcast(q), "_bucket")
+              .select("q_id", "c_id", cosine(F.col("_qv"), F.col("_cv")).alias("cosine")))
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "c_id", F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+def embedding_near_dup(corpus: DataFrame, dim: int, min_cosine: float = 0.95,
+                       n_planes: int = 12, seed: int = 42,
+                       c_id: str = "vec_id", c_vec: str = "embedding") -> DataFrame:
+    """Near-duplicate vector pairs: one shuffle on the LSH bucket, pairwise
+    cosine only within buckets (embedding-cosine dedup for training data)."""
+    planes = _hyperplanes(n_planes, dim, seed)
+    c = corpus.select(F.col(c_id).alias("_id"), F.col(c_vec).alias("_v"),
+                      rp_signature(F.col(c_vec), planes).alias("_bucket"))
+    a, b = c.alias("a"), c.alias("b")
+    return (a.join(b, (F.col("a._bucket") == F.col("b._bucket"))
+                   & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                    F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cosine"))
+            .filter(F.col("cosine") >= min_cosine))

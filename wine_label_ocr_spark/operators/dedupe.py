@@ -1,0 +1,194 @@
+"""Deduplication operators for web-scale corpora.
+
+The reference dedups via exact keys then fuzzy similarity
+(``scan_and_store.py:121-164``); at 10^12 documents that generalizes to:
+
+* **exact** — hash-groupBy on canonicalized content (one shuffle on the
+  content hash; map-side partial aggregation applies);
+* **MinHash + LSH** — shingle → minhash signature → band → bucket join:
+  the only pairs ever scored are bucket collisions, never O(n²);
+* **SimHash** — 64-bit sign-aggregated token hashes, near-dup via
+  hamming distance on bucketed prefixes;
+* **n-gram Jaccard** — exact verification on candidate pairs;
+* **embedding cosine** — see ``operators.ann`` (near-dup via vector space).
+
+Everything below is native ``F.*`` column algebra (nested lambda
+expressions; zero Python in the hot path). Hash functions come in two
+flavors: ``xxhash64`` (fast path, Spark-only) and md5-derived bigints
+(oracle path — bit-identical in DuckDB), selected by ``oracle_safe``.
+
+Scale notes: signatures are fixed-width arrays (p ≈ 64 minhashes ≈ 512
+bytes/doc); the LSH explode multiplies rows by n_bands (8-16), all of it
+shuffled once on (band_idx, band_hash). Hot buckets (boilerplate dups)
+are bounded by ``max_bucket`` to keep the pair join from exploding on
+skew — the explicit skew handling the north rule asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from .textops import tokens_col
+
+
+def _hash64(col: Column, seed: int, oracle_safe: bool) -> Column:
+    if oracle_safe:
+        # first 15 hex chars of md5 → bigint (reproducible in DuckDB)
+        return F.conv(F.substring(F.md5(F.concat(col, F.lit(f"#{seed}"))), 1, 15),
+                      16, 10).cast("bigint")
+    return F.xxhash64(col, F.lit(seed))
+
+
+def content_key(text: Column) -> Column:
+    """Exact-dedup key: md5 of whitespace-canonicalized text."""
+    return F.md5(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per content key (deterministic: min id wins).
+
+    One shuffle on the 128-bit content hash; partial aggregation runs
+    map-side, so the shuffle carries one row per distinct key per mapper.
+    """
+    key = content_key(F.col(text_col)).alias("_ck")
+    w = df.select("*", key)
+    keep = (w.groupBy("_ck").agg(F.min(id_col).alias(id_col)))
+    return w.join(keep, [id_col, "_ck"], "left_semi").drop("_ck")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-grams (array<string>)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    return F.when(n >= k, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    ))).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def minhash_signature(sh: Column, n_perm: int = 32,
+                      oracle_safe: bool = False) -> Column:
+    """array<bigint> of length n_perm: min over shingles per hash seed."""
+    def perm_hash(p: int):
+        def f(s):
+            return _hash64(s, p, oracle_safe)
+        return f
+
+    return F.array(*[
+        F.array_min(F.transform(sh, perm_hash(p)))
+        for p in range(n_perm)
+    ])
+
+
+def lsh_bands(sig: Column, n_bands: int, rows_per_band: int) -> Column:
+    """array<struct<band:int, band_hash:string>> — md5 over each band slice."""
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.array_join(
+                F.transform(F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string")), ",")).alias("band_hash"))
+        for b in range(n_bands)
+    ])
+
+
+def jaccard(sh_a: Column, sh_b: Column) -> Column:
+    """Exact n-gram Jaccard on distinct shingle arrays."""
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(F.array_union(sh_a, sh_b))
+    return inter / F.greatest(union, F.lit(1))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      n_perm: int = 32, n_bands: int = 8,
+                      min_jaccard: float = 0.6,
+                      oracle_safe: bool = False,
+                      max_bucket: int = 200) -> DataFrame:
+    """Near-dup candidate pairs via MinHash LSH, verified by exact Jaccard.
+
+    Plan shape: project signature (pure map) → explode bands (×n_bands)
+    → shuffle once on (band, band_hash) → oversized buckets dropped
+    (boilerplate skew guard) → self-join within bucket → distinct pairs →
+    exact Jaccard verify on the shingle arrays.
+    """
+    rows_per_band = n_perm // n_bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), k).alias("_sh"))
+    sig = base.select(
+        "_id", "_sh",
+        F.explode(lsh_bands(minhash_signature(F.col("_sh"), n_perm, oracle_safe),
+                            n_bands, rows_per_band)).alias("_b"))
+    buck = sig.select("_id", "_sh", F.col("_b.band").alias("band"),
+                      F.col("_b.band_hash").alias("band_hash"))
+    sized = buck.withColumn(
+        "_bn", F.count("*").over(W.partitionBy("band", "band_hash")))
+    buck = sized.filter(F.col("_bn") <= max_bucket).drop("_bn")
+    a = buck.alias("a")
+    b = buck.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.band_hash") == F.col("b.band_hash"))
+                    & (F.col("a._id") < F.col("b._id")))
+             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                     F.col("a._sh").alias("sh_a"), F.col("b._sh").alias("sh_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    return (pairs
+            .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+            .filter(F.col("jaccard") >= min_jaccard)
+            .drop("sh_a", "sh_b"))
+
+
+def simhash64(text: Column, oracle_safe: bool = False) -> Column:
+    """64-bit SimHash over whitespace tokens.
+
+    Per token: 64-bit hash; per bit: +1 if set else -1; sum over tokens;
+    simhash bit j = 1 iff sum_j > 0. Expressed as one ``aggregate`` with a
+    ``zip_with`` accumulator — all codegen, no shuffle, no Python.
+    """
+    import functools
+
+    toks = tokens_col(text)
+
+    def tok_bits(t: Column) -> Column:
+        # shift amounts must be python ints → unroll the 64 bits
+        h = _hash64(t, 0, oracle_safe)
+        return F.array(*[
+            (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            for j in range(64)])
+
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(acc, tok_bits(t), lambda x, y: x + y))
+    bit_vals = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
+    return functools.reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [F.when(F.get(counts, j) > 0, F.lit(v).cast("long"))
+         .otherwise(F.lit(0).cast("long"))
+         for j, v in enumerate(bit_vals)])
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 8,
+                  prefix_bits: int = 12) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits
+    (cheap blocking), verify hamming distance within buckets.
+
+    A production multi-probe variant would bucket on several bit-rotations;
+    one prefix is the single-probe baseline.
+    """
+    s = df.select(F.col(id_col).alias("_id"),
+                  simhash64(F.col(text_col)).alias("_sh"))
+    s = s.withColumn("_bucket", F.shiftrightunsigned("_sh", 64 - prefix_bits))
+    a, b = s.alias("a"), s.alias("b")
+    return (a.join(b, (F.col("a._bucket") == F.col("b._bucket"))
+                   & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                    hamming64(F.col("a._sh"), F.col("b._sh")).alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

@@ -1,0 +1,149 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All JVM-native column expressions (no Python in the hot path):
+
+* token counting — whitespace tokenizer + a BPE-ish regex tokenizer;
+* quality scoring — length / alpha-ratio / punctuation / stopword-ratio
+  features combined into one score (the P5-style predicate gate of
+  ``hybrid.py:196-218`` re-targeted at text quality);
+* language id — function-word marker counts per language, argmax
+  (n-gram/stopword heuristic; no model);
+* document fingerprinting — polynomial rolling hash over tokens
+  (the E13 fingerprint idea applied to content rather than layout).
+
+Every function returns Columns or DataFrames built from ``F.*`` only, so
+Catalyst fuses them into whole-stage codegen and pushes column pruning
+into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# BPE-ish tokenization: words, numbers, or single punctuation — the classic
+# GPT-2-style pre-tokenizer shape, kept RE2-compatible for the DuckDB oracle.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+QUALITY_STOPWORDS = ("the of and a to in is on for with as at by it "
+                     "that this be are was from or an").split()
+
+LANG_MARKERS = {
+    "en": "the and of to in is you that it for".split(),
+    "fr": "le la les de des et en une du que".split(),
+    "de": "der die das und von zu den mit ist im".split(),
+    "es": "el la los de las que y en un por".split(),
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens (empty-safe)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()-]", ""))
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    stop = F.size(F.array_intersect(
+        F.transform(toks, F.lower), F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])))
+    safe_n = F.greatest(n, F.lit(1))
+    safe_t = F.greatest(n_tok, F.lit(1))
+    return {
+        "n_chars": n,
+        "n_tokens": n_tok,
+        "alpha_ratio": alpha / safe_n,
+        "punct_ratio": punct / safe_n,
+        "stopword_ratio": stop / safe_t,  # distinct-marker coverage
+        "mean_token_len": (n - (n_tok - 1)) / safe_t,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] quality score — weights mirror the 0.4/0.3/0.3 structure of the
+    reference's region scorer (hybrid.py:131)."""
+    f = quality_features(text)
+    len_term = F.least(f["n_chars"] / F.lit(500.0), F.lit(1.0))
+    return (F.lit(0.4) * len_term
+            + F.lit(0.3) * f["alpha_ratio"]
+            + F.lit(0.3) * F.least(f["stopword_ratio"] * 3.0, F.lit(1.0)))
+
+
+def quality_gate(text: Column, min_chars: int = 25, min_alpha: float = 0.5,
+                 max_punct: float = 0.2) -> Column:
+    """P5-analog conjunction gate for training-data filtering."""
+    f = quality_features(text)
+    return ((f["n_chars"] >= min_chars)
+            & (f["alpha_ratio"] >= min_alpha)
+            & (f["punct_ratio"] <= max_punct))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    import functools
+    import operator
+
+    def marker_pred(markers: list[str]):
+        # NB: plain single-arg closure — a default-arg lambda would be
+        # introspected by PySpark's HOF binding as a second lambda variable
+        def pred(t):
+            return functools.reduce(operator.or_,
+                                    [t == F.lit(x) for x in markers])
+        return pred
+
+    toks = F.transform(tokens_col(text), F.lower)
+    return {
+        lang: F.size(F.filter(toks, marker_pred(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-count argmax with deterministic tie-break (alphabetical lang).
+
+    Heuristic language id — the D1-classifier analog over text. Returns
+    'und' when no marker hits at all.
+    """
+    scores = lang_scores(text)
+    pairs = [F.struct(c.alias("score"), F.lit(lang).alias("lang"))
+             for lang, c in sorted(scores.items(), reverse=True)]
+    best = F.greatest(*pairs)  # struct compare: score first, then lang desc→ reverse gives asc tie-break
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(text: Column, n_tokens: int = 64) -> Column:
+    """Polynomial rolling hash over the first ``n_tokens`` tokens.
+
+    Content fingerprint (E13 analog). Per-token value is derived from md5
+    so the DuckDB oracle can reproduce it bit-for-bit; the polynomial stays
+    inside 2^36 < bigint so ANSI mode never overflows.
+    """
+    toks = F.slice(tokens_col(text), 1, n_tokens)
+    tok_val = lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("bigint")  # noqa: E731
+    return F.aggregate(
+        toks, F.lit(0).cast("bigint"),
+        lambda acc, t: F.pmod(acc * F.lit(31) + tok_val(t), F.lit(2147483647)))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-stop profiling projection used by the pipeline and the bench."""
+    t = F.col(text_col)
+    f = quality_features(t)
+    return df.select(
+        "*",
+        f["n_tokens"].alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.round(f["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+        quality_gate(t).alias("quality_ok"),
+        lang_id(t).alias("lang_pred"),
+        doc_fingerprint(t).alias("content_fp"),
+    )
