@@ -211,6 +211,135 @@ def q_fuzzy_blocked_join(spark, sf):  # J2/J3/J6 — blocked fuzzy theta join
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 2 — extraction pipeline end-to-end + training-pipeline operators
+# ---------------------------------------------------------------------------
+
+def q_extract_fields_pipeline(spark, sf):
+    """Full two-stage pipeline over documents rendered as web pages; the
+    DuckDB oracle reconstructs the expected fields from documents directly.
+    This puts byte-identity itself under the driver's correctness gate."""
+    from wine_label_ocr_spark.fixtures import documents_as_pages
+    from wine_label_ocr_spark.operators.extraction import extract_fields
+    from wine_label_ocr_spark.operators.segmentation import segment
+
+    rec = extract_fields(segment(documents_as_pages(spark, sf)))
+    return rec.select(
+        F.regexp_extract("url", r"/doc/(\d+)", 1).cast("bigint").alias("doc_id"),
+        "maker_name",
+        F.col("vintage").cast("int").alias("vintage"),
+        "custom_id",
+        "text")
+
+
+def q_bpe_token_counts(spark, sf):  # textops: BPE-ish tokenizer
+    from wine_label_ocr_spark.operators.textops import bpe_ish_token_count
+    d = _t(spark, sf, "documents")
+    return (d.groupBy("lang")
+            .agg(F.sum(bpe_ish_token_count(F.col("text")).cast("bigint"))
+                 .alias("sum_bpe_tokens")))
+
+
+def q_quality_scores(spark, sf):  # textops: quality score + gate
+    from wine_label_ocr_spark.operators.textops import quality_gate, quality_score
+    d = _t(spark, sf, "documents")
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        quality_gate(F.col("text")).alias("quality_ok"))
+
+
+def q_lang_id(spark, sf):  # textops: marker-based language id
+    from wine_label_ocr_spark.operators.textops import lang_id
+    d = _t(spark, sf, "documents")
+    return d.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_content_fingerprint(spark, sf):  # textops: rolling-hash fingerprint
+    from wine_label_ocr_spark.operators.textops import doc_fingerprint
+    d = _t(spark, sf, "documents")
+    return d.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    doc_fingerprint(F.col("text")).alias("content_fp"))
+
+
+def q_exact_dedup(spark, sf):  # dedupe: exact content dedup
+    from wine_label_ocr_spark.operators.dedupe import exact_dedup
+    d = _t(spark, sf, "documents")
+    return exact_dedup(d).select(F.col("doc_id").cast("bigint").alias("doc_id"))
+
+
+def q_minhash_lsh(spark, sf):  # dedupe: MinHash+LSH near-dup pairs
+    from wine_label_ocr_spark.operators.dedupe import minhash_lsh_pairs
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(d, n_perm=16, n_bands=4, min_jaccard=0.4,
+                             oracle_safe=True).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "jaccard")
+
+
+def q_simhash_fingerprints(spark, sf):  # dedupe: SimHash (rows-only check)
+    from wine_label_ocr_spark.operators.dedupe import simhash64
+    d = _t(spark, sf, "documents")
+    return d.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    simhash64(F.col("text")).alias("simhash"))
+
+
+def q_cosine_topk(spark, sf):  # ann: exact brute-force cosine top-k
+    from wine_label_ocr_spark.operators.ann import cosine_topk
+    e = _t(spark, sf, "embeddings")
+    # round inputs to 3dp in double so both engines fold identical values
+    rounded = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double"), 3)).alias("embedding"))
+    q = (rounded.filter(F.col("vec_id") % 100 == 0)
+         .select(F.col("vec_id").alias("q_id"), "embedding"))
+    return cosine_topk(q, rounded, k=5)
+
+
+def q_rp_lsh_topk(spark, sf):  # ann: LSH-bucketed approximate top-k (rows-only)
+    from wine_label_ocr_spark.operators.ann import rp_lsh_topk
+    e = _t(spark, sf, "embeddings")
+    q = (e.filter(F.col("vec_id") % 100 == 0)
+         .select(F.col("vec_id").alias("q_id"), "embedding"))
+    return rp_lsh_topk(q, e, dim=64, k=5, n_planes=6)
+
+
+def q_embedding_near_dup(spark, sf):  # ann: embedding near-dup (rows-only)
+    from wine_label_ocr_spark.operators.ann import embedding_near_dup
+    e = _t(spark, sf, "embeddings")
+    # plant exact duplicates so the operator demonstrably fires on testdata
+    dup = e.filter(F.col("vec_id") % 97 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label")
+    return embedding_near_dup(e.unionByName(dup), dim=64,
+                              min_cosine=0.95, n_planes=8)
+
+
+def q_media_features(spark, sf):  # multimodal plumbing (rows-only; stub decode)
+    from wine_label_ocr_spark.operators.multimodal import extract_media_features
+    d = _t(spark, sf, "documents").limit(200)
+    payloads = d.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("image").alias("media_type"))
+    return extract_media_features(payloads, fake=True)
+
+
+def q_dedup_decisions(spark, sf):  # J2/J3 fuzzy ingest decisions (rows-only)
+    from wine_label_ocr_spark.operators.similarity import fuzzy_match_decisions
+    d = _t(spark, sf, "documents")
+    recs = d.select(
+        F.concat(F.upper(F.substring("text", 1, 16)), F.lit("|"),
+                 (F.lit(1900) + F.col("doc_id") % 50).cast("string")).alias("custom_id"),
+        F.upper(F.substring("text", 1, 16)).alias("maker_name"),
+        (F.lit(1900) + F.col("doc_id") % 50).cast("int").alias("vintage"))
+    store = recs.filter(F.col("vintage") < 1925)
+    new = recs.filter(F.col("vintage") >= 1920)
+    return fuzzy_match_decisions(new, store).select(
+        "custom_id", "decision", "matched_key", F.round("match_score", 2).alias("match_score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lineitem_agg": q_lineitem_agg,
@@ -228,11 +357,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_peak": q_running_peak,
         "stopword_strip": q_stopword_strip,
         "fuzzy_blocked_join": q_fuzzy_blocked_join,
+        "extract_fields_pipeline": q_extract_fields_pipeline,
+        "bpe_token_counts": q_bpe_token_counts,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "content_fingerprint": q_content_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "cosine_topk": q_cosine_topk,
+        "rp_lsh_topk": q_rp_lsh_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "media_features": q_media_features,
+        "dedup_decisions": q_dedup_decisions,
     }
 
 
+def _minhash_oracle_sql(n_perm=16, n_bands=4, k=3, min_j=0.4, max_bucket=200) -> str:
+    rpb = n_perm // n_bands
+    hashv = lambda p: (f"list_min(list_transform(sh, s -> CAST(CAST(concat('0x', "
+                       f"substr(md5(concat(s, '#{p}')), 1, 15)) AS UBIGINT) AS BIGINT)))")  # noqa: E731
+    sig = ", ".join(hashv(p) for p in range(n_perm))
+    band_structs = ", ".join(
+        f"{{'band': {b}, 'h': md5(array_to_string("
+        f"list_transform(sig[{b*rpb+1}:{(b+1)*rpb}], v -> CAST(v AS VARCHAR)), ','))}}"
+        for b in range(n_bands))
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+          FROM documents),
+        shing AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= {k}
+                      THEN list_distinct(list_transform(
+                           generate_series(1, len(toks) - {k-1}),
+                           i -> array_to_string(toks[i:i+{k-1}], ' ')))
+                      ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM base),
+        sig AS (SELECT doc_id, sh, [{sig}] AS sig FROM shing),
+        bands AS (SELECT doc_id, sh, unnest([{band_structs}]) AS bh FROM sig),
+        buck AS (
+          SELECT doc_id, sh, bh['band'] AS band, bh['h'] AS band_hash,
+                 COUNT(*) OVER (PARTITION BY bh['band'], bh['h']) AS bn
+          FROM bands),
+        ok AS (SELECT * FROM buck WHERE bn <= {max_bucket}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+          FROM ok a JOIN ok b
+            ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+        SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+               ROUND(len(list_intersect(sh_a, sh_b)) /
+                     GREATEST(len(list_distinct(list_concat(sh_a, sh_b))), 1), 6) AS jaccard
+        FROM pairs
+        WHERE len(list_intersect(sh_a, sh_b)) /
+              GREATEST(len(list_distinct(list_concat(sh_a, sh_b))), 1) >= {min_j}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    from wine_label_ocr_spark.operators.textops import (
+        BPE_ISH_PATTERN, LANG_MARKERS, QUALITY_STOPWORDS)
+
     stop_sql = ",".join(f"'{s}'" for s in STOPWORDS)
+    qstop_sql = ",".join(f"'{s}'" for s in QUALITY_STOPWORDS)
+    lang_score_cols = ", ".join(
+        f"len(list_filter(toks, t -> list_contains([{', '.join(chr(39)+m+chr(39) for m in markers)}], t))) AS s_{lang}"
+        for lang, markers in LANG_MARKERS.items())
+    lang_structs = ", ".join(
+        f"{{'score': s_{lang}, 'lang': '{lang}'}}" for lang in LANG_MARKERS)
     return {
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
@@ -336,5 +529,90 @@ def oracle_sql() -> dict[str, str]:
               ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
             WHERE 1.0 - levenshtein(substr(a.text,1,40), substr(b.text,1,40))
                   / GREATEST(length(substr(a.text,1,40)), length(substr(b.text,1,40))) >= 0.5
+        """,
+        "extract_fields_pipeline": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   concat(UPPER(source), ' DOC ', CAST(doc_id AS VARCHAR)) AS maker_name,
+                   CAST(1900 + doc_id % 131 AS INT) AS vintage,
+                   concat(UPPER(source), ' DOC ', CAST(doc_id AS VARCHAR), '|',
+                          CAST(1900 + doc_id % 131 AS VARCHAR)) AS custom_id,
+                   text
+            FROM documents
+        """,
+        "bpe_token_counts": f"""
+            SELECT lang,
+                   SUM(CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT)) AS sum_bpe_tokens
+            FROM documents GROUP BY lang
+        """,
+        "quality_scores": f"""
+            WITH f AS (
+              SELECT doc_id, length(text) AS n,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                     length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS punct,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, n, alpha, punct, len(toks) AS ntok,
+                     len(list_intersect(list_transform(toks, t -> lower(t)),
+                                        [{qstop_sql}])) AS stop
+              FROM f)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   ROUND(CAST(0.4 AS DOUBLE) * LEAST(n / CAST(500.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                         + CAST(0.3 AS DOUBLE) * (alpha / GREATEST(n, 1))
+                         + CAST(0.3 AS DOUBLE) * LEAST((stop / GREATEST(ntok, 1)) * CAST(3.0 AS DOUBLE), CAST(1.0 AS DOUBLE)), 6) AS quality,
+                   (n >= 25 AND (alpha / GREATEST(n, 1)) >= CAST(0.5 AS DOUBLE)
+                    AND (punct / GREATEST(n, 1)) <= CAST(0.2 AS DOUBLE)) AS quality_ok
+            FROM g
+        """,
+        "lang_id": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                                x -> x != ''), x -> lower(x)) AS toks
+              FROM documents),
+            s AS (SELECT doc_id, {lang_score_cols} FROM t)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CASE WHEN best['score'] > 0 THEN best['lang'] ELSE 'und' END AS lang_pred
+            FROM (SELECT doc_id, list_max([{lang_structs}]) AS best FROM s)
+        """,
+        "content_fingerprint": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(toks[1:64],
+                         t -> CAST(CAST(concat('0x', substr(md5(t), 1, 7)) AS UBIGINT) AS BIGINT))),
+                     (a, b) -> (a * 31 + b) % 2147483647) AS content_fp
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+                  FROM documents)
+        """,
+        "exact_dedup": """
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+            FROM documents
+            GROUP BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+        """,
+        "minhash_lsh": _minhash_oracle_sql(),
+        "cosine_topk": """
+            WITH r AS (SELECT vec_id,
+                              list_transform(embedding, x -> round(CAST(x AS DOUBLE), 3)) AS e
+                       FROM embeddings),
+            q AS (SELECT vec_id AS q_id, e AS qe FROM r WHERE vec_id % 100 = 0),
+            s AS (SELECT q_id, r.vec_id AS c_id,
+                    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i])),
+                        (a, b) -> a + b)
+                    / GREATEST(
+                        sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list_transform(qe, x -> x * x)), (a, b) -> a + b))
+                        * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list_transform(e, x -> x * x)), (a, b) -> a + b)),
+                        CAST(1e-12 AS DOUBLE)) AS cosine
+                  FROM r CROSS JOIN q)
+            SELECT q_id, c_id, ROUND(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+            FROM (SELECT q_id, c_id, cosine,
+                         ROW_NUMBER() OVER (PARTITION BY q_id
+                                            ORDER BY cosine DESC, c_id) AS rank
+                  FROM s)
+            WHERE rank <= 5
         """,
     }
