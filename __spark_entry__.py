@@ -340,6 +340,36 @@ def q_dedup_decisions(spark, sf):  # J2/J3 fuzzy ingest decisions (rows-only)
         "custom_id", "decision", "matched_key", F.round("match_score", 2).alias("match_score"))
 
 
+def q_ema_final(spark, sf):  # W4/ST3 — recursive EMA per key (final value)
+    from wine_label_ocr_spark.streaming.state import ema_phase_batch
+    e = _t(spark, sf, "events")
+    trace = ema_phase_batch(e)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (trace.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("user_id").cast("bigint").alias("user_id"),
+                    F.round("ema", 6).alias("ema_final")))
+
+
+def q_sessionize(spark, sf):  # ST6 — inactivity-gap sessions (native windows)
+    from wine_label_ocr_spark.streaming.state import sessionize
+    e = _t(spark, sf, "events")
+    return (sessionize(e, gap_sec=600.0)
+            .groupBy("user_id", "session_seq")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("user_id").cast("bigint").alias("user_id"),
+                    "session_seq", "n_events"))
+
+
+def q_phase_trace(spark, sf):  # ST4/ST5/ST7 — phase machine (rows-only)
+    from wine_label_ocr_spark.streaming.state import ema_phase_batch
+    e = _t(spark, sf, "events")
+    return (ema_phase_batch(e)
+            .groupBy("user_id", "phase")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("capture").cast("int")).alias("n_captures")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lineitem_agg": q_lineitem_agg,
@@ -370,6 +400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "media_features": q_media_features,
         "dedup_decisions": q_dedup_decisions,
+        "ema_final": q_ema_final,
+        "sessionize": q_sessionize,
+        "phase_trace": q_phase_trace,
     }
 
 
@@ -614,5 +647,29 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY cosine DESC, c_id) AS rank
                   FROM s)
             WHERE rank <= 5
+        """,
+        "ema_final": """
+            -- identical left fold: first value seeds, then 0.25*x + 0.75*ema;
+            -- 0.25/0.75 are exact binary doubles, so this is bit-identical
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                                     (a, b) -> CAST(0.25 AS DOUBLE) * b
+                                             + CAST(0.75 AS DOUBLE) * a), 6) AS ema_final
+            FROM events GROUP BY user_id
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w AS gap
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id,
+                     CAST(SUM(CASE WHEN gap IS NULL OR gap > 600000 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_seq
+              FROM g)
+            SELECT CAST(user_id AS BIGINT) AS user_id, session_seq,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, session_seq
         """,
     }

@@ -1,0 +1,108 @@
+"""Streaming state program tests: batch twin ≡ stream, phase semantics."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from wine_label_ocr_spark.streaming import state as ST
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mk_events(spark, samples, user_id=1):
+    t0 = datetime(2024, 1, 1)
+    rows = [(user_id, i, t0 + timedelta(seconds=i * 0.25), float(v))
+            for i, v in enumerate(samples)]
+    return spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, value double")
+
+
+def test_ema_values(spark):
+    df = _mk_events(spark, [10.0, 20.0, 20.0])
+    out = sorted(ST.ema_phase_batch(df).collect(), key=lambda r: r["event_id"])
+    assert out[0]["ema"] == 10.0                       # first sample seeds EMA
+    assert out[1]["ema"] == pytest.approx(0.25 * 20 + 0.75 * 10)
+    assert out[2]["ema"] == pytest.approx(0.25 * 20 + 0.75 * out[1]["ema"])
+
+
+def test_phase_machine_lock_and_unlock(spark):
+    # ramp up (SCAN, peak rises) → drop > DROP_TO_START (SEEK) →
+    # recover near peak (LOCKED, capture once) → dip with dwell (unlock)
+    ramp = [float(x) for x in (10, 14, 18, 22, 26, 30, 30, 30)]
+    drop = [5.0] * 10
+    recover = [40.0] * 12
+    dip = [2.0] * 12
+    df = _mk_events(spark, ramp + drop + recover + dip)
+    out = sorted(ST.ema_phase_batch(df).collect(), key=lambda r: r["event_id"])
+    phases = [r["phase"] for r in out]
+    assert phases[0] == "SCAN"
+    assert "SEEK" in phases
+    assert "LOCKED" in phases
+    i_lock = phases.index("LOCKED")
+    assert "SEEK" in phases[i_lock:]                   # dwell unlock happened
+    # ST7: capture fires exactly once
+    assert sum(1 for r in out if r["capture"]) == 1
+    assert out[i_lock]["capture"]
+
+
+def test_peak_monotone_with_bump(spark):
+    df = _mk_events(spark, [10.0, 10.5, 10.8, 30.0, 9.0, 9.0])
+    out = sorted(ST.ema_phase_batch(df).collect(), key=lambda r: r["event_id"])
+    peaks = [r["peak"] for r in out]
+    assert all(peaks[i + 1] >= peaks[i] for i in range(len(peaks) - 1))
+
+
+def test_batch_twin_on_testdata_deterministic(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    a = ST.ema_phase_batch(events).orderBy("user_id", "event_id").collect()
+    b = ST.ema_phase_batch(events).orderBy("user_id", "event_id").collect()
+    assert a == b
+    assert len(a) == events.count()
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    """The north check for ST1-ST7: the streaming program (two micro-batches,
+    availableNow) produces the identical trace to the batch twin."""
+    events = spark.read.parquet(f"{SF}/events.parquet") \
+        .filter(F.col("user_id") < 20).select("user_id", "event_id", "ts", "value")
+    # two time-ordered files → two micro-batches with maxFilesPerTrigger=1
+    cut = events.agg(F.expr("percentile_approx(unix_millis(cast(ts as timestamp)), 0.5)")).collect()[0][0]
+    src = str(tmp_path / "src")
+    events.filter(F.unix_millis(F.col("ts").cast("timestamp")) <= cut) \
+        .coalesce(1).write.parquet(src + "/a=1")
+    events.filter(F.unix_millis(F.col("ts").cast("timestamp")) > cut) \
+        .coalesce(1).write.parquet(src + "/a=2")
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/a=*"))
+    q = (ST.ema_phase_stream(stream)
+         .writeStream.format("memory").queryName("trace")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.sql("select * from trace").orderBy("user_id", "event_id").collect()
+    want = ST.ema_phase_batch(events).orderBy("user_id", "event_id").collect()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["event_id"] == w["event_id"]
+        assert g["phase"] == w["phase"]
+        assert g["capture"] == w["capture"]
+        assert g["ema"] == pytest.approx(w["ema"], rel=1e-12)
+
+
+def test_sessionize(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [(1, 1, t0, 1.0), (1, 2, t0 + timedelta(seconds=30), 1.0),
+            (1, 3, t0 + timedelta(seconds=200), 1.0),
+            (1, 4, t0 + timedelta(seconds=210), 1.0),
+            (2, 5, t0, 1.0)]
+    df = spark.createDataFrame(rows, "user_id bigint, event_id bigint, ts timestamp, value double")
+    out = {r["event_id"]: r["session_seq"] for r in ST.sessionize(df, gap_sec=60).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}

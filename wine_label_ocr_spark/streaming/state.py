@@ -1,0 +1,160 @@
+"""Stateful stream program — the turntable guidance loop re-expressed.
+
+The reference runs a genuine per-key stateful stream program
+(``Char_Count_TurnTable.py:129-361``): EMA-smoothed counter (α=0.25),
+5 s sliding stats window, running peak with bump threshold, a phase
+machine (SCAN → SEEK → LOCKED) with unlock margin + dwell timer, and an
+exactly-once capture per lock. SURVEY.md §2.10 maps these to ST1-ST8.
+
+Spark restatement:
+
+* the recursive state (EMA, peak, phase) is not frame-window expressible
+  (W4) → ``applyInPandasWithState`` keyed by session/user id;
+* the *batch twin* (``ema_phase_batch``) runs the exact same per-key
+  kernel via ``applyInPandas`` over ts-sorted groups — tests assert the
+  stream and batch paths produce identical traces, which is what makes
+  the stream program oracle-checkable;
+* cadence (ST1) maps to ``trigger(processingTime=...)`` /
+  ``availableNow``; the bounded-queue drop (ST8) maps to
+  ``maxFilesPerTrigger`` backpressure;
+* the exactly-once capture flag (ST7) is state-deduped: it fires on the
+  SCAN/SEEK→LOCKED edge only.
+
+Constants pinned from the reference (Char_Count_TurnTable.py:20-46).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+ALPHA = 0.25            # EMA smoothing, Char_Count_TurnTable.py:23
+WINDOW_SEC = 5.0        # stats window, :24
+DROP_TO_START = 5.0     # peak→seek drop, :38
+PEAK_BUMP_MIN = 1.0     # running-peak bump threshold, :40
+UNLOCK_MARGIN = 3.0     # locked band margin, :41
+UNLOCK_DWELL = 0.6      # seconds below band before unlock, :42
+
+PHASES = ("SCAN", "SEEK", "LOCKED")
+
+STATE_DDL = ("ema double, peak double, phase string, below_since double, "
+             "captured boolean")
+OUTPUT_DDL = ("user_id bigint, event_id bigint, ts timestamp, value double, "
+              "ema double, peak double, phase string, capture boolean")
+
+
+def _step(state: dict[str, Any], ts_sec: float, value: float) -> tuple[dict, bool]:
+    """One event through the phase machine. Returns (new_state, capture)."""
+    ema = value if state["ema"] is None else ALPHA * value + (1 - ALPHA) * state["ema"]
+    peak = state["peak"]
+    phase = state["phase"]
+    below_since = state["below_since"]
+    capture = False
+
+    if peak is None or ema > peak + PEAK_BUMP_MIN:
+        peak = ema if peak is None or ema > peak else peak
+    if phase == "SCAN":
+        if peak is not None and ema <= peak - DROP_TO_START:
+            phase = "SEEK"
+    elif phase == "SEEK":
+        if peak is not None and ema >= peak - UNLOCK_MARGIN:
+            phase = "LOCKED"
+            below_since = None
+            if not state["captured"]:
+                capture = True      # ST7: once per first lock
+    elif phase == "LOCKED":
+        if peak is not None and ema < peak - UNLOCK_MARGIN:
+            if below_since is None:
+                below_since = ts_sec
+            elif ts_sec - below_since >= UNLOCK_DWELL:
+                phase = "SEEK"
+                below_since = None
+        else:
+            below_since = None
+
+    return ({"ema": ema, "peak": peak, "phase": phase,
+             "below_since": below_since,
+             "captured": state["captured"] or capture}, capture)
+
+
+def _fresh_state() -> dict[str, Any]:
+    return {"ema": None, "peak": None, "phase": "SCAN",
+            "below_since": None, "captured": False}
+
+
+def _run_kernel(pdf: pd.DataFrame, state: dict[str, Any]) -> tuple[pd.DataFrame, dict]:
+    """Shared kernel: ts-sorted events × state → output trace + final state."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    out = []
+    for r in pdf.itertuples(index=False):
+        ts_sec = r.ts.timestamp()
+        state, capture = _step(state, ts_sec, float(r.value))
+        out.append((int(r.user_id), int(r.event_id), r.ts, float(r.value),
+                    state["ema"], state["peak"], state["phase"], capture))
+    cols = ["user_id", "event_id", "ts", "value", "ema", "peak", "phase", "capture"]
+    return pd.DataFrame(out, columns=cols), state
+
+
+def ema_phase_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: per-key kernel over full history via applyInPandas."""
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out, _ = _run_kernel(pdf, _fresh_state())
+        return out
+
+    return (events.select("user_id", "event_id", "ts", "value")
+            .groupBy("user_id").applyInPandas(run, schema=OUTPUT_DDL))
+
+
+def _stateful_fn(key: tuple, pdfs: Iterable[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        ema, peak, phase, below_since, captured = state.get
+        st = {"ema": ema, "peak": peak, "phase": phase,
+              "below_since": below_since, "captured": captured}
+    else:
+        st = _fresh_state()
+    for pdf in pdfs:
+        out, st = _run_kernel(pdf, st)
+        yield out
+    state.update((st["ema"], st["peak"], st["phase"],
+                  st["below_since"], st["captured"]))
+
+
+def ema_phase_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming form: identical kernel under applyInPandasWithState.
+
+    ``events_stream`` must be a streaming DataFrame with
+    (user_id, event_id, ts, value). Within-batch order is handled by the
+    kernel's ts sort; cross-batch order relies on source ordering per key
+    (watermark + sorting sink for true event-time ordering at scale).
+    """
+    return (events_stream.select("user_id", "event_id", "ts", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _stateful_fn,
+                outputStructType=OUTPUT_DDL,
+                stateStructType=STATE_DDL,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def sessionize(events: DataFrame, gap_sec: float = 60.0) -> DataFrame:
+    """ST6 — session boundaries from inactivity gaps (batch analog of the
+    absent-debounce session counter, Char_Count_TurnTable.py:141-185).
+
+    Native windows only: a new session starts where the gap to the
+    previous event exceeds ``gap_sec``; session_id is the running count of
+    starts. One shuffle on user_id.
+    """
+    from pyspark.sql import Window as W
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_millis(F.col("ts").cast("timestamp")) - F.lag(
+        F.unix_millis(F.col("ts").cast("timestamp"))).over(w)
+    start = F.when(gap.isNull() | (gap > gap_sec * 1000), 1).otherwise(0)
+    return (events
+            .withColumn("session_seq",
+                        F.sum(start).over(w.rowsBetween(W.unboundedPreceding, 0))
+                        .cast("int")))
