@@ -4,11 +4,13 @@ Prints ONE JSON line:
 ``{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {name: sec},
 "sf": ..., "docs_per_sec": ..., "n_pages": ..., "cpus": ...}``.
 
-The flagship measurement is the full extraction pipeline — synthesize
-N = sf·1e6 Common-Crawl-style pages distributed (never via the driver),
-segment + extract, force full materialization through the noop sink.
-Scaling-efficiency evidence (local[8] vs local[32]) lives in
-tools/bench_scaling.py / BENCH.md.
+The flagship measurement is the production-shaped extraction pipeline:
+a parquet scan of N = sf·1e6 synthetic Common-Crawl-style pages (written
+once to a cached local dir, generation excluded from timing) → stage-1
+segmentation → stage-2 field extraction → noop sink (forces full
+materialization, no driver collect). Scaling-efficiency evidence
+(local[8] vs local[32], CPU-pinned) lives in tools/bench_scaling.py and
+BENCH.md.
 """
 
 from __future__ import annotations
@@ -38,32 +40,45 @@ def main() -> None:
     spark = get_spark(app="bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    # split sizing: ~3 waves of python workers on this input (~2.6KB/page)
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+                   str(max(n_pages * 2600 // (cpus * 3), 1 << 20)))
+
+    pq = os.path.join(tempfile.gettempdir(), f"wlos_bench_pages_{n_pages}.parquet")
+    if not os.path.exists(pq):
+        pages_spark(spark, n_pages, partitions=cpus * 4).write.parquet(pq)
+    pages = spark.read.parquet(pq).drop("text")
 
     def force(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def timed(name, fn, reps: int = 1):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
-    # warm the JVM + python workers on a tiny slice (excluded from timings)
-    force(extract_records(pages_spark(spark, 512, partitions=cpus)))
+    # warm the JVM (codegen/JIT) + python workers on the real plan shape
+    force(extract_records(pages.limit(2000)))
 
-    pages = pages_spark(spark, n_pages, partitions=cpus * 4)
-    timed("extract_pipeline", lambda: force(extract_records(pages)))
+    timed("extract_pipeline", lambda: force(extract_records(pages)), reps=2)
 
     with tempfile.TemporaryDirectory() as tmp:
         timed("extract_write_parquet", lambda: (
-            extract_records(pages_spark(spark, n_pages // 4, partitions=cpus * 2))
+            extract_records(pages)
             .drop("blob_data")
             .write.mode("overwrite").parquet(f"{tmp}/records")))
 
     qs = entrymod.queries()
     for name in ("lineitem_agg", "orders_by_segment", "window_spread_5s",
-                 "running_peak", "fuzzy_blocked_join", "exact_dup_groups"):
+                 "running_peak", "fuzzy_blocked_join", "exact_dedup",
+                 "minhash_lsh", "simhash_fingerprints", "cosine_topk",
+                 "ema_final", "sessionize", "quality_scores",
+                 "content_fingerprint"):
         timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)

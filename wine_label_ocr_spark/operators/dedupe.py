@@ -67,30 +67,47 @@ def shingles(text: Column, k: int = 3) -> Column:
     ))).otherwise(F.array(F.array_join(toks, " ")))
 
 
+_LONG_MAX = 9223372036854775807
+
+
 def minhash_signature(sh: Column, n_perm: int = 32,
                       oracle_safe: bool = False) -> Column:
-    """array<bigint> of length n_perm: min over shingles per hash seed."""
-    def perm_hash(p: int):
-        def f(s):
-            return _hash64(s, p, oracle_safe)
-        return f
+    """array<bigint> of length n_perm: min over shingles per hash seed.
 
-    return F.array(*[
-        F.array_min(F.transform(sh, perm_hash(p)))
-        for p in range(n_perm)
-    ])
+    Evaluation shape matters here: the naive "n_perm transforms over the
+    shingle array" recomputes the (inlined) shingle expression once per
+    permutation after CollapseProject — measured 8× slower. This form
+    folds ONCE over the shingles, minimizing element-wise against an
+    n_perm-wide accumulator; the shingle expression is referenced exactly
+    once. Same values, one pass.
+    """
+    def hashes(s: Column) -> Column:
+        # s is a lambda variable — already computed, cheap to reference
+        return F.array(*[_hash64(s, p, oracle_safe) for p in range(n_perm)])
+
+    return F.aggregate(
+        sh,
+        F.array_repeat(F.lit(_LONG_MAX).cast("long"), n_perm),
+        lambda acc, s: F.zip_with(acc, hashes(s), lambda x, y: F.least(x, y)))
 
 
 def lsh_bands(sig: Column, n_bands: int, rows_per_band: int) -> Column:
-    """array<struct<band:int, band_hash:string>> — md5 over each band slice."""
-    return F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.array_join(
-                F.transform(F.slice(sig, b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string")), ",")).alias("band_hash"))
-        for b in range(n_bands)
-    ])
+    """array<struct<band:int, band_hash:string>> — md5 over each band slice.
+
+    ``sig`` is let-bound so the signature evaluates once, not per band.
+    """
+    from ..functions import let
+
+    def bands_of(s: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band"),
+                F.md5(F.array_join(
+                    F.transform(F.slice(s, b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string")), ",")).alias("band_hash")))
+
+    return let(sig, bands_of)
 
 
 def jaccard(sh_a: Column, sh_b: Column) -> Column:
@@ -117,12 +134,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     base = df.select(
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), k).alias("_sh"))
-    sig = base.select(
-        "_id", "_sh",
+    # Bands carry ONLY (id, band, band_hash) through the shuffle — the wide
+    # shingle arrays stay out of the explode/join and come back by id only
+    # for the pairs that survive bucketing (a ~n_bands× shuffle-volume cut).
+    buck = base.select(
+        "_id",
         F.explode(lsh_bands(minhash_signature(F.col("_sh"), n_perm, oracle_safe),
-                            n_bands, rows_per_band)).alias("_b"))
-    buck = sig.select("_id", "_sh", F.col("_b.band").alias("band"),
-                      F.col("_b.band_hash").alias("band_hash"))
+                            n_bands, rows_per_band)).alias("_b"),
+    ).select("_id", F.col("_b.band").alias("band"),
+             F.col("_b.band_hash").alias("band_hash"))
     sized = buck.withColumn(
         "_bn", F.count("*").over(W.partitionBy("band", "band_hash")))
     buck = sized.filter(F.col("_bn") <= max_bucket).drop("_bn")
@@ -131,13 +151,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.band_hash") == F.col("b.band_hash"))
                     & (F.col("a._id") < F.col("b._id")))
-             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
-                     F.col("a._sh").alias("sh_a"), F.col("b._sh").alias("sh_b"))
+             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
              .dropDuplicates(["id_a", "id_b"]))
-    return (pairs
+    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    return (pairs.join(sh_a, "id_a").join(sh_b, "id_b")
             .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
             .filter(F.col("jaccard") >= min_jaccard)
-            .drop("sh_a", "sh_b"))
+            .select("id_a", "id_b", "jaccard"))
 
 
 def simhash64(text: Column, oracle_safe: bool = False) -> Column:
@@ -147,27 +168,36 @@ def simhash64(text: Column, oracle_safe: bool = False) -> Column:
     simhash bit j = 1 iff sum_j > 0. Expressed as one ``aggregate`` with a
     ``zip_with`` accumulator — all codegen, no shuffle, no Python.
     """
-    import functools
+    from ..functions import let
 
     toks = tokens_col(text)
+    # hash each token ONCE (transform), then fan out to 64 bits from the
+    # lambda variable — referencing a lambda var is free, re-evaluating an
+    # inlined hash expression 64× is not (see functions.let docstring)
+    hashes = F.transform(toks, lambda t: _hash64(t, 0, oracle_safe))
 
-    def tok_bits(t: Column) -> Column:
+    def bits_of(h: Column) -> Column:
         # shift amounts must be python ints → unroll the 64 bits
-        h = _hash64(t, 0, oracle_safe)
         return F.array(*[
             (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
             for j in range(64)])
 
     counts = F.aggregate(
-        toks,
+        hashes,
         F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, t: F.zip_with(acc, tok_bits(t), lambda x, y: x + y))
+        lambda acc, h: F.zip_with(acc, bits_of(h), lambda x, y: x + y))
     bit_vals = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
-    return functools.reduce(
-        lambda a, b: a.bitwiseOR(b),
-        [F.when(F.get(counts, j) > 0, F.lit(v).cast("long"))
-         .otherwise(F.lit(0).cast("long"))
-         for j, v in enumerate(bit_vals)])
+    pow2 = F.array(*[F.lit(v).cast("long") for v in bit_vals])
+
+    def fold(c: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(c, pow2,
+                       lambda cnt, v: F.when(cnt > 0, v)
+                       .otherwise(F.lit(0).cast("long"))),
+            F.lit(0).cast("long"),
+            lambda a, b: a.bitwiseOR(b))
+
+    return let(counts, fold)
 
 
 def hamming64(a: Column, b: Column) -> Column:
