@@ -340,6 +340,21 @@ def q_dedup_decisions(spark, sf):  # J2/J3 fuzzy ingest decisions (rows-only)
         "custom_id", "decision", "matched_key", F.round("match_score", 2).alias("match_score"))
 
 
+def q_salted_agg(spark, sf):  # skew: salted two-phase agg ≡ direct groupBy
+    from wine_label_ocr_spark.plans.skew import salted_agg
+    li = _t(spark, sf, "lineitem").withColumn(
+        "salt_src", F.concat_ws(":", F.col("l_orderkey").cast("string"),
+                                F.col("l_linenumber").cast("string")))
+    out = salted_agg(
+        li, "l_returnflag",
+        {"n_rows": ("count", F.lit(1)),
+         "sum_qty": ("sum", F.col("l_quantity").cast("bigint")),
+         "max_price_cents": ("max", F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))},
+        url="salt_src")
+    return out.select(F.col("_key").alias("l_returnflag"),
+                      "n_rows", "sum_qty", "max_price_cents")
+
+
 def q_ema_final(spark, sf):  # W4/ST3 — recursive EMA per key (final value)
     from wine_label_ocr_spark.streaming.state import ema_phase_batch
     e = _t(spark, sf, "events")
@@ -403,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ema_final": q_ema_final,
         "sessionize": q_sessionize,
         "phase_trace": q_phase_trace,
+        "salted_agg": q_salted_agg,
     }
 
 
@@ -671,5 +687,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(user_id AS BIGINT) AS user_id, session_seq,
                    COUNT(*) AS n_events
             FROM s GROUP BY user_id, session_seq
+        """,
+        "salted_agg": """
+            -- the oracle is the DIRECT group-by: proves the salted
+            -- two-phase plan is semantically identical
+            SELECT l_returnflag,
+                   COUNT(*) AS n_rows,
+                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   MAX(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS max_price_cents
+            FROM lineitem GROUP BY l_returnflag
         """,
     }
