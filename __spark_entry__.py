@@ -340,6 +340,69 @@ def q_dedup_decisions(spark, sf):  # J2/J3 fuzzy ingest decisions (rows-only)
         "custom_id", "decision", "matched_key", F.round("match_score", 2).alias("match_score"))
 
 
+def q_best_variant(spark, sf):  # E2/D7 — explode variant dim, max_by pick
+    """The reference OCRs several preprocessed variants and keeps the best
+    by score (final_run_ocr.py:144-151; align_vertically hybrid.py:148-170).
+    Spark shape: explode a small variant dimension, argmax per document."""
+    d = _t(spark, sf, "documents")
+    variants = F.array(
+        F.struct(F.lit("raw").alias("name"), F.col("text").alias("v")),
+        F.struct(F.lit("lower").alias("name"), F.lower("text").alias("v")),
+        F.struct(F.lit("nospace").alias("name"),
+                 F.regexp_replace("text", " ", "").alias("v")))
+    ex = d.select("doc_id", F.explode(variants).alias("var"))
+    scored = ex.select(
+        "doc_id", F.col("var.name").alias("name"),
+        F.length(F.regexp_replace("var.v", "[^a-z]", "")).alias("score"))
+    return (scored.groupBy(F.col("doc_id").cast("bigint").alias("doc_id"))
+            .agg(F.max_by("name", F.struct("score", "name")).alias("best_variant"),
+                 F.max("score").alias("best_score")))
+
+
+def q_vintage_fallback_grid(spark, sf):  # E5/W3 — priority grid, first hit wins
+    """The reference's biggest plan: 5 preprocess × 5 regions × 3 rotations,
+    first hit by priority (final_run_ocr.py:187-297). Restated: explode a
+    (priority, probe) grid, keep the first in-range hit per doc by rank."""
+    d = _t(spark, sf, "documents")
+    probes = F.array(
+        F.struct(F.lit(1).alias("prio"),
+                 F.substring("text", 1, 40).alias("probe")),
+        F.struct(F.lit(2).alias("prio"),
+                 F.concat(F.lit("alt "), F.substring("text", 20, 40)).alias("probe")),
+        F.struct(F.lit(3).alias("prio"),
+                 F.concat(F.lit("fallback vintage "),
+                          (F.lit(1900) + F.col("doc_id") % 120).cast("string")).alias("probe")))
+    ex = d.select("doc_id", F.explode(probes).alias("p"))
+    hit = ex.select(
+        "doc_id", F.col("p.prio").alias("prio"),
+        F.nullif(F.regexp_extract("p.probe", r"((?:19|20)[0-9]{2})", 1), F.lit(""))
+        .cast("int").alias("year"))
+    hit = hit.filter(F.col("year").isNotNull()
+                     & (F.col("year") >= 1900) & (F.col("year") <= 2030))
+    w = W.partitionBy("doc_id").orderBy("prio")
+    return (hit.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "prio", F.col("year").alias("vintage")))
+
+
+def q_median_by_type(spark, sf):  # A2 — exact median (BlobSimilarity.py:50,99)
+    e = _t(spark, sf, "events")
+    return (e.groupBy("event_type")
+            .agg(F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def q_union_names(spark, sf):  # U1 — union of candidate buckets
+    c = _t(spark, sf, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("src"))
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("src"))
+    return (c.unionByName(s).groupBy("src")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("name").alias("first_name")))
+
+
 def q_salted_agg(spark, sf):  # skew: salted two-phase agg ≡ direct groupBy
     from wine_label_ocr_spark.plans.skew import salted_agg
     li = _t(spark, sf, "lineitem").withColumn(
@@ -419,6 +482,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "phase_trace": q_phase_trace,
         "salted_agg": q_salted_agg,
+        "best_variant": q_best_variant,
+        "vintage_fallback_grid": q_vintage_fallback_grid,
+        "median_by_type": q_median_by_type,
+        "union_names": q_union_names,
     }
 
 
@@ -696,5 +763,52 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
                    MAX(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS max_price_cents
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "best_variant": """
+            WITH ex AS (
+              SELECT doc_id, v.name AS name,
+                     length(regexp_replace(v.v, '[^a-z]', '', 'g')) AS score
+              FROM documents,
+                   unnest([{'name': 'raw', 'v': text},
+                           {'name': 'lower', 'v': lower(text)},
+                           {'name': 'nospace', 'v': replace(text, ' ', '')}]) AS t(v))
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   name AS best_variant,
+                   max_score AS best_score
+            FROM (SELECT doc_id, name, MAX(score) OVER (PARTITION BY doc_id) AS max_score,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, name DESC) AS rn
+                  FROM ex)
+            WHERE rn = 1
+        """,
+        "vintage_fallback_grid": """
+            WITH ex AS (
+              SELECT doc_id, p.prio AS prio,
+                     CAST(NULLIF(regexp_extract(p.probe, '((?:19|20)[0-9]{2})', 1), '') AS INT) AS year
+              FROM documents,
+                   unnest([{'prio': 1, 'probe': substr(text, 1, 40)},
+                           {'prio': 2, 'probe': concat('alt ', substr(text, 20, 40))},
+                           {'prio': 3, 'probe': concat('fallback vintage ',
+                                CAST(1900 + doc_id % 120 AS VARCHAR))}]) AS t(p)),
+            hit AS (SELECT * FROM ex
+                    WHERE year IS NOT NULL AND year BETWEEN 1900 AND 2030)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, prio, year AS vintage
+            FROM (SELECT doc_id, prio, year,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY prio) AS rn
+                  FROM hit)
+            WHERE rn = 1
+        """,
+        "median_by_type": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.5), 6) AS median_value,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "union_names": """
+            SELECT src, COUNT(*) AS n, MIN(name) AS first_name
+            FROM (SELECT c_name AS name, 'customer' AS src FROM customer
+                  UNION ALL
+                  SELECT s_name AS name, 'supplier' AS src FROM supplier)
+            GROUP BY src
         """,
     }

@@ -1,0 +1,86 @@
+"""Physical-plan quality gates — the properties that matter at 100 TB.
+
+These tests pin the plan shapes (.explain) rather than just results:
+filter pushdown into the parquet scan, column pruning, broadcast joins
+for small dims, no shuffle in the extract path, whole-stage codegen over
+the native expression pipeline.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    df = E.q_lineitem_agg(spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = E.q_token_counts(spark, SF)
+    plan = plan_of(df)
+    # the scan must read only (text, lang) — not doc_id/source/n_chars
+    assert "ReadSchema" in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read and "lang" in read
+    assert "n_chars" not in read and "source" not in read, read
+
+
+def test_small_dim_join_is_broadcast(spark):
+    plan = plan_of(E.q_orders_by_segment(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_semi_and_anti_joins(spark):
+    assert "LeftSemi" in plan_of(E.q_customers_with_orders(spark, SF))
+    assert "LeftAnti" in plan_of(E.q_customers_without_orders(spark, SF))
+
+
+def test_extract_path_is_pure_map(spark):
+    from wine_label_ocr_spark.fixtures import pages_spark
+    from wine_label_ocr_spark.plans.pipeline import extract_records
+    plan = plan_of(extract_records(pages_spark(spark, 10, partitions=2)))
+    assert "Exchange" not in plan, plan
+    # stage-2 native extraction runs inside whole-stage codegen
+    # (toString renders codegen stages as "*(n) " prefixes)
+    assert "*(" in plan, plan
+
+
+def test_native_ops_are_codegen(spark):
+    plan = plan_of(E.q_quality_scores(spark, SF))
+    assert "*(" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, \
+        "textops must stay JVM-side"
+
+
+def test_minhash_shuffles_narrow_rows(spark):
+    """The LSH band shuffle must NOT carry the shingle arrays — only
+    (id, band, band_hash) cross the exchange (commit 0beeb1a design)."""
+    from wine_label_ocr_spark.operators.dedupe import minhash_lsh_pairs
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(minhash_lsh_pairs(d, n_perm=8, n_bands=2, oracle_safe=False))
+    # find hashpartitioning exchanges over band/band_hash and check the
+    # projected columns just below do not include the shingle array
+    assert "hashpartitioning" in plan
+    for chunk in plan.split("Exchange hashpartitioning")[1:]:
+        header = chunk.splitlines()[0]
+        if "band_hash" in header:
+            assert "_sh" not in header, header
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    from pyspark.sql import functions as F
+    from wine_label_ocr_spark.operators.ann import cosine_topk
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.limit(3).select(F.col("vec_id").alias("q_id"), "embedding")
+    plan = plan_of(cosine_topk(q, e, k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
