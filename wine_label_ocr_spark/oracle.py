@@ -222,9 +222,10 @@ def lex_blocks(decoded: str) -> list[dict[str, Any]]:
             elif segs:
                 segs.append((pre, link_depth > 0))
         pos = m.end()
-        if m.group(2) is None:
+        g1, g2, _g3, g4 = m.groups()
+        if g2 is None:
             continue  # comment / doctype / CDATA
-        closing, tag, selfclosed = m.group(1) == "/", m.group(2).lower(), m.group(4) == "/"
+        closing, tag, selfclosed = g1 == "/", g2.lower(), g4 == "/"
         if tag in SKIP_CONTAINERS:
             if selfclosed:
                 pass
@@ -268,12 +269,24 @@ def score_block(n_chars: int, link_density: float, text_density: float) -> float
     )
 
 
+# deletion table for counting [A-Za-z0-9] without allocating a match list;
+# len(text) - len(text.translate(...)) == len(_ALNUM_RE.findall(text))
+_ALNUM_DELETE = {ord(c): None for c in
+                 "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"}
+
+
 def _features(b: dict[str, Any]) -> tuple[float, float]:
-    """(link_density, text_density) for a raw block."""
+    """(link_density, text_density) for a raw block (memoized per block)."""
+    cached = b.get("_feat")
+    if cached is not None:
+        return cached
     n = max(b["n_chars"], 1)
     link_density = min(b["link_chars"] / n, 1.0)
-    text_density = len(_ALNUM_RE.findall(b["text"])) / n
-    return link_density, text_density
+    text = b["text"]
+    n_alnum = len(text) - len(text.translate(_ALNUM_DELETE))
+    text_density = n_alnum / n
+    b["_feat"] = (link_density, text_density)
+    return b["_feat"]
 
 
 def keep_block(b: dict[str, Any]) -> bool:
