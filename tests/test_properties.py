@@ -1,0 +1,67 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5.4.
+
+Pure-Python properties of the frozen kernels; no Spark session needed.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from wine_label_ocr_spark import oracle
+from wine_label_ocr_spark.operators import similarity as S
+
+text_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    max_size=120)
+
+
+@given(text_st)
+@settings(max_examples=200, deadline=None)
+def test_normalize_maker_idempotent(s):
+    once = oracle.normalize_maker(s)
+    assert oracle.normalize_maker(once) == once
+
+
+@given(text_st, text_st)
+@settings(max_examples=200, deadline=None)
+def test_similarity_symmetric_and_bounded(a, b):
+    x = S.strings_similar_score(a, b)
+    assert x == S.strings_similar_score(b, a)
+    assert 0.0 <= x <= 100.0
+
+
+@given(text_st)
+@settings(max_examples=100, deadline=None)
+def test_similarity_reflexive_after_normalization(s):
+    if S.normalize_for_match(s):
+        assert S.strings_similar_score(s, s) == 100.0
+
+
+@given(st.lists(st.tuples(st.integers(0, 10_000), st.integers(1, 500),
+                          st.floats(0, 1, allow_nan=False),
+                          st.floats(0, 1, allow_nan=False)),
+                min_size=0, max_size=12))
+@settings(max_examples=100, deadline=None)
+def test_fingerprint_order_invariant(items):
+    spans = [{"start": a, "end": a + ln, "cx": c, "cy": d,
+              "area": float(ln), "aspect_ratio": 4.2,
+              "solidity": c, "extent": d} for a, ln, c, d in items]
+    f1 = oracle.fingerprint_spans(spans)
+    f2 = oracle.fingerprint_spans(list(reversed(spans)))
+    assert f1 == f2
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=150, deadline=None)
+def test_extract_total_on_arbitrary_bytes(payload):
+    # ST8 analog: tolerant parsing must never raise on any payload
+    r = oracle.extract(payload, "u")
+    assert isinstance(r["text"], str)
+    assert r["fingerprint"] == "empty" or len(r["fingerprint"]) == 16
+
+
+@given(text_st)
+@settings(max_examples=150, deadline=None)
+def test_year_extraction_in_range(s):
+    y = oracle.extract_year(s)
+    assert y is None or 1900 <= y <= 2030

@@ -98,6 +98,11 @@ def normalize_for_match_udf(col):
 def _ratio(a: str, b: str) -> float:
     if not a and not b:
         return 100.0
+    # SequenceMatcher.ratio() is order-dependent (found by the hypothesis
+    # symmetry property, SURVEY.md §5.4) — canonicalize argument order so
+    # sim(a,b) == sim(b,a) holds by construction.
+    if a > b:
+        a, b = b, a
     return SequenceMatcher(None, a, b).ratio() * 100.0
 
 

@@ -311,13 +311,17 @@ def fingerprint_spans(spans: list[dict[str, Any]]) -> str:
     if not spans:
         return "empty"
     parts = []
-    for s in sorted(spans, key=lambda x: (x["start"], x["end"])):
-        parts.append(
+    for s in spans:
+        parts.append((
+            s["start"], s["end"],
             "%.4f,%.4f,%.3f,%.3f,%.3f,%.3f"
             % (s["cx"], s["cy"], s["area"], s["aspect_ratio"],
-               s["solidity"], s["extent"])
-        )
-    return hashlib.md5(";".join(parts).encode("utf-8")).hexdigest()[:16]
+               s["solidity"], s["extent"])))
+    # sort includes the formatted features so ties on (start, end) are
+    # still order-canonical (hypothesis-found; pipeline spans have unique
+    # starts, so their fingerprints are unchanged)
+    parts.sort()
+    return hashlib.md5(";".join(p[2] for p in parts).encode("utf-8")).hexdigest()[:16]
 
 
 def rec_id(key: str) -> str:
