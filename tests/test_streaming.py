@@ -106,3 +106,40 @@ def test_sessionize(spark):
     df = spark.createDataFrame(rows, "user_id bigint, event_id bigint, ts timestamp, value double")
     out = {r["event_id"]: r["session_seq"] for r in ST.sessionize(df, gap_sec=60).collect()}
     assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """ST2/ST8: an event arriving after its window has been finalized
+    (watermark passed the window end in an earlier batch) is dropped and
+    the window is emitted exactly once.
+
+    Note the eviction semantics found empirically: a late row landing in
+    the SAME batch where the watermark first crosses the window end is
+    still merged (merge happens before eviction) — so a spacer batch
+    separates finalization from the late arrival here.
+    """
+    t0 = datetime(2024, 1, 1)
+    schema = "user_id bigint, event_id bigint, ts timestamp, value double"
+    f1 = [(1, 0, t0, 1.0), (1, 1, t0 + timedelta(seconds=2), 5.0),
+          (1, 2, t0 + timedelta(seconds=100), 9.0)]
+    f2 = [(1, 3, t0 + timedelta(seconds=101), 2.0)]   # spacer: finalizes [0,5)
+    f3 = [(1, 4, t0 + timedelta(seconds=2), 100.0),   # LATE: watermark is 91s
+          (1, 5, t0 + timedelta(seconds=102), 3.0)]
+    src = str(tmp_path / "src")
+    for i, b in enumerate([f1, f2, f3], 1):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(src + f"/f={i}")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/f=*"))
+    q = (ST.windowed_counts_stream(stream)
+         .writeStream.format("memory").queryName("wm")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from wm").collect()
+    emitted = [(r["window"]["start"].second, r["n"], r["spread"]) for r in rows]
+    # [0,5) emitted once with the two on-time events; the late value=100.0
+    # never appears (it would make spread 99.0 or re-emit the window)
+    assert emitted.count((0, 2, 4.0)) == 1, emitted
+    assert not any(r["spread"] == 99.0 for r in rows)

@@ -141,6 +141,24 @@ def ema_phase_stream(events_stream: DataFrame) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def windowed_counts_stream(events_stream: DataFrame,
+                           watermark: str = "10 seconds",
+                           window: str = "5 seconds") -> DataFrame:
+    """ST2/ST8 — event-time sliding stats with late-data handling.
+
+    The reference's 5 s ring buffer with eviction
+    (Char_Count_TurnTable.py:82-94) + stale-frame drops
+    (QRCodeScanner.py:77-78) restated as the canonical Structured
+    Streaming form: watermark bounds state and drops events later than
+    the watermark; windows finalize and emit once complete (append mode).
+    """
+    return (events_stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window), F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.max("value") - F.min("value"), 6).alias("spread")))
+
+
 def sessionize(events: DataFrame, gap_sec: float = 60.0) -> DataFrame:
     """ST6 — session boundaries from inactivity gaps (batch analog of the
     absent-debounce session counter, Char_Count_TurnTable.py:141-185).
