@@ -232,6 +232,21 @@ def q_extract_fields_pipeline(spark, sf):
         "text")
 
 
+def q_extract_pdf_pipeline(spark, sf):
+    """PDF layout-parse branch under the correctness gate: documents
+    rendered as PDF payloads → same span schema → byte-identical text."""
+    from wine_label_ocr_spark.fixtures import documents_as_pdf_pages
+    from wine_label_ocr_spark.operators.extraction import extract_fields
+    from wine_label_ocr_spark.operators.segmentation import segment
+
+    rec = extract_fields(segment(documents_as_pdf_pages(spark, sf)))
+    return rec.select(
+        F.regexp_extract("url", r"/doc/(\d+)", 1).cast("bigint").alias("doc_id"),
+        F.col("method").alias("method"),
+        "maker_name",
+        "text")
+
+
 def q_bpe_token_counts(spark, sf):  # textops: BPE-ish tokenizer
     from wine_label_ocr_spark.operators.textops import bpe_ish_token_count
     d = _t(spark, sf, "documents")
@@ -466,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_strip": q_stopword_strip,
         "fuzzy_blocked_join": q_fuzzy_blocked_join,
         "extract_fields_pipeline": q_extract_fields_pipeline,
+        "extract_pdf_pipeline": q_extract_pdf_pipeline,
         "bpe_token_counts": q_bpe_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -652,6 +668,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1900 + doc_id % 131 AS INT) AS vintage,
                    concat(UPPER(source), ' DOC ', CAST(doc_id AS VARCHAR), '|',
                           CAST(1900 + doc_id % 131 AS VARCHAR)) AS custom_id,
+                   text
+            FROM documents
+        """,
+        "extract_pdf_pipeline": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   'pdf' AS method,
+                   concat('PDF DOC ', CAST(doc_id AS VARCHAR)) AS maker_name,
                    text
             FROM documents
         """,

@@ -1,0 +1,124 @@
+"""End-to-end WineTracker.run() analog (SURVEY.md §3.1).
+
+The reference captures the same bottle twice and compares the two records
+(isBlobDataSimilar / isVintageSimilar / isMakerNameSimilar,
+WineTracker.py:74-89). Here: render the same underlying document as two
+different pages (different host/boilerplate, same main content), run the
+full extraction pipeline on both, then apply the similarity suite — the
+two records must be recognized as the same document, and unrelated pairs
+must not.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wine_label_ocr_spark import oracle
+from wine_label_ocr_spark.fixtures import make_page
+from wine_label_ocr_spark.operators import similarity as S
+from wine_label_ocr_spark.operators.extraction import extract_fields
+from wine_label_ocr_spark.operators.segmentation import segment
+from wine_label_ocr_spark.sources.table import ManifestTable
+
+
+def _two_views(i: int):
+    """The same document body behind two different wrappers."""
+    import html as _h
+    p = make_page(i)
+    if p["kind"] != "html":
+        p = make_page(i + 1000)
+    paras = p["text"].split("\n\n")
+    body = "".join(f"<p>{_h.escape(x)}</p>" for x in paras)
+    other = (
+        f'<!DOCTYPE html><html><head><meta charset="utf-8">'
+        f"<title>{_h.escape(p['title'])}</title></head>"
+        f"<body><header><nav><ul><li><a href='/'>Home page link</a></li>"
+        f"<li><a href='/shop'>Shop here now</a></li></ul></nav></header>"
+        f"<main><article>{body}</article></main>"
+        f"<footer><p>{'© ' + str(p['year']) + ' ' if p['year'] else ''}"
+        f"other-mirror.example.net — all rights reserved forever.</p>"
+        f"</footer></body></html>"
+    ).encode()
+    return p, other
+
+
+def _pick_indices(n: int = 2, want_year: bool = True) -> list[int]:
+    out = []
+    i = 0
+    while len(out) < n:
+        p = make_page(i)
+        if p["kind"] == "html" and (p["year"] is not None) == want_year:
+            out.append(i)
+        i += 1
+    return out
+
+
+@pytest.fixture(scope="module")
+def records(spark):
+    rows = []
+    # two year-bearing docs + one no-year doc (exercises the null path)
+    for i in (*_pick_indices(2, want_year=True),
+              *_pick_indices(1, want_year=False)):
+        p, other = _two_views(i)
+        rows.append((p["url"], p["warc_ts"], p["html"], None, p["lang"]))
+        rows.append((p["url"].replace("https://", "https://mirror-") + "#v2",
+                     p["warc_ts"], other, None, p["lang"]))
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string")
+    return extract_fields(segment(df)).cache()
+
+
+def test_pair_verdicts(spark, records):
+    rec = records.select("url", "maker_name", "vintage", "custom_id",
+                         "fingerprint", "spans")
+    a = rec.filter(~F.col("url").startswith("https://mirror-")).alias("a")
+    b = rec.filter(F.col("url").startswith("https://mirror-")).alias("b")
+    pairs = a.join(b, F.col("b.url").contains(
+        F.regexp_extract(F.col("a.url"), r"/p/(\d+)\.html", 1)))
+    scored = pairs.select(
+        F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"),
+        F.col("a.vintage").alias("v_a"), F.col("b.vintage").alias("v_b"),
+        S.vintage_similar(F.col("a.vintage"), F.col("b.vintage")).alias("vintage_ok"),
+        S.fuzzy_score_udf(F.col("a.maker_name"), F.col("b.maker_name")).alias("maker_score"),
+    ).collect()
+    assert len(scored) == 3
+    for r in scored:
+        assert r["maker_score"] >= S.FUZZY_THRESHOLD   # isMakerNameSimilar
+        # isVintageSimilar is null-rejecting (VintageSimilarity.py:12-17):
+        # true iff both present and equal; the no-year page pair is False
+        assert r["vintage_ok"] == (r["v_a"] is not None and r["v_a"] == r["v_b"])
+
+    # isBlobDataSimilar: span layouts of the two views must match
+    sa = a.select(F.col("a.url").alias("url"), F.col("a.spans").alias("spans"))
+    sb = b.select(F.col("b.url").alias("url"), F.col("b.spans").alias("spans"))
+    sim = S.span_similarity_join(sa, sb, dedup_pairs=False).collect()
+    same = [r for r in sim
+            if r["url_b"].split("/p/")[-1].split(".html")[0]
+            == r["url_a"].split("/p/")[-1].split(".html")[0]]
+    assert len(same) == 3
+    for r in same:
+        assert r["score"] >= S.DECISION_THRESHOLD, r
+    diff = [r for r in sim if r not in same]
+    assert all(r["score"] <= 1.0 for r in diff)
+
+
+def test_dedup_ingest_round_trip(spark, records, tmp_path):
+    """scan_and_store.main() analog: first view ingests, second view is
+    recognized (exact or fuzzy) and NOT re-inserted."""
+    t = ManifestTable(str(tmp_path / "cellar"))
+    keyed = records.filter(F.col("custom_id").isNotNull())  # P8 empty-key guard
+    first = keyed.filter(~F.col("url").startswith("https://mirror-")) \
+        .select("custom_id", "maker_name", "vintage", "url")
+    t.append(first)
+    n_store = t.read(spark).count()
+    second = keyed.filter(F.col("url").startswith("https://mirror-")) \
+        .select("custom_id", "maker_name", "vintage", "url")
+    dec = S.fuzzy_match_decisions(second, t.read(spark))
+    for r in dec.collect():
+        assert r["decision"] in ("seen-exact", "seen-fuzzy"), r
+    # J11: anti-join insert adds nothing for seen records
+    seen_keys = [r["custom_id"] for r in dec.filter(
+        F.col("decision") != "not seen").collect()]
+    t.merge_insert(spark, second.filter(F.col("custom_id").isin(seen_keys)), "custom_id")
+    assert t.read(spark).count() == n_store

@@ -226,6 +226,33 @@ def documents_as_pages(spark, sf_dir: str):
         gen, schema=PAGES_DDL)
 
 
+def documents_as_pdf_pages(spark, sf_dir: str):
+    """documents.parquet → PDF-payload pages (layout-parse branch).
+
+    Each document's text becomes one uncompressed PDF text-show operator;
+    the pipeline must route it via the ``%PDF-`` magic to the layout
+    parser and recover ``text`` byte-identically.
+    """
+    def gen(batches):
+        import pandas as pd
+        rows = []
+        for pdf in batches:
+            for d, t, l in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+                rows.append({
+                    "url": f"https://pdf.example.com/doc/{int(d):09d}.pdf",
+                    "warc_ts": EPOCH + timedelta(seconds=(int(d) * 61) % 31_536_000),
+                    "html": _make_pdf([t], f"PDF DOC {int(d)}"),
+                    "text": t,
+                    "lang": l,
+                })
+            out = pd.DataFrame(rows)
+            rows = []
+            yield out[["url", "warc_ts", "html", "text", "lang"]]
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", "text", "lang").mapInPandas(gen, schema=PAGES_DDL)
+
+
 def pages_pandas(n: int, offset: int = 0):
     """Small-scale generation → pandas DataFrame (tests)."""
     import pandas as pd

@@ -314,7 +314,8 @@ SPAN_PAIR_RESULT_DDL = ("pair_id bigint, url_a string, url_b string, "
 
 def span_similarity_join(a: DataFrame, b: DataFrame,
                          threshold: float = DECISION_THRESHOLD,
-                         pair_cond: Column | None = None) -> DataFrame:
+                         pair_cond: Column | None = None,
+                         dedup_pairs: bool = True) -> DataFrame:
     """Pairwise span-layout similarity as a grouped custom operator.
 
     ``a``/``b``: DataFrames with (url, spans). Pairs are formed by
@@ -325,9 +326,11 @@ def span_similarity_join(a: DataFrame, b: DataFrame,
     fa = a.select(F.col("url").alias("url_a"), F.col("spans").alias("spans_a"))
     fb = b.select(F.col("url").alias("url_b"), F.col("spans").alias("spans_b"))
     cond = pair_cond if pair_cond is not None else (F.lit(True))
-    pairs = (fa.join(fb, cond)
-             .filter(F.col("url_a") < F.col("url_b"))
-             .withColumn("pair_id", F.xxhash64("url_a", "url_b")))
+    pairs = fa.join(fb, cond)
+    if dedup_pairs:
+        # self-join symmetry guard; disable for two-distinct-frame joins
+        pairs = pairs.filter(F.col("url_a") < F.col("url_b"))
+    pairs = pairs.withColumn("pair_id", F.xxhash64("url_a", "url_b"))
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
