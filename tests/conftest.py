@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 
 
@@ -7,7 +9,9 @@ import pytest
 def spark():
     from wine_label_ocr_spark.session import get_spark
 
-    s = get_spark(app="tests", master="local[4]", shuffle_partitions=4)
+    wh = tempfile.mkdtemp(prefix="wlos_wh_")
+    s = get_spark(app="tests", master="local[4]", shuffle_partitions=4,
+                  extra_conf={"spark.sql.warehouse.dir": wh})
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()

@@ -76,3 +76,16 @@ def test_pages_schema_matches_input_hint(spark):
         "url:string", "warc_ts:timestamp", "html:binary",
         "text:string", "lang:string"]
     assert PAGES_DDL.startswith("url string")
+
+
+def test_raw_candidate_buckets(records):
+    """FIXTURES.md §2 `raw` column — MAP<bucket, ARRAY<STRUCT<text,conf>>>,
+    the ocr_raw analog (final_run_ocr.py:325-340)."""
+    row = records.filter("vintage is not null and blob_data.blob_count > 0").first()
+    raw = row["raw"]
+    assert set(raw.keys()) == {"title", "year_candidates", "blocks"}
+    assert raw["title"][0]["conf"] == 1.0
+    assert any(c["text"] == str(row["vintage"]) for c in raw["year_candidates"]) \
+        or raw["year_candidates"] == []  # year may come from the raw_text fallback
+    assert all(0.0 <= b["conf"] <= 1.1 for b in raw["blocks"])
+    assert row["text"].startswith(raw["blocks"][0]["text"][:10])

@@ -113,12 +113,37 @@ def extract_fields(seg: DataFrame) -> DataFrame:
             F.col("spans").alias("spans"),
         ),
     )
+    # `raw` candidate buckets — the ocr_raw analog (final_run_ocr.py:325-340,
+    # persisted in cellar.jsonl): MAP<bucket, ARRAY<STRUCT<text, conf>>>.
+    # Buckets: the raw title candidate, every in-range year candidate (conf =
+    # pattern priority, 1.0 primary / 0.5 fallback), and the top block texts
+    # scored by the block scorer.
+    year_cands = F.filter(
+        F.transform(
+            F.regexp_extract_all("text", F.lit(YEAR_PATTERNS[1]), 1),
+            lambda x: F.struct(x.alias("text"), F.lit(1.0).alias("conf"))),
+        lambda s: (s["text"].cast("int") >= YEAR_MIN)
+        & (s["text"].cast("int") <= YEAR_MAX))
+    block_cands = F.transform(
+        F.slice(F.col("spans"), 1, 3),
+        lambda s: F.struct(
+            F.substring("text", s["start"] + 1, F.lit(40)).alias("text"),
+            s["score"].alias("conf")))
+    out = out.withColumn(
+        "raw",
+        F.create_map(
+            F.lit("title"),
+            F.array(F.struct(F.coalesce(F.col("title_raw"), F.lit(""))
+                             .alias("text"), F.lit(1.0).alias("conf"))),
+            F.lit("year_candidates"), year_cands,
+            F.lit("blocks"), block_cands,
+        ))
     return out.drop("raw_text", "head_raw")
 
 
 RECORD_COLUMNS = ["url", "warc_ts", "custom_id", "maker_name", "vintage",
                   "barcode", "fingerprint", "rec_id", "text", "lang",
-                  "blob_data"]
+                  "blob_data", "raw"]
 
 
 def to_records(extracted: DataFrame) -> DataFrame:

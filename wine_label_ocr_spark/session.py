@@ -8,7 +8,8 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "wine_label_ocr_spark", master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build the engine's session.
 
     Local mode here stands in for a multi-executor cluster; every setting
@@ -23,7 +24,7 @@ def get_spark(app: str = "wine_label_ocr_spark", master: str | None = None,
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     n_shuffle = shuffle_partitions or int(cpus) if cpus.isdigit() else 32
-    return (
+    builder = (
         SparkSession.builder
         .master(master)
         .appName(app)
@@ -36,5 +37,7 @@ def get_spark(app: str = "wine_label_ocr_spark", master: str | None = None,
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .getOrCreate()
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
