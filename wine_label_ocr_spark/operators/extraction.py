@@ -77,18 +77,14 @@ def barcode_col(head_raw: Column) -> Column:
 def extract_fields(seg: DataFrame) -> DataFrame:
     """Segmented pages → typed record columns (E6 dispatch analog).
 
-    Adds ``maker_name, vintage, custom_id, rec_id, barcode, blob_data`` and
-    drops the wide ``raw_text``/``head_raw`` intermediates so downstream
-    plans never carry them (column pruning friendly).
+    ``vintage`` (E4/E5 cascade over main + whole-page text) and
+    ``barcode`` (E15 canonical link) arrive pre-resolved from stage 1 —
+    their raw inputs never cross the Arrow boundary (see
+    segmentation module docstring); ``year_from``/``barcode_col`` below
+    are the native-expression forms of the same semantics, used by the
+    driver-gate queries.
     """
-    out = (
-        seg
-        # E5 cascade: main text first; whole visible page only on miss.
-        .withColumn("vintage", F.coalesce(year_from(F.col("text")),
-                                          year_from(F.col("raw_text"))))
-        .withColumn("maker_name", normalize_maker_col(F.col("title_raw")))
-        .withColumn("barcode", barcode_col(F.col("head_raw")))
-    )
+    out = seg.withColumn("maker_name", normalize_maker_col(F.col("title_raw")))
     out = out.withColumn("custom_id",
                          custom_id_col(F.col("maker_name"), F.col("vintage")))
     out = out.withColumn("rec_id", rec_id_col(F.col("custom_id")))
@@ -105,7 +101,7 @@ def extract_fields(seg: DataFrame) -> DataFrame:
             F.struct(
                 F.col("method").alias("method"),
                 (F.length("text") /
-                 F.greatest(F.length("raw_text"), F.lit(1))).alias("foreground_ratio"),
+                 F.greatest(F.col("raw_chars"), F.lit(1))).alias("foreground_ratio"),
                 F.col("charset").alias("note"),
             ).alias("mask_info"),
             F.col("kept_blocks").alias("blob_count"),
@@ -138,7 +134,7 @@ def extract_fields(seg: DataFrame) -> DataFrame:
             F.lit("year_candidates"), year_cands,
             F.lit("blocks"), block_cands,
         ))
-    return out.drop("raw_text", "head_raw")
+    return out
 
 
 RECORD_COLUMNS = ["url", "warc_ts", "custom_id", "maker_name", "vintage",

@@ -379,6 +379,7 @@ def extract(payload: bytes, url: str) -> dict[str, Any]:
         } for i, p in enumerate(paras)]
         spans = _spans_from_kept(kept, max(len(paras), 1), paras)
         raw_text = text
+        head_raw = ""
         method, charset, n_blocks = "pdf", "binary", len(paras)
     else:
         charset = detect_charset(payload)
@@ -393,6 +394,7 @@ def extract(payload: bytes, url: str) -> dict[str, Any]:
         title = normalize_ws(_htmlmod.unescape(tm.group(1))) if tm else None
         spans = _spans_from_kept(kept, max(len(blocks), 1), texts)
         raw_text = "\n".join(b["text"] for b in blocks)
+        head_raw = decoded[:2048]
         method, n_blocks = "html", len(blocks)
 
     # E5 cascade: main text first, whole visible page as fallback.
@@ -416,4 +418,5 @@ def extract(payload: bytes, url: str) -> dict[str, Any]:
         "n_blocks": n_blocks,
         "kept_blocks": len(spans),
         "raw_text": raw_text,
+        "head_raw": head_raw,
     }
