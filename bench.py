@@ -40,9 +40,9 @@ def main() -> None:
     spark = get_spark(app="bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    # split sizing: ~3 waves of python workers on this input (~2.6KB/page)
+    # ~5 tasks/core on this input (~2.6KB/page): measured-best pipelining
     spark.conf.set("spark.sql.files.maxPartitionBytes",
-                   str(max(n_pages * 2600 // (cpus * 3), 1 << 20)))
+                   str(max(n_pages * 2600 // (cpus * 5), 1 << 20)))
 
     pq = os.path.join(tempfile.gettempdir(), f"wlos_bench_pages_{n_pages}.parquet")
     if not os.path.exists(pq):

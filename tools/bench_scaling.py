@@ -35,7 +35,8 @@ cores, n, pq, reps = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], int(sys.ar
 spark = get_spark(app=f"scale{cores}", master=f"local[{cores}]",
                   shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
-spark.conf.set("spark.sql.files.maxPartitionBytes", str(max(n * 2600 // 96, 1 << 20)))
+# ~170 splits (≈3MB at n=200k): measured-best pipelining at local[32]
+spark.conf.set("spark.sql.files.maxPartitionBytes", str(max(n * 2600 // 170, 1 << 20)))
 pages = spark.read.parquet(pq).drop("text")
 def force(df): df.write.format("noop").mode("overwrite").save()
 force(extract_records(pages.limit(max(n // 20, 1000))))  # warm same plan shape

@@ -34,6 +34,9 @@ def get_spark(app: str = "wine_label_ocr_spark", master: str | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # ~4k rows/batch pipelines UDF input/output against JVM work for
+        # this engine's ~2.6KB payloads (measured best at local[32])
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
