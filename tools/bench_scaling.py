@@ -15,7 +15,11 @@ Methodology (see memory: local-bench gotchas):
 * job = production shape: parquet scan → stage-1 mapInPandas → stage-2
   native exprs → noop sink.
 
-Usage: python tools/bench_scaling.py [n_pages] [reps]
+Usage: python tools/bench_scaling.py [n_pages] [reps] [N]
+  N (default 2) → measures local[N] vs local[4N]. Pairs with larger N
+  increasingly measure this single box's DRAM/turbo ceiling rather than
+  the job (see BENCH.md): at 4N=32 the host saturates at ~33k docs/s for
+  ANY multi-process python workload, Spark or not.
 """
 
 from __future__ import annotations
@@ -67,6 +71,8 @@ def run(cores: int, cpuset: str, n: int, pq: str, reps: int) -> dict:
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    small = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    big = small * 4
     pq = f"/tmp/wlos_scale_pages_{n}.parquet"
     if not os.path.exists(pq):
         sys.path.insert(0, "/root/repo")
@@ -76,11 +82,12 @@ def main():
         spark.sparkContext.setLogLevel("ERROR")
         pages_spark(spark, n, partitions=128).write.parquet(pq)
         spark.stop()
-    r8 = run(8, "0-7", n, pq, reps)
-    r32 = run(32, "0-31", n, pq, reps)
-    eff = (r8["sec"] / r32["sec"]) / 4.0
-    print(json.dumps({"n_pages": n, "local8_pinned": r8, "local32": r32,
-                      "speedup_8_to_32": round(r8["sec"] / r32["sec"], 3),
+    r_n = run(small, f"0-{small - 1}", n, pq, reps)
+    r_4n = run(big, f"0-{big - 1}", n, pq, reps)
+    eff = (r_n["sec"] / r_4n["sec"]) / 4.0
+    print(json.dumps({"n_pages": n, f"local{small}_pinned": r_n,
+                      f"local{big}_pinned": r_4n,
+                      "speedup_n_to_4n": round(r_n["sec"] / r_4n["sec"], 3),
                       "scaling_efficiency": round(eff, 3)}))
 
 

@@ -68,7 +68,11 @@ def _segment_batches(batches: Iterable) -> Iterator:
         rows = []
         for url, ts, payload, lang in zip(pdf["url"], pdf["warc_ts"],
                                           pdf["html"], pdf["lang"]):
-            r = extract(bytes(payload) if payload is not None else b"", url)
+            if payload is None:
+                payload = b""
+            elif not isinstance(payload, bytes):
+                payload = bytes(payload)  # bytearray/memoryview only — no copy for bytes
+            r = extract(payload, url)
             m = _CANONICAL_RE.search(r["head_raw"]) if r["head_raw"] else None
             rows.append((
                 url, ts, lang, r["text"], r["title"], r["year"],

@@ -101,7 +101,15 @@ def normalize_ws(s: str) -> str:
     The single canonical whitespace policy shared by oracle and pipeline
     (risk §7.3.1 of SURVEY.md). Analog of the reference's
     ``re.sub(r"\\s+", " ", s).strip()`` in final_run_ocr.py:358.
+
+    Fast path: an ascii string with no tabs/newlines/runs is already
+    canonical up to strip — the checks are C-level scans, far cheaper
+    than the regex rebuilding the string around every single space.
+    (Non-ascii goes the slow path: ``\\s`` also matches unicode spaces.)
     """
+    if (s.isascii() and "  " not in s and "\t" not in s and "\n" not in s
+            and "\r" not in s and "\x0b" not in s and "\x0c" not in s):
+        return s.strip()
     return _WS_RE.sub(" ", s).strip()
 
 
@@ -341,8 +349,10 @@ def _spans_from_kept(kept: list[dict[str, Any]], n_blocks_total: int,
         end = start + len(t)
         offset = end + 2  # "\n\n" separator
         link_density, text_density = _features(b)
-        words = t.split(" ")
-        aspect = (sum(len(w) for w in words) / len(words)) if words else 0.0
+        # t is canonical (single spaces): sum(len(w)) == len(t) - n_spaces
+        # and n_words == n_spaces + 1 — identical value, no allocation
+        n_spaces = t.count(" ")
+        aspect = (len(t) - n_spaces) / (n_spaces + 1)
         spans.append({
             "start": start,
             "end": end,
