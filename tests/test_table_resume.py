@@ -93,3 +93,19 @@ def test_rollback_unmarked_bucket(spark, tmp_path):
     rr2.run(spark, pages, extract_records)
     urls = [r["url"] for r in rr2.records.read(spark).select("url").collect()]
     assert len(urls) == N and len(set(urls)) == N
+
+
+def test_vacuum_removes_orphans(spark, tmp_path):
+    """vacuum: files orphaned by overwrite/rollback are deleted; the
+    current snapshot stays readable; history truncates."""
+    import os
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.range(10).withColumnRenamed("id", "k"))
+    t.overwrite(spark.range(3).withColumnRenamed("id", "k"))
+    all_files = [os.path.join(r, f) for r, _, fs in os.walk(t.data_dir)
+                 for f in fs if f.endswith(".parquet")]
+    assert len(all_files) > len(t.current_files())
+    removed = t.vacuum()
+    assert removed >= 1
+    assert t.read(spark).count() == 3
+    assert len(t.snapshots()) == 1

@@ -114,6 +114,29 @@ class ManifestTable:
         self._commit(m)
         return sid
 
+    def vacuum(self) -> int:
+        """Delete data files unreachable from the CURRENT snapshot.
+
+        The Iceberg expire-snapshots analog; rollbacks (resumable runs)
+        orphan files rather than deleting them inline, so vacuum is the
+        explicit, separate destructive step. History is truncated to the
+        current snapshot. Returns the number of files removed.
+        """
+        m = self._load()
+        live = set(self.current_files())
+        removed = 0
+        for root, _, files in os.walk(self.data_dir):
+            for f in files:
+                p = os.path.join(root, f)
+                if f.endswith(".parquet") and p not in live:
+                    os.remove(p)
+                    removed += 1
+        if m["current"] is not None:
+            cur = [s for s in m["snapshots"] if s["id"] == m["current"]]
+            m["snapshots"] = cur
+            self._commit(m)
+        return removed
+
     def merge_insert(self, spark: SparkSession, df: DataFrame, key: str,
                      meta: dict[str, Any] | None = None) -> int:
         """MERGE … WHEN NOT MATCHED THEN INSERT (S4/J11).
