@@ -150,3 +150,21 @@ def test_span_similarity_join(spark):
     rows = both.collect()
     assert len(rows) == n
     assert all(r["score"] >= S.TRACKER_THRESHOLD for r in rows if r["matched_pairs"] > 0)
+
+
+def test_fuzzy_null_vintage_paths(spark):
+    """Vintage-less records: default scans all candidates (reference
+    semantics); block_null_vintage restricts to same first maker token."""
+    store = spark.createDataFrame(
+        [("OPUS ONE|2018", "OPUS ONE", 2018),
+         ("MARGAUX ESTATE|2015", "MARGAUX ESTATE", 2015)],
+        "custom_id string, maker_name string, vintage int")
+    new = spark.createDataFrame(
+        [("OPUS-ONE", "OPUS-ONE", None)],
+        "custom_id string, maker_name string, vintage int")
+    default = S.fuzzy_match_decisions(new, store).collect()[0]
+    assert default["decision"] == "seen-fuzzy"
+    assert default["matched_key"] == "OPUS ONE|2018"
+    blocked = S.fuzzy_match_decisions(new, store,
+                                      block_null_vintage=True).collect()[0]
+    assert blocked["decision"] == "seen-fuzzy"  # same first token "opus"

@@ -169,7 +169,8 @@ def custom_id_similar(id_a: Column, id_b: Column, score: Column) -> Column:
 # J2/J3 — blocked fuzzy dedup join (the ingest decision)
 # ---------------------------------------------------------------------------
 
-def fuzzy_match_decisions(new: DataFrame, store: DataFrame) -> DataFrame:
+def fuzzy_match_decisions(new: DataFrame, store: DataFrame,
+                          block_null_vintage: bool = False) -> DataFrame:
     """best_match (scan_and_store.py:121-164) as a Spark plan.
 
     Tiers: (1) exact canonical-key equi join → "seen-exact";
@@ -180,6 +181,14 @@ def fuzzy_match_decisions(new: DataFrame, store: DataFrame) -> DataFrame:
 
     Returns ``new`` columns + ``decision, matched_key, match_score``.
     Input contract: both sides carry (custom_id, maker_name, vintage).
+
+    Scale note: the reference scans ALL candidates for a vintage-less
+    record (scan_and_store.py:144-148) — O(|new_null| · |store|). That is
+    fine for a broadcastable store; at 10^12 keys set
+    ``block_null_vintage=True`` to additionally block those rows on the
+    first normalized maker token. This is a recall-for-cost trade
+    (token_set_ratio can match names whose first tokens differ), so it is
+    opt-in and off by default to preserve reference semantics.
     """
     n = new.select(
         F.col("custom_id").alias("n_key"),
@@ -197,9 +206,16 @@ def fuzzy_match_decisions(new: DataFrame, store: DataFrame) -> DataFrame:
         F.col("n_key").alias("matched_key"), F.lit(100.0).alias("match_score"))
 
     rest = n.join(s, n.n_key == s.s_key, "left_anti")
-    # J3 blocking: same vintage when present; null vintage scans all.
-    blocked = rest.join(
-        s, (rest.n_vintage.isNull()) | (rest.n_vintage == s.s_vintage), "inner")
+    # J3 blocking: same vintage when present; null vintage scans all
+    # (or first-token-blocked when block_null_vintage is set).
+    if block_null_vintage:
+        tok = lambda c: F.get(F.split(normalize_for_match_udf(c), " "), 0)  # noqa: E731
+        cond = F.when(rest.n_vintage.isNotNull(),
+                      rest.n_vintage == s.s_vintage) \
+                .otherwise(tok(rest.n_maker) == tok(s.s_maker))
+    else:
+        cond = (rest.n_vintage.isNull()) | (rest.n_vintage == s.s_vintage)
+    blocked = rest.join(s, cond, "inner")
     scored = blocked.withColumn(
         "raw_score", fuzzy_score_udf(F.col("n_maker"), F.col("s_maker")))
     scored = scored.withColumn(
