@@ -321,6 +321,14 @@ def q_rp_lsh_topk(spark, sf):  # ann: LSH-bucketed approximate top-k (rows-only)
     return rp_lsh_topk(q, e, dim=64, k=5, n_planes=6)
 
 
+def q_ivf_topk(spark, sf):  # ann: IVF coarse-quantizer top-k (rows-only)
+    from wine_label_ocr_spark.operators.ann import ivf_topk
+    e = _t(spark, sf, "embeddings")
+    q = (e.filter(F.col("vec_id") % 100 == 0)
+         .select(F.col("vec_id").alias("q_id"), "embedding"))
+    return ivf_topk(q, e, dim=64, k=5, n_cells=8, nprobe=2, iters=2)
+
+
 def q_embedding_near_dup(spark, sf):  # ann: embedding near-dup (rows-only)
     from wine_label_ocr_spark.operators.ann import embedding_near_dup
     e = _t(spark, sf, "embeddings")
@@ -491,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "cosine_topk": q_cosine_topk,
         "rp_lsh_topk": q_rp_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "media_features": q_media_features,
         "dedup_decisions": q_dedup_decisions,

@@ -143,3 +143,26 @@ def test_multimodal_stub_plumbing(spark):
     # frame sampling plan explodes deterministically
     sampled = M.frame_sample_plan(out, every_n=2)
     assert sampled.count() >= 20
+
+
+def test_ivf_topk_self_match_and_determinism(spark, emb):
+    q = emb.limit(4).select(F.col("vec_id").alias("q_id"), "embedding")
+    a = ann.ivf_topk(q, emb, dim=64, k=3, n_cells=8, nprobe=2, iters=2)
+    rows = a.collect()
+    top1 = {r["q_id"]: r["c_id"] for r in rows if r["rank"] == 1}
+    # self-vector always lands in its own (probed) cell → rank-1 self-match
+    for qid, cid in top1.items():
+        assert qid == cid
+    # deterministic training (no RNG): identical output across runs
+    b = ann.ivf_topk(q, emb, dim=64, k=3, n_cells=8, nprobe=2, iters=2).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, b))
+
+
+def test_ivf_recall_vs_exact(spark, emb):
+    q = emb.limit(6).select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = {(r["q_id"], r["c_id"]) for r in ann.cosine_topk(q, emb, k=3).collect()}
+    approx = {(r["q_id"], r["c_id"])
+              for r in ann.ivf_topk(q, emb, dim=64, k=3, n_cells=8,
+                                    nprobe=4, iters=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # half the cells probed → decent recall

@@ -99,6 +99,90 @@ def rp_lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int,
             .select("q_id", "c_id", F.round("cosine", 6).alias("cosine"), "rank"))
 
 
+def ivf_train_centroids(corpus: DataFrame, k: int = 16, iters: int = 3,
+                        c_vec: str = "embedding", seed: int = 42) -> list[list[float]]:
+    """Coarse quantizer for IVF: distributed Lloyd iterations.
+
+    Seeds are deterministic (every ⌈n/k⌉-th row by id order — no RNG, so
+    training is reproducible/resumable). Each iteration: assign every
+    vector to its nearest centroid (vectorized numpy in a pandas UDF over
+    Arrow batches), then per-dimension means via posexplode + groupBy —
+    one shuffle of (cluster, dim) per iteration. Centroids (k×dim floats)
+    live on the driver and broadcast into the next assignment pass.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    import pandas as pd
+
+    n = corpus.count()
+    step = max(n // k, 1)
+    seeds = (corpus.withColumn("_rn", F.row_number().over(
+                 W.orderBy(F.col(c_vec).getItem(0), F.monotonically_increasing_id())))
+             .filter((F.col("_rn") - 1) % step == 0).limit(k)
+             .select(c_vec).collect())
+    cents = np.array([list(r[c_vec]) for r in seeds], dtype=np.float64)
+
+    for _ in range(iters):
+        C = cents.copy()
+
+        def assign_batch(s):
+            M = np.array(s.tolist(), dtype=np.float64)
+            d2 = ((M ** 2).sum(1)[:, None] + (C ** 2).sum(1)[None, :]
+                  - 2 * M @ C.T)
+            return pd.Series(d2.argmin(1).astype("int32"))
+
+        assign_udf = pandas_udf(assign_batch, "int")
+        assigned = corpus.select(F.col(c_vec).alias("_v"),
+                                 assign_udf(F.col(c_vec)).alias("_c"))
+        means = (assigned.select("_c", F.posexplode("_v").alias("_d", "_x"))
+                 .groupBy("_c", "_d").agg(F.avg("_x").alias("m"))
+                 .collect())
+        new = cents.copy()
+        for r in means:
+            new[r["_c"], r["_d"]] = r["m"]
+        cents = new
+    return cents.tolist()
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
+             n_cells: int = 16, nprobe: int = 2, iters: int = 2,
+             q_id: str = "q_id", c_id: str = "vec_id",
+             q_vec: str = "embedding", c_vec: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: assign corpus to trained cells once, probe
+    the query's ``nprobe`` nearest cells, exact cosine re-rank inside.
+
+    The 10^12-row layout: the cell id becomes the table's partition
+    column, so a query reads only nprobe/n_cells of the corpus.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(ivf_train_centroids(corpus, k=n_cells, iters=iters,
+                                     c_vec=c_vec), dtype=np.float64)
+
+    def cells_udf(nearest: int):
+        def f(s):
+            M = np.array(s.tolist(), dtype=np.float64)
+            d2 = ((M ** 2).sum(1)[:, None] + (C ** 2).sum(1)[None, :]
+                  - 2 * M @ C.T)
+            idx = np.argsort(d2, axis=1)[:, :nearest]
+            return pd.Series(list(idx.astype("int32")))
+        return pandas_udf(f, "array<int>")
+
+    c = corpus.select(F.col(c_id).alias("c_id"), F.col(c_vec).alias("_cv"),
+                      F.get(cells_udf(1)(F.col(c_vec)), 0).alias("_cell"))
+    q = queries.select(F.col(q_id).alias("q_id"), F.col(q_vec).alias("_qv"),
+                       F.explode(cells_udf(nprobe)(F.col(q_vec))).alias("_cell"))
+    scored = (c.join(F.broadcast(q), "_cell")
+              .select("q_id", "c_id", cosine(F.col("_qv"), F.col("_cv")).alias("cosine"))
+              .dropDuplicates(["q_id", "c_id"]))
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "c_id", F.round("cosine", 6).alias("cosine"), "rank"))
+
+
 def embedding_near_dup(corpus: DataFrame, dim: int, min_cosine: float = 0.95,
                        n_planes: int = 12, seed: int = 42,
                        c_id: str = "vec_id", c_vec: str = "embedding") -> DataFrame:
