@@ -568,10 +568,13 @@ def oracle_sql() -> dict[str, str]:
     lang_structs = ", ".join(
         f"{{'score': s_{lang}, 'lang': '{lang}'}}" for lang in LANG_MARKERS)
     return {
+        # NOTE (all SUMs below): DuckDB SUM(BIGINT) yields HUGEINT, which the
+        # driver's pandas fetch degrades to float64 -> "3.000000" != "3" in
+        # the value hash. CAST the SUM itself back to BIGINT everywhere.
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS revenue_cents,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
                    COUNT(*) AS n_rows
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -588,7 +591,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_segment": """
             SELECT c_mktsegment,
                    COUNT(*) AS n_orders,
-                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS total_cents
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
@@ -628,13 +631,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "alnum_stats": """
             SELECT lang,
-                   SUM(CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT)) AS sum_alnum,
+                   CAST(SUM(CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT)) AS BIGINT) AS sum_alnum,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang
         """,
         "token_counts": """
             SELECT lang,
-                   SUM(CAST(length(string_split(text, ' ')) AS BIGINT)) AS sum_tokens
+                   CAST(SUM(CAST(length(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS sum_tokens
             FROM documents GROUP BY lang
         """,
         "exact_dup_groups": """
@@ -689,7 +692,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_token_counts": f"""
             SELECT lang,
-                   SUM(CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT)) AS sum_bpe_tokens
+                   CAST(SUM(CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT)) AS BIGINT) AS sum_bpe_tokens
             FROM documents GROUP BY lang
         """,
         "quality_scores": f"""
@@ -792,7 +795,7 @@ def oracle_sql() -> dict[str, str]:
             -- two-phase plan is semantically identical
             SELECT l_returnflag,
                    COUNT(*) AS n_rows,
-                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                    MAX(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS max_price_cents
             FROM lineitem GROUP BY l_returnflag
         """,

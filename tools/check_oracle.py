@@ -32,7 +32,22 @@ def canon(v):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
+    try:
+        import numpy as np
+        if isinstance(v, np.ndarray):
+            return "[" + ",".join(canon(x) for x in v.tolist()) + "]"
+        if isinstance(v, np.integer):
+            return str(int(v))
+        if isinstance(v, np.floating):
+            return canon(float(v))
+    except ImportError:
+        pass
     return str(v)
+
+
+def _pd_row(row):
+    return tuple(None if x is None or (isinstance(x, float) and math.isnan(x))
+                 else x for x in row)
 
 
 def value_hash(cols, rows):
@@ -69,8 +84,12 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            # Spark side also via pandas (mirrors the driver): nullable int
+            # columns degrade to float64 on BOTH sides, so degradation must be
+            # symmetric for the hash to be meaningful.
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = [_pd_row(row) for row in spdf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")
             failures += 1
@@ -79,16 +98,19 @@ def main():
             print(f"ok?  {name}: rows-only ({len(srows)} rows)")
             continue
         try:
-            res = con.execute(oq[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # fetch via pandas, NOT fetchall(): the driver's gate goes through
+            # pandas, where DuckDB HUGEINT (e.g. SUM(BIGINT)) degrades to
+            # float64 — reproduce that here or local PASSes lie (VERDICT r1 #1)
+            pdf = con.execute(oq[name]).fetchdf()
+            dcols = list(pdf.columns)
+            drows = [_pd_row(row) for row in pdf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: duckdb error {str(e)[:300]}")
             failures += 1
             continue
         ok_n = len(srows) == len(drows)
         ok_c = sorted(scols) == sorted(dcols)
-        sh = value_hash(scols, [[r[c] for c in scols] for r in srows])
+        sh = value_hash(scols, srows)
         dh = value_hash(dcols, drows)
         ok_h = sh == dh
         status = "PASS" if (ok_n and ok_c and ok_h) else "FAIL"
@@ -97,7 +119,8 @@ def main():
         print(f"{status} {name}: rows {len(srows)}/{len(drows)} cols_ok={ok_c} hash_ok={ok_h}")
         if not ok_h and ok_c and srows and drows:
             names = sorted(scols)
-            sset = sorted("|".join(canon(r[c]) for c in names) for r in srows)
+            smap = [scols.index(c) for c in names]
+            sset = sorted("|".join(canon(row[i]) for i in smap) for row in srows)
             dmap = [dcols.index(c) for c in names]
             dset = sorted("|".join(canon(row[i]) for i in dmap) for row in drows)
             d_as_set = set(dset)
