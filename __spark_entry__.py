@@ -339,14 +339,20 @@ def q_embedding_near_dup(spark, sf):  # ann: embedding near-dup (rows-only)
                               min_cosine=0.95, n_planes=8)
 
 
-def q_media_features(spark, sf):  # multimodal plumbing (rows-only; stub decode)
+def q_media_features(spark, sf):  # multimodal: REAL header decode, oracle-checked
+    """Real PNG/JPEG payloads (built columnar from doc_id) → stdlib header
+    decode in the Arrow UDF → true width/height/channels. The array<float>
+    feature is projected to a hashable md5 fingerprint over its integer
+    basis so the driver can canonicalize rows (r1 failed on raw arrays)."""
+    from wine_label_ocr_spark.fixtures import documents_as_media
     from wine_label_ocr_spark.operators.multimodal import extract_media_features
-    d = _t(spark, sf, "documents").limit(200)
-    payloads = d.select(
-        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("url"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit("image").alias("media_type"))
-    return extract_media_features(payloads, fake=True)
+    out = extract_media_features(documents_as_media(spark, sf), fake=False)
+    feature_ints = F.transform(
+        "feature", lambda x: F.round(x * 255).cast("int").cast("string"))
+    return out.select(
+        "url", "media_type", "width", "height", "channels", "n_frames",
+        "decode_ok", "error",
+        F.md5(F.array_join(feature_ints, ",")).alias("feature_fp"))
 
 
 def q_dedup_decisions(spark, sf):  # J2/J3 fuzzy ingest decisions (rows-only)
@@ -743,6 +749,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
         """,
         "minhash_lsh": _minhash_oracle_sql(),
+        "media_features": """
+            -- recomputes the expected decode of the synthetic PNG/JPEG
+            -- payloads straight from doc_id (the fixture makes dims a pure
+            -- function of it); feature_fp mirrors header_features' int basis
+            SELECT concat('media:', CAST(doc_id AS VARCHAR)) AS url,
+                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS media_type,
+                   CAST(16 + doc_id % 240 AS INT) AS width,
+                   CAST(16 + (doc_id * 7) % 240 AS INT) AS height,
+                   CAST(3 AS INT) AS channels,
+                   CAST(1 AS INT) AS n_frames,
+                   TRUE AS decode_ok,
+                   CAST(NULL AS VARCHAR) AS error,
+                   md5(array_to_string(list_transform(generate_series(0, 15),
+                       i -> CAST(((16 + doc_id % 240) * (i + 3)
+                                  + (16 + (doc_id * 7) % 240) * (i + 7)
+                                  + 3 * (i + 1)) % 255 AS VARCHAR)), ',')) AS feature_fp
+            FROM documents
+        """,
         "cosine_topk": """
             WITH r AS (SELECT vec_id,
                               list_transform(embedding, x -> round(CAST(x AS DOUBLE), 3)) AS e

@@ -126,6 +126,45 @@ def test_embedding_near_dup_finds_planted_dup(spark, emb):
     assert any(r["id_b"] - r["id_a"] == 100000 for r in pairs)
 
 
+def test_parse_image_header_real_bytes():
+    """REAL stdlib header decode on hand-built PNG/JPEG/GIF bytes."""
+    import struct
+    from wine_label_ocr_spark.operators import multimodal as M
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + bytes([8, 6, 0, 0, 0]) + b"\0\0\0\0")
+    assert M.parse_image_header(png) == {
+        "format": "png", "width": 640, "height": 480, "channels": 4}
+    # JPEG with an APP0 segment before SOF0 (walker must skip it)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\0" + b"\0" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 33, 77) + b"\x03" + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    jpg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    assert M.parse_image_header(jpg) == {
+        "format": "jpeg", "width": 77, "height": 33, "channels": 3}
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\0" * 4
+    assert M.parse_image_header(gif) == {
+        "format": "gif", "width": 320, "height": 200, "channels": 3}
+    assert M.parse_image_header(b"not an image") is None
+    assert M.parse_image_header(b"") is None
+    # decode_stub uses the real path for image bytes even with fake=False
+    r = M.decode_stub(png)
+    assert (r["width"], r["height"], r["channels"]) == (640, 480, 4)
+    assert r["feature"] == M.header_features(640, 480, 4)
+
+
+def test_media_fixture_roundtrip(spark):
+    """Columnar-built payloads decode to the doc_id-derived dimensions."""
+    from wine_label_ocr_spark.fixtures import documents_as_media
+    from wine_label_ocr_spark.operators.multimodal import extract_media_features
+    out = extract_media_features(documents_as_media(spark, SF), fake=False)
+    rows = out.collect()
+    assert rows and all(r["decode_ok"] for r in rows)
+    for r in rows[:50]:
+        doc_id = int(r["url"].split(":")[1])
+        assert r["width"] == 16 + doc_id % 240
+        assert r["height"] == 16 + (doc_id * 7) % 240
+        assert r["channels"] == 3
+
+
 def test_multimodal_stub_plumbing(spark):
     from wine_label_ocr_spark.operators import multimodal as M
     rows = [(f"u{i}", bytes([i]) * 100, "image") for i in range(20)]

@@ -253,6 +253,39 @@ def documents_as_pdf_pages(spark, sf_dir: str):
     return docs.select("doc_id", "text", "lang").mapInPandas(gen, schema=PAGES_DDL)
 
 
+def documents_as_media(spark, sf_dir: str):
+    """documents.parquet → real PNG/JPEG payloads, built 100% JVM-side.
+
+    Each doc becomes a minimal-but-valid image header whose dimensions are a
+    pure function of doc_id (width = 16 + doc_id % 240, height =
+    16 + doc_id*7 % 240), so a DuckDB oracle can recompute the expected
+    decode output without parsing bytes. Payload bytes are assembled with
+    hex-string column algebra + ``to_binary`` — no Python in the plan.
+    """
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = (F.lit(16) + F.col("doc_id") % 240).cast("int")
+    h = (F.lit(16) + (F.col("doc_id") * 7) % 240).cast("int")
+    w8 = F.lpad(F.lower(F.hex(w)), 8, "0")
+    h8 = F.lpad(F.lower(F.hex(h)), 8, "0")
+    w4 = F.lpad(F.lower(F.hex(w)), 4, "0")
+    h4 = F.lpad(F.lower(F.hex(h)), 4, "0")
+    # PNG: signature + IHDR(len=13) + w,h + bitdepth 8, colortype 2 (RGB),
+    # compression/filter/interlace 0 + (unchecked) CRC
+    png_hex = F.concat(F.lit("89504e470d0a1a0a0000000d49484452"),
+                       w8, h8, F.lit("080200000000000000"))
+    # JPEG: SOI + SOF0(len=0x11, precision 8, h, w, 3 components) + EOI
+    jpg_hex = F.concat(F.lit("ffd8ffc0001108"), h4, w4,
+                       F.lit("03011100021101031101ffd9"))
+    is_png = F.col("doc_id") % 2 == 0
+    return d.select(
+        F.concat(F.lit("media:"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_binary(F.when(is_png, png_hex).otherwise(jpg_hex),
+                    F.lit("hex")).alias("payload"),
+        F.when(is_png, F.lit("png")).otherwise(F.lit("jpeg")).alias("media_type"))
+
+
 def pages_pandas(n: int, offset: int = 0):
     """Small-scale generation → pandas DataFrame (tests)."""
     import pandas as pd

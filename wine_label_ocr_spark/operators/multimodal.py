@@ -5,14 +5,17 @@ metadata struct, processed through Arrow-batched ``mapInPandas`` — the
 exact shape the reference uses for its pixel payloads (one ndarray per
 document, ``final_run_ocr.py:389-396``), generalized to any modality.
 
-The actual codec work (JPEG decode, audio resample, video frame-sample)
-needs libraries this container does not ship, so the decode kernels are
-STUBS: ``decode_stub`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a clearly-marked deterministic fake produces
-stable shapes/features from the bytes alone. The Spark-side plumbing —
-schema, batching, partitioning, UDF signature — is real and tested; a
-production deploy swaps ``_fake_decode`` for Pillow/ffmpeg kernels with
-no plan changes.
+Image METADATA decode is REAL: ``parse_image_header`` reads PNG IHDR,
+JPEG SOFn, and GIF logical-screen headers with pure stdlib byte walking —
+no codec library needed — yielding true width/height/channels. Pixel-level
+work (full raster decode, audio resample, video frame-sample) needs
+libraries this container does not ship, so those kernels remain STUBS:
+the placeholder feature vector is derived deterministically from the
+parsed header (documented below), and ``decode_stub`` on a non-image
+payload raises ``NotImplementedError`` unless ``fake=True``. The
+Spark-side plumbing — schema, batching, partitioning, UDF signature — is
+real and tested; a production deploy swaps the feature kernel for
+Pillow/ffmpeg with no plan changes.
 """
 
 from __future__ import annotations
@@ -47,12 +50,86 @@ def _fake_decode(payload: bytes) -> dict:
             "n_frames": 1 + d[2] % 4, "feature": feat}
 
 
+# JPEG start-of-frame markers that carry dimensions (C4=DHT, C8=JPG ext,
+# CC=DAC are NOT SOF and are excluded)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_image_header(payload: bytes) -> dict | None:
+    """REAL stdlib image-metadata decode: PNG IHDR / JPEG SOFn / GIF LSD.
+
+    Returns ``{format, width, height, channels}`` or None if the bytes are
+    not a recognizable image. No codec library involved — this is a pure
+    header walk, the analog of the reference reading frame shape before OCR
+    (final_run_ocr.py:389-396).
+    """
+    if not payload:
+        return None
+    p = bytes(payload)
+    if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 26 and p[12:16] == b"IHDR":
+        return {"format": "png",
+                "width": int.from_bytes(p[16:20], "big"),
+                "height": int.from_bytes(p[20:24], "big"),
+                "channels": _PNG_CHANNELS.get(p[25], 3)}
+    if p[:2] == b"\xff\xd8":
+        i = 2
+        while i + 10 <= len(p):
+            if p[i] != 0xFF:
+                return None
+            marker = p[i + 1]
+            if marker in _JPEG_SOF:
+                return {"format": "jpeg",
+                        "height": int.from_bytes(p[i + 5:i + 7], "big"),
+                        "width": int.from_bytes(p[i + 7:i + 9], "big"),
+                        "channels": p[i + 9]}
+            if marker == 0xFF:  # fill byte: next byte may be the marker
+                i += 1
+                continue
+            if 0xD0 <= marker <= 0xD9:  # standalone (SOI/EOI/RSTn), no length
+                i += 2
+                continue
+            seglen = int.from_bytes(p[i + 2:i + 4], "big")
+            if seglen < 2:
+                return None
+            i += 2 + seglen
+        return None
+    if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+        return {"format": "gif",
+                "width": int.from_bytes(p[6:8], "little"),
+                "height": int.from_bytes(p[8:10], "little"),
+                "channels": 3}
+    return None
+
+
+def header_features(width: int, height: int, channels: int) -> list[float]:
+    """Placeholder feature kernel over the REAL parsed dimensions.
+
+    Pixel statistics need a raster decode this container can't do, so the
+    vector is a deterministic function of (width, height, channels) — the
+    documented seam where a production deploy plugs Pillow/ffmpeg in.
+    """
+    return [((width * (i + 3) + height * (i + 7) + channels * (i + 1)) % 255)
+            / 255.0 for i in range(N_FEATURES)]
+
+
 def decode_stub(payload: bytes, fake: bool = False) -> dict:
+    """Header-real decode: true dims from the byte header when the payload
+    is PNG/JPEG/GIF; otherwise the deterministic fake (``fake=True``) or
+    ``NotImplementedError`` (non-image modalities need ffmpeg etc.)."""
+    hdr = parse_image_header(payload)
+    if hdr is not None:
+        return {"width": hdr["width"], "height": hdr["height"],
+                "channels": hdr["channels"], "n_frames": 1,
+                "feature": header_features(hdr["width"], hdr["height"],
+                                           hdr["channels"])}
     if fake:
         return _fake_decode(payload)
     raise NotImplementedError(
-        "real image/audio decode requires Pillow/ffmpeg (not in this "
-        "container); pass fake=True for the deterministic stand-in")
+        "payload is not a PNG/JPEG/GIF; full media decode requires "
+        "Pillow/ffmpeg (not in this container); pass fake=True for the "
+        "deterministic stand-in")
 
 
 def extract_media_features(df: DataFrame, payload_col: str = "payload",
