@@ -294,11 +294,13 @@ def q_minhash_lsh(spark, sf):  # dedupe: MinHash+LSH near-dup pairs
         "jaccard")
 
 
-def q_simhash_fingerprints(spark, sf):  # dedupe: SimHash (rows-only check)
+def q_simhash_fingerprints(spark, sf):  # dedupe: SimHash, oracle-checked
+    # oracle_safe=True → md5-derived token hashes DuckDB can reproduce
+    # bit-for-bit; the xxhash64 production flavor is what bench.py runs
     from wine_label_ocr_spark.operators.dedupe import simhash64
     d = _t(spark, sf, "documents")
     return d.select(F.col("doc_id").cast("bigint").alias("doc_id"),
-                    simhash64(F.col("text")).alias("simhash"))
+                    simhash64(F.col("text"), oracle_safe=True).alias("simhash"))
 
 
 def q_cosine_topk(spark, sf):  # ann: exact brute-force cosine top-k
@@ -329,14 +331,21 @@ def q_ivf_topk(spark, sf):  # ann: IVF coarse-quantizer top-k (rows-only)
     return ivf_topk(q, e, dim=64, k=5, n_cells=8, nprobe=2, iters=2)
 
 
-def q_embedding_near_dup(spark, sf):  # ann: embedding near-dup (rows-only)
+def q_embedding_near_dup(spark, sf):  # ann: embedding near-dup, oracle-checked
     from wine_label_ocr_spark.operators.ann import embedding_near_dup
     e = _t(spark, sf, "embeddings")
-    # plant exact duplicates so the operator demonstrably fires on testdata
+    # round to 3dp double so both engines fold identical values (same
+    # alignment trick as cosine_topk); plant exact duplicates so the
+    # operator demonstrably fires on testdata
+    e = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double"), 3)).alias("embedding"))
     dup = e.filter(F.col("vec_id") % 97 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label")
-    return embedding_near_dup(e.unionByName(dup), dim=64,
-                              min_cosine=0.95, n_planes=8)
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    return (embedding_near_dup(e.unionByName(dup), dim=64,
+                               min_cosine=0.95, n_planes=8)
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"), "cosine"))
 
 
 def q_media_features(spark, sf):  # multimodal: REAL header decode, oracle-checked
@@ -562,6 +571,81 @@ def _minhash_oracle_sql(n_perm=16, n_bands=4, k=3, min_j=0.4, max_bucket=200) ->
     """
 
 
+def _simhash_oracle_sql() -> str:
+    """Bit-exact DuckDB twin of simhash64(oracle_safe=True): md5-derived
+    60-bit token hashes (15 hex chars), per-bit ±1 vote, sign → bit."""
+    return """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS tk
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 CAST(CAST(concat('0x', substr(md5(concat(unnest(tk), '#0')), 1, 15))
+                      AS UBIGINT) AS BIGINT) AS hv
+          FROM toks),
+        bits AS (
+          SELECT doc_id, CAST(g.j AS INT) AS j,
+                 SUM(CASE WHEN (hv >> CAST(g.j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+          FROM h, generate_series(0, 59) AS g(j)
+          GROUP BY doc_id, g.j),
+        sh AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << j)
+                          ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id)
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               COALESCE(s.simhash, CAST(0 AS BIGINT)) AS simhash
+        FROM documents d LEFT JOIN sh s ON d.doc_id = s.doc_id
+    """
+
+
+def _near_dup_oracle_sql(n_planes=8, dim=64, min_cosine=0.95) -> str:
+    """DuckDB twin of embedding_near_dup over 3dp-rounded doubles: the
+    deterministic md5 hyperplanes are inlined as literals, bucket = OR of
+    sign bits (disjoint → SUM), pairwise cosine within buckets."""
+    from wine_label_ocr_spark.operators.ann import _hyperplanes
+    planes = _hyperplanes(n_planes, dim)
+    rows = ", ".join(
+        f"({p}, [{', '.join(('1.0' if w > 0 else '-1.0') for w in pl)}])"
+        for p, pl in enumerate(planes))
+    dotv = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(generate_series(1, {d}), i -> e[i] * pl[i])), "
+            "(a, b) -> a + b)").format(d=dim)
+    sq = ("sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+          "list_transform({v}, x -> x * x)), (a, b) -> a + b))")
+    return f"""
+        WITH base AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> round(CAST(x AS DOUBLE), 3)) AS e
+          FROM embeddings),
+        corpus AS (
+          SELECT * FROM base
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id, e FROM base WHERE vec_id % 97 = 0),
+        planes(p, pl) AS (VALUES {rows}),
+        sig AS (
+          SELECT vec_id, e,
+                 CAST(SUM(CASE WHEN {dotv} > 0
+                          THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+                          ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+          FROM corpus, planes GROUP BY vec_id, e),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.e AS ea, b.e AS eb
+          FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        scored AS (
+          SELECT id_a, id_b, ROUND(
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(generate_series(1, {dim}),
+                                    i -> ea[i] * eb[i])), (x, y) -> x + y)
+                 / GREATEST({sq.format(v='ea')} * {sq.format(v='eb')},
+                            CAST(1e-12 AS DOUBLE)), 6) AS cosine
+          FROM pairs)
+        SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, cosine
+        FROM scored WHERE cosine >= {min_cosine}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from wine_label_ocr_spark.operators.textops import (
         BPE_ISH_PATTERN, LANG_MARKERS, QUALITY_STOPWORDS)
@@ -749,6 +833,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
         """,
         "minhash_lsh": _minhash_oracle_sql(),
+        "simhash_fingerprints": _simhash_oracle_sql(),
+        "embedding_near_dup": _near_dup_oracle_sql(),
         "media_features": """
             -- recomputes the expected decode of the synthetic PNG/JPEG
             -- payloads straight from doc_id (the fixture makes dims a pure
