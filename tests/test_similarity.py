@@ -35,12 +35,41 @@ def test_similarity_symmetric():
 
 
 def test_normalize_for_match():
-    # every token is a stopword → fallback keeps the original tokens
-    # (the reference never normalizes a name to empty)
+    # reference default: NO stop-word stripping (both field wrappers call
+    # strings_similar with strip_common_winery_words=False)
     assert S.normalize_for_match("Château & Co.") == "chateau and co"
-    assert S.normalize_for_match("Robert Mondavi Winery") == "robert mondavi"
-    # never normalizes to empty when input had only stopwords
-    assert S.normalize_for_match("Winery Estate") == "winery estate"
+    assert S.normalize_for_match("Robert Mondavi Winery") == "robert mondavi winery"
+    # opt-in strip uses _WINERY_WORDS verbatim and may empty the string,
+    # exactly like the reference's _normalize
+    assert S.normalize_for_match("Robert Mondavi Winery",
+                                 strip_stopwords=True) == "robert mondavi"
+    assert S.normalize_for_match("Winery Estate", strip_stopwords=True) == ""
+
+
+def test_indel_ratio_matches_rapidfuzz_semantics():
+    """rapidfuzz parity (r1 VERDICT missing #1): _ratio is the normalized
+    indel similarity (2·LCS/(|a|+|b|)·100) behind fuzz.ratio, and
+    token_set_ratio composes it the way rapidfuzz does. The 'OPU-ON'
+    reference vector only clears 85 under indel scoring — difflib's
+    SequenceMatcher ratio fails it — so this pins the scorer family."""
+    assert S._ratio("abcd", "abcd") == 100.0
+    assert S._ratio("abcd", "") == 0.0
+    # indel: dist("kitten","sitting") LCS=4 → 200*4/13
+    assert abs(S._ratio("kitten", "sitting") - 800 / 13) < 1e-9
+    # the tight reference vector: "opus one" vs "opu on"
+    assert abs(S.token_set_ratio("opus one", "opu on") - 600 / 7) < 1e-9
+    assert S.strings_similar_score("Opus One", "OPU-ON") >= S.FUZZY_THRESHOLD
+
+
+@pytest.mark.parametrize("a,b,maker_ok", [
+    # MakerAndCustomIDSimilarity.py:99-137, commented cases promoted
+    ("Château Margaux", "Chateau   Margaux", True),    # case 1
+    ("Robert Mondavi Winery", "Robert Mondavi", True),  # case 2
+    ("Opus One", "OPU-ON", True),                       # case 3 (maker)
+    ("Opus One", "Opus One", True),                     # cases A/B/C maker
+])
+def test_reference_maker_vectors(a, b, maker_ok):
+    assert (S.strings_similar_score(a, b) >= S.FUZZY_THRESHOLD) == maker_ok
 
 
 # -- column predicates --------------------------------------------------------
@@ -90,9 +119,12 @@ def test_fuzzy_match_decisions(spark):
     assert out["SCREAMING EAGLE|2019"]["decision"] == "not seen"
 
 
-def test_fuzzy_blocking_rejects_cross_vintage(spark):
-    """J3: with vintage present, candidates are restricted to the same
-    vintage — an identical maker at another vintage is NOT seen."""
+def test_fuzzy_cross_vintage_fallback(spark):
+    """Reference cands-fallback (scan_and_store.py best_match): a
+    vintage-bearing record with NO same-vintage candidates fuzzy-scans the
+    whole store — an identical maker at another vintage IS seen (score 100,
+    no same-vintage boost). Same-vintage blocking still wins when same-
+    vintage candidates exist."""
     store = spark.createDataFrame(
         [("OPUS ONE|2018", "OPUS ONE", 2018)],
         "custom_id string, maker_name string, vintage int")
@@ -100,7 +132,16 @@ def test_fuzzy_blocking_rejects_cross_vintage(spark):
         [("OPUS ONE|2019", "OPUS ONE", 2019)],
         "custom_id string, maker_name string, vintage int")
     out = S.fuzzy_match_decisions(new, store).collect()[0]
-    assert out["decision"] == "not seen"
+    assert out["decision"] == "seen-fuzzy"
+    assert out["matched_key"] == "OPUS ONE|2018"
+    assert out["match_score"] == 100.0  # no boost: vintages differ
+    # when same-vintage candidates DO exist, blocking restricts to them
+    store2 = spark.createDataFrame(
+        [("OPUS ONE|2018", "OPUS ONE", 2018),
+         ("MARGAUX|2019", "MARGAUX", 2019)],
+        "custom_id string, maker_name string, vintage int")
+    out2 = S.fuzzy_match_decisions(new, store2).collect()[0]
+    assert out2["decision"] == "not seen"  # only MARGAUX|2019 considered
 
 
 # -- span-layout matcher ------------------------------------------------------
@@ -136,11 +177,29 @@ def test_span_layout_different_layouts_low():
     assert S.span_layout_score(a, b)["score"] < S.DECISION_THRESHOLD
 
 
+def test_span_quality_gate_normalization():
+    """BlobSimilarity.py:99-101 — quality = 1 − med_cost/pair_threshold,
+    NOT 1 − med_cost (the r1 divergence that inflated all qualities)."""
+    a = [_mk_span(0, 100, 0.3, 0.3, 100.0, sol=0.8)]
+    b = [_mk_span(0, 100, 0.3, 0.3, 100.0, sol=0.7)]
+    r = S.span_layout_score(a, b)
+    # single span → translation zeroes pos; cost = 0.075·|Δsol| = 0.0075
+    assert abs(r["quality"] - (1.0 - 0.0075 / S.PAIR_COST_GATE)) < 1e-9
+    ident = S.span_layout_score(a, a)
+    assert ident["quality"] == 1.0 and ident["score"] == 1.0
+    # weight override surface (isBlobDataSimilar weights kwarg)
+    r_w = S.span_layout_score(a, b, weights={"solidity": 0.0})
+    assert r_w["quality"] == 1.0
+
+
 def test_span_similarity_join(spark):
     from wine_label_ocr_spark.fixtures import pages_spark
     from wine_label_ocr_spark.operators.segmentation import segment
     seg = segment(pages_spark(spark, 30, partitions=2)).select("url", "spans").cache()
-    out = S.span_similarity_join(seg, seg).collect()
+    # blocking is mandatory: omitting pair_cond must raise, not cross-join
+    with pytest.raises(ValueError):
+        S.span_similarity_join(seg, seg)
+    out = S.span_similarity_join(seg, seg, pair_cond=F.lit(True)).collect()
     n = seg.count()
     assert len(out) == n * (n - 1) // 2
     # self-similarity sanity via a duplicated frame

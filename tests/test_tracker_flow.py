@@ -92,7 +92,8 @@ def test_pair_verdicts(spark, records):
     # isBlobDataSimilar: span layouts of the two views must match
     sa = a.select(F.col("a.url").alias("url"), F.col("a.spans").alias("spans"))
     sb = b.select(F.col("b.url").alias("url"), F.col("b.spans").alias("spans"))
-    sim = S.span_similarity_join(sa, sb, dedup_pairs=False).collect()
+    sim = S.span_similarity_join(sa, sb, pair_cond=F.lit(True),
+                                 dedup_pairs=False).collect()
     same = [r for r in sim
             if r["url_b"].split("/p/")[-1].split(".html")[0]
             == r["url_a"].split("/p/")[-1].split(".html")[0]]

@@ -30,17 +30,16 @@ from __future__ import annotations
 
 import re
 import unicodedata
-from difflib import SequenceMatcher
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
-# 19 winery stop-words (the analog of _WINERY_WORDS,
-# MakerAndCustomIDSimilarity.py:46-50)
+# _WINERY_WORDS verbatim (MakerAndCustomIDSimilarity.py:36-39)
 STOP_WORDS = frozenset(
-    "winery wines wine vineyards vineyard cellars cellar estate estates "
-    "chateau domaine bodega bodegas weingut cantina maison house and co".split()
+    "winery vineyard vineyards cellar cellars estate the co inc llc ltd "
+    "domaine domaines chateau bodega bodegas weingut azienda tenuta "
+    "cantina".split()
 )
 
 FUZZY_THRESHOLD = 85.0          # scan_and_store.py:126
@@ -62,16 +61,19 @@ def ascii_fold(s: str) -> str:
     return unicodedata.normalize("NFKD", s).encode("ascii", "ignore").decode("ascii")
 
 
-def normalize_for_match(s: str | None, strip_stopwords: bool = True) -> str:
+def normalize_for_match(s: str | None, strip_stopwords: bool = False) -> str:
+    """_normalize (MakerAndCustomIDSimilarity.py:45-53). Stop-word stripping
+    is OFF by default — the reference's maker/custom-id wrappers both call
+    strings_similar with strip_common_winery_words=False; stripping is an
+    opt-in, and when it empties the string the result stays empty (→ score
+    0), exactly as the reference behaves."""
     if not s:
         return ""
     s = ascii_fold(s).lower().replace("&", " and ")
     s = _PUNCT_RE.sub(" ", s)
     toks = _WS_RE.sub(" ", s).strip().split(" ")
     if strip_stopwords:
-        kept = [t for t in toks if t and t not in STOP_WORDS]
-        if kept:  # never normalize everything away (reference keeps original)
-            toks = kept
+        toks = [t for t in toks if t and t not in STOP_WORDS]
     return " ".join(t for t in toks if t)
 
 
@@ -92,18 +94,37 @@ def normalize_for_match_udf(col):
 
 
 # ---------------------------------------------------------------------------
-# J6 — fuzzy scorer (token_set_ratio semantics on a difflib base)
+# J6 — fuzzy scorer (token_set_ratio on an indel-distance base)
 # ---------------------------------------------------------------------------
 
+def _lcs_len(a: str, b: str) -> int:
+    """Longest-common-subsequence length, two-row DP (public algorithm)."""
+    if len(a) < len(b):
+        a, b = b, a
+    if not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for ca in a:
+        cur = [0]
+        for j, cb in enumerate(b):
+            cur.append(prev[j] + 1 if ca == cb else max(prev[j + 1], cur[j]))
+        prev = cur
+    return prev[-1]
+
+
 def _ratio(a: str, b: str) -> float:
+    """Normalized indel similarity ×100 — the metric behind rapidfuzz
+    ``fuzz.ratio`` (indel distance = |a|+|b|−2·LCS, similarity =
+    1 − dist/(|a|+|b|) = 2·LCS/(|a|+|b|)). The reference's primary scorer
+    is rapidfuzz (scan_and_store.py:5; MakerAndCustomIDSimilarity.py:23-32)
+    — this reproduces its scores without the library; inherently
+    symmetric. Validated against the reference's own commented vectors
+    (tests/test_similarity.py)."""
     if not a and not b:
         return 100.0
-    # SequenceMatcher.ratio() is order-dependent (found by the hypothesis
-    # symmetry property, SURVEY.md §5.4) — canonicalize argument order so
-    # sim(a,b) == sim(b,a) holds by construction.
-    if a > b:
-        a, b = b, a
-    return SequenceMatcher(None, a, b).ratio() * 100.0
+    if not a or not b:
+        return 0.0
+    return 200.0 * _lcs_len(a, b) / (len(a) + len(b))
 
 
 def token_set_ratio(a: str, b: str) -> float:
@@ -177,6 +198,11 @@ def fuzzy_match_decisions(new: DataFrame, store: DataFrame,
     (2) fuzzy maker score over a blocked candidate set — same-vintage rows
     (J3 blocking) plus vintage-null rows against everything — with a +5
     same-vintage boost, argmax per new row, accept ≥85 → "seen-fuzzy";
+    (2b) the reference's cands-fallback (scan_and_store.py: when a
+    vintage-bearing record finds NO same-vintage candidates, it fuzzy-scans
+    the whole store) — rows with zero tier-2 candidates rejoin against all
+    of ``store`` unblocked, so an identical maker at a different vintage
+    still reads "seen" (no boost: vintages differ by construction);
     (3) otherwise "not seen".
 
     Returns ``new`` columns + ``decision, matched_key, match_score``.
@@ -216,7 +242,14 @@ def fuzzy_match_decisions(new: DataFrame, store: DataFrame,
     else:
         cond = (rest.n_vintage.isNull()) | (rest.n_vintage == s.s_vintage)
     blocked = rest.join(s, cond, "inner")
-    scored = blocked.withColumn(
+    # tier 2b: zero-candidate rows (vintage-bearing, no same-vintage store
+    # rows) fall back to the full store — mirrors the reference's
+    # `cands = db` when same_vintage is empty. Cost is |fallback|·|store|
+    # like the reference; at scale the store side is the broadcast side.
+    fallback = (rest.join(blocked.select("n_key").distinct(), "n_key", "left_anti")
+                .join(s, F.lit(True), "inner"))
+    cands = blocked.unionByName(fallback)
+    scored = cands.withColumn(
         "raw_score", fuzzy_score_udf(F.col("n_maker"), F.col("s_maker")))
     scored = scored.withColumn(
         "match_score",
@@ -254,15 +287,26 @@ def _span_matrix(spans) -> "object":
          for s in spans], dtype=float)
 
 
-def span_layout_score(a, b) -> dict:
+def span_layout_score(a, b, weights: dict | None = None) -> dict:
     """One pair → {score, matched_pairs, coverage, quality}.
 
     Mirrors isBlobDataSimilar (BlobSimilarity.py:95-147): both empty → 1.0,
     one empty → 0.0; translation pre-alignment (J9), weighted cost matrix
     (J10), gated assignment (J7; Hungarian via scipy when installed, else
     the reference's greedy fallback), harmonic coverage/quality combine (A6).
+
+    ``weights`` overrides cost-component weights, mirroring the reference's
+    kwarg (BlobSimilarity.py:105-117): keys pos/scale/ratio/solidity/extent,
+    defaults 0.60/0.15/0.10/0.075/0.075.
     """
     import numpy as np
+
+    weights = weights or {}
+    w_pos = weights.get("pos", 0.60)
+    w_s = weights.get("scale", 0.15)
+    w_r = weights.get("ratio", 0.10)
+    w_sol = weights.get("solidity", 0.075)
+    w_ext = weights.get("extent", 0.075)
 
     A, B = _span_matrix(a), _span_matrix(b)
     n1, n2 = len(A), len(B)
@@ -290,7 +334,7 @@ def span_layout_score(a, b) -> dict:
     aspect = np.minimum(np.nan_to_num(logr), 2.0)
     sol = np.abs(A[:, 4][:, None] - B[:, 4][None, :])
     ext = np.abs(A[:, 5][:, None] - B[:, 5][None, :])
-    cost = 0.60 * pos / 2.0 + 0.15 * scale + 0.10 * aspect / 2.0 + 0.075 * sol + 0.075 * ext
+    cost = w_pos * pos / 2.0 + w_s * scale + w_r * aspect / 2.0 + w_sol * sol + w_ext * ext
 
     # J7 — assignment with gate (Hungarian if scipy exists, else greedy —
     # the reference itself falls back to greedy argsort, BlobSimilarity.py:85-93)
@@ -314,11 +358,13 @@ def span_layout_score(a, b) -> dict:
             costs.append(cost[r, c])
 
     coverage = len(pairs) / max(n1, n2)
-    quality = float(max(0.0, 1.0 - (np.median(costs) if costs else 1.0)))
-    if coverage + quality == 0:
-        score = 0.0
-    else:
-        score = max(0.0, min(1.0, 2.0 * coverage * quality / (coverage + quality)))
+    # reference normalization (BlobSimilarity.py:99-101): quality measures
+    # median cost relative to the GATE, not to 1.0 — gated costs are ≤ gate,
+    # so dividing keeps quality spread over [0,1] instead of [1-gate, 1]
+    med_cost = float(np.median(costs)) if costs else PAIR_COST_GATE
+    quality = max(0.0, 1.0 - med_cost / max(PAIR_COST_GATE, 1e-6))
+    score = 2.0 * coverage * quality / max(coverage + quality, 1e-6)
+    score = max(0.0, min(1.0, score))
     return {"score": score, "matched_pairs": len(pairs),
             "coverage": coverage, "quality": quality}
 
@@ -331,18 +377,26 @@ SPAN_PAIR_RESULT_DDL = ("pair_id bigint, url_a string, url_b string, "
 def span_similarity_join(a: DataFrame, b: DataFrame,
                          threshold: float = DECISION_THRESHOLD,
                          pair_cond: Column | None = None,
-                         dedup_pairs: bool = True) -> DataFrame:
+                         dedup_pairs: bool = True,
+                         weights: dict | None = None) -> DataFrame:
     """Pairwise span-layout similarity as a grouped custom operator.
 
-    ``a``/``b``: DataFrames with (url, spans). Pairs are formed by
-    ``pair_cond`` (default: same fingerprint-length block — callers should
-    pass a real blocking condition; a cross join of 10^12 docs is not a
-    thing). Each pair group runs the numpy matcher via applyInPandas.
+    ``a``/``b``: DataFrames with (url, spans). ``pair_cond`` is REQUIRED:
+    pair formation must be blocked (same fingerprint, same host, an LSH
+    bucket, ...) — an implicit cross join of 10^12 docs is never the right
+    plan, so omitting it raises instead of silently going quadratic
+    (r1 VERDICT #5). Each candidate pair then runs the numpy matcher via
+    applyInPandas, grouped by pair_id so parallelism scales with the
+    number of pairs rather than a fixed group count.
     """
+    if pair_cond is None:
+        raise ValueError(
+            "span_similarity_join requires pair_cond (a blocking join "
+            "condition); refusing an implicit cross join — pass "
+            "F.lit(True) explicitly if you really want all pairs")
     fa = a.select(F.col("url").alias("url_a"), F.col("spans").alias("spans_a"))
     fb = b.select(F.col("url").alias("url_b"), F.col("spans").alias("spans_b"))
-    cond = pair_cond if pair_cond is not None else (F.lit(True))
-    pairs = fa.join(fb, cond)
+    pairs = fa.join(fb, pair_cond)
     if dedup_pairs:
         # self-join symmetry guard; disable for two-distinct-frame joins
         pairs = pairs.filter(F.col("url_a") < F.col("url_b"))
@@ -351,7 +405,7 @@ def span_similarity_join(a: DataFrame, b: DataFrame,
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         for _, row in pdf.iterrows():
-            r = span_layout_score(row["spans_a"], row["spans_b"])
+            r = span_layout_score(row["spans_a"], row["spans_b"], weights)
             out.append((row["pair_id"], row["url_a"], row["url_b"],
                         r["score"], r["matched_pairs"], r["coverage"],
                         r["quality"], r["score"] >= threshold))
@@ -359,5 +413,5 @@ def span_similarity_join(a: DataFrame, b: DataFrame,
                                           "matched_pairs", "coverage",
                                           "quality", "similar"])
 
-    return (pairs.groupBy(F.pmod(F.col("pair_id"), F.lit(64)))
+    return (pairs.groupBy("pair_id")
             .applyInPandas(score_group, schema=SPAN_PAIR_RESULT_DDL))
