@@ -78,6 +78,28 @@ def test_resumable_run(spark, tmp_path, fail_after):
                            "committed_ts"]
 
 
+def test_resumable_run_executes_plan_once_per_bucket(spark, tmp_path):
+    """r1 VERDICT #6: the extraction plan must run ONCE per bucket (append
+    first, metrics from committed files) — the old agg+append executed the
+    uncached plan twice. Counted via an accumulator ticking per input row."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting_plan(df):
+        def tick(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+        return extract_records(df.mapInPandas(tick, schema=df.schema))
+
+    pages = pages_spark(spark, N, partitions=3)
+    rr = ResumableRun(str(tmp_path / "out"), run_id="r1", n_buckets=4)
+    rr.run(spark, pages, counting_plan)
+    assert acc.value == N, f"plan executed {acc.value / N:.1f}x per row"
+    # metrics: n_pages is the distinct-url count, not a copy of n_records
+    met = rr.metrics.read(spark)
+    assert sum(r["n_pages"] for r in met.collect()) == N
+
+
 def test_rollback_unmarked_bucket(spark, tmp_path):
     """A bucket committed to the table but not checkpointed (crash between
     append and marker) is rolled back on restart — append is exactly-once."""

@@ -109,14 +109,25 @@ class ResumableRun:
             out = plan(pages_b.filter(F.col("_bucket") == b).drop("_bucket"))
             out = out.withColumn("run_id", F.lit(self.run_id)) \
                      .withColumn("bucket", F.lit(b))
-            stats = out.agg(
-                F.count("*").alias("n_records"),
-                F.count("vintage").alias("n_with_vintage"),
-                F.sum(F.length("text")).alias("n_bytes_text"),
-            ).collect()[0]
-            self.records.append(out, meta={"run_id": self.run_id, "bucket": b})
+            # append FIRST (single execution of the extraction plan), then
+            # derive metrics from the committed files — the r1 VERDICT #6
+            # fix: the old agg().collect() + append ran the dominant job
+            # twice per bucket, doubling cost at scale.
+            sid = self.records.append(out, meta={"run_id": self.run_id, "bucket": b})
+            new_files = next(s["new_files"] for s in self.records.snapshots()
+                             if s["id"] == sid)
+            if new_files:
+                stats = spark.read.parquet(*new_files).agg(
+                    F.count("*").alias("n_records"),
+                    F.count_distinct(F.col("url")).alias("n_pages"),
+                    F.count("vintage").alias("n_with_vintage"),
+                    F.sum(F.length("text")).alias("n_bytes_text"),
+                ).collect()[0]
+            else:
+                stats = {"n_records": 0, "n_pages": 0,
+                         "n_with_vintage": 0, "n_bytes_text": 0}
             wall = time.time() - t0
-            mrow = [(self.run_id, b, int(stats["n_records"]),
+            mrow = [(self.run_id, b, int(stats["n_pages"]),
                      int(stats["n_records"]), int(stats["n_with_vintage"] or 0),
                      int(stats["n_bytes_text"] or 0), float(wall))]
             mdf = spark.createDataFrame(
