@@ -193,9 +193,23 @@ def q_stopword_strip(spark, sf):  # U2/E8 — token set-difference
                     F.array_join(kept, " ").alias("kept_tokens"))
 
 
+FUZZY_MAX_BLOCK = 500  # skew guard: cost is Σ block² — bound the hot block
+
+
 def q_fuzzy_blocked_join(spark, sf):  # J2/J3/J6 — blocked fuzzy theta join
     d = _t(spark, sf, "documents").select(
         "doc_id", "lang", "source", F.substring("text", 1, 40).alias("pfx"))
+    # oversized blocks are dropped, not exploded (mirrored in the oracle) —
+    # the same max_bucket guard minhash_lsh uses; unbounded blocks go
+    # quadratic on the hottest key at 100× data (r1 VERDICT #8)
+    d = (d.withColumn("_bn", F.count("*").over(
+            W.partitionBy("lang", "source")))
+         .filter(F.col("_bn") <= FUZZY_MAX_BLOCK).drop("_bn"))
+    # explicit co-partitioning on the block key: the quadratic levenshtein
+    # work then spreads over all cores even when the scan is one split
+    # (AQE would coalesce the tiny shuffle and serialize the compute)
+    d = d.repartition(max(spark.sparkContext.defaultParallelism * 2, 16),
+                      "lang", "source")
     a = d.alias("a")
     b = d.alias("b")
     lev = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
@@ -754,15 +768,20 @@ def oracle_sql() -> dict[str, str]:
                        x -> NOT list_contains([{stop_sql}], x))), ' ') AS kept_tokens
             FROM documents WHERE lang = 'en'
         """,
-        "fuzzy_blocked_join": """
+        "fuzzy_blocked_join": f"""
+            WITH d AS (
+              SELECT doc_id, lang, source, substr(text, 1, 40) AS pfx,
+                     COUNT(*) OVER (PARTITION BY lang, source) AS bn
+              FROM documents),
+            ok AS (SELECT * FROM d WHERE bn <= {FUZZY_MAX_BLOCK})
             SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
                    CAST(b.doc_id AS BIGINT) AS doc_b,
-                   ROUND(1.0 - levenshtein(substr(a.text,1,40), substr(b.text,1,40))
-                         / GREATEST(length(substr(a.text,1,40)), length(substr(b.text,1,40))), 6) AS sim
-            FROM documents a JOIN documents b
+                   ROUND(1.0 - levenshtein(a.pfx, b.pfx)
+                         / GREATEST(length(a.pfx), length(b.pfx)), 6) AS sim
+            FROM ok a JOIN ok b
               ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-            WHERE 1.0 - levenshtein(substr(a.text,1,40), substr(b.text,1,40))
-                  / GREATEST(length(substr(a.text,1,40)), length(substr(b.text,1,40))) >= 0.5
+            WHERE 1.0 - levenshtein(a.pfx, b.pfx)
+                  / GREATEST(length(a.pfx), length(b.pfx)) >= 0.5
         """,
         "extract_fields_pipeline": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -23,7 +23,7 @@ def get_spark(app: str = "wine_label_ocr_spark", master: str | None = None,
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    n_shuffle = shuffle_partitions or int(cpus) if cpus.isdigit() else 32
+    n_shuffle = shuffle_partitions or (int(cpus) if cpus.isdigit() else 32)
     builder = (
         SparkSession.builder
         .master(master)

@@ -32,14 +32,19 @@ def load_database(spark: SparkSession, path: str,
     """S1 — last-write-wins keyed load (hybrid.py:54-64).
 
     The reference loads sequentially into a dict, so the LAST line for a
-    key wins. JSON lines have no global order in a distributed read, so
-    order is pinned by (file name, line offset) — byte-compatible with
-    single-file stores and deterministic for multi-file ones.
+    key wins. Order is pinned by (file name, line index within file) via a
+    wholetext read + posexplode — monotonically_increasing_id over a split
+    read follows partition index, and Spark bin-packs splits by SIZE, so a
+    large file's splits could be mis-ranked (ADVICE r1). wholetext makes
+    the per-file line index exact at the cost of one task per file; a
+    migration-scale store is sharded into many files, so parallelism comes
+    from file count, exactly like gzip-compressed inputs.
     """
-    raw = (spark.read.text(path)
-           .select("value", F.element_at(F.split(F.input_file_name(), "/"), -1)
-                   .alias("_file"))
-           .withColumn("_pos", F.monotonically_increasing_id()))
+    raw = (spark.read.text(path, wholetext=True)
+           .select(F.element_at(F.split(F.input_file_name(), "/"), -1)
+                   .alias("_file"),
+                   F.posexplode(F.split("value", r"\r?\n"))
+                   .alias("_pos", "value")))
     # P10: blank / comment lines are skipped (hybrid.py:60)
     raw = raw.filter((F.length(F.trim("value")) > 0)
                      & ~F.trim("value").startswith("#"))
