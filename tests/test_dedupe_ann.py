@@ -77,6 +77,28 @@ def test_simhash_near_dup(spark, dup_docs):
         assert h <= 16
 
 
+def test_simhash_pairs_full_recall_vs_brute_force(spark, dup_docs):
+    """Pigeonhole guarantee: banded blocking finds EVERY pair within
+    max_hamming (the r1 single-prefix probe missed top-bit differences)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text").limit(150).unionByName(
+        dup_docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text"))
+    for h in (8, 16):
+        s = docs.select(F.col("doc_id").alias("_id"),
+                        dedupe.simhash64(F.col("text")).alias("_sh"))
+        a, b = s.alias("a"), s.alias("b")
+        brute = (a.join(b, F.col("a._id") < F.col("b._id"))
+                 .select(F.col("a._id").alias("id_a"),
+                         F.col("b._id").alias("id_b"),
+                         dedupe.hamming64(F.col("a._sh"),
+                                          F.col("b._sh")).alias("hamming"))
+                 .filter(F.col("hamming") <= h))
+        exp = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+        got = {(r["id_a"], r["id_b"])
+               for r in dedupe.simhash_pairs(docs, max_hamming=h).collect()}
+        assert got == exp and (h < 16 or exp), (h, len(exp), len(got))
+
+
 def test_simhash_stability(spark, dup_docs):
     a = dup_docs.select(dedupe.simhash64(F.col("text")).alias("s")).collect()
     b = dup_docs.select(dedupe.simhash64(F.col("text")).alias("s")).collect()

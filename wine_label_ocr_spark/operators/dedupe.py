@@ -204,21 +204,54 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_bands(sh: Column, n_bands: int) -> Column:
+    """array<struct<band:int, bits:bigint>> — disjoint bit-slices of the
+    64-bit simhash. Widths differ by at most one (64 = Σ widths)."""
+    base, rem = divmod(64, n_bands)
+    out, start = [], 0
+    for j in range(n_bands):
+        w = base + (1 if j < rem else 0)
+        mask = (1 << w) - 1
+        out.append(F.struct(
+            F.lit(j).alias("band"),
+            F.shiftrightunsigned(sh, start).bitwiseAND(F.lit(mask)).alias("bits")))
+        start += w
+    return F.array(*out)
+
+
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 8,
-                  prefix_bits: int = 12) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits
-    (cheap blocking), verify hamming distance within buckets.
+                  n_bands: int | None = None,
+                  max_bucket: int = 2000) -> DataFrame:
+    """Near-dup pairs by SimHash with a pigeonhole recall guarantee.
 
-    A production multi-probe variant would bucket on several bit-rotations;
-    one prefix is the single-probe baseline.
+    The 64 bits split into ``n_bands`` disjoint bands (default
+    ``max_hamming + 1``): a pair within hamming ≤ max_hamming differs in at
+    most max_hamming bands, so it MUST collide exactly on at least one —
+    full recall, unlike the r1 single-prefix probe that missed pairs
+    differing in the top bits. Candidates come from band-bucket collisions
+    (one shuffle on (band, bits)); exact hamming verifies. Oversized
+    buckets are dropped like minhash's skew guard (cost bound; recall caveat
+    applies only to docs inside a dropped bucket).
     """
+    n_bands = n_bands if n_bands is not None else max_hamming + 1
+    if n_bands > 64:
+        raise ValueError("n_bands must be <= 64")
     s = df.select(F.col(id_col).alias("_id"),
                   simhash64(F.col(text_col)).alias("_sh"))
-    s = s.withColumn("_bucket", F.shiftrightunsigned("_sh", 64 - prefix_bits))
-    a, b = s.alias("a"), s.alias("b")
-    return (a.join(b, (F.col("a._bucket") == F.col("b._bucket"))
+    buck = s.select(
+        "_id", "_sh",
+        F.explode(simhash_bands(F.col("_sh"), n_bands)).alias("_b"),
+    ).select("_id", "_sh", F.col("_b.band").alias("band"),
+             F.col("_b.bits").alias("bits"))
+    sized = buck.withColumn(
+        "_bn", F.count("*").over(W.partitionBy("band", "bits")))
+    buck = sized.filter(F.col("_bn") <= max_bucket).drop("_bn")
+    a, b = buck.alias("a"), buck.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bits") == F.col("b.bits"))
                    & (F.col("a._id") < F.col("b._id")))
             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
                     hamming64(F.col("a._sh"), F.col("b._sh")).alias("hamming"))
+            .dropDuplicates(["id_a", "id_b"])
             .filter(F.col("hamming") <= max_hamming))
