@@ -97,6 +97,58 @@ def test_stream_equals_batch(spark, tmp_path):
         assert g["ema"] == pytest.approx(w["ema"], rel=1e-12)
 
 
+def test_processing_time_cadence_with_backpressure(spark, tmp_path):
+    """ST1: the reference's 0.25 s loop cadence (Char_Count_TurnTable.py:20,
+    228-230) maps to trigger(processingTime='250 milliseconds') with
+    maxFilesPerTrigger=1 as the bounded-queue backpressure analog — each
+    tick admits one file, so the trace accumulates over several real
+    micro-batches instead of one availableNow drain."""
+    import time
+
+    events = (spark.read.parquet(f"{SF}/events.parquet")
+              .filter(F.col("user_id") < 5)
+              .select("user_id", "event_id", "ts", "value").cache())
+    n_total = events.count()
+    src = str(tmp_path / "src")
+    # three time-ordered files → three paced micro-batches
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    qs = events.agg(F.expr(
+        "percentile_approx(unix_millis(cast(ts as timestamp)), array(0.33, 0.66))")
+    ).collect()[0][0]
+    parts = [events.filter(ms <= qs[0]),
+             events.filter((ms > qs[0]) & (ms <= qs[1])),
+             events.filter(ms > qs[1])]
+    for i, p in enumerate(parts, 1):
+        p.coalesce(1).write.parquet(src + f"/f={i}")
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/f=*"))
+    q = (ST.ema_phase_stream(stream)
+         .writeStream.format("memory").queryName("paced")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(processingTime="250 milliseconds").start())
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("select count(*) from paced").collect()[0][0] == n_total:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    got = spark.sql("select * from paced").orderBy("user_id", "event_id").collect()
+    assert len(got) == n_total
+    # backpressure: the data arrived over >= 3 separate micro-batches
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 3, [p["numInputRows"] for p in q.recentProgress]
+    assert all(p["numInputRows"] < n_total for p in data_batches)
+    # and the paced trace still equals the batch twin
+    want = ST.ema_phase_batch(events).orderBy("user_id", "event_id").collect()
+    for g, w in zip(got, want):
+        assert (g["event_id"], g["phase"], g["capture"]) == \
+               (w["event_id"], w["phase"], w["capture"])
+
+
 def test_sessionize(spark):
     t0 = datetime(2024, 1, 1)
     rows = [(1, 1, t0, 1.0), (1, 2, t0 + timedelta(seconds=30), 1.0),
