@@ -474,11 +474,11 @@ def q_ema_final(spark, sf):  # W4/ST3 — recursive EMA per key (final value)
     from wine_label_ocr_spark.streaming.state import ema_phase_batch
     e = _t(spark, sf, "events")
     trace = ema_phase_batch(e)
-    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (trace.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("user_id").cast("bigint").alias("user_id"),
-                    F.round("ema", 6).alias("ema_final")))
+    # last-row-per-key via max_by: reuses the kernel's user_id hash
+    # partitioning (no second shuffle/sort like a desc row_number window)
+    return (trace.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+            .agg(F.round(F.max_by("ema", F.struct("ts", "event_id")), 6)
+                 .alias("ema_final")))
 
 
 def q_sessionize(spark, sf):  # ST6 — inactivity-gap sessions (native windows)

@@ -21,6 +21,29 @@ def _mk_events(spark, samples, user_id=1):
         rows, "user_id bigint, event_id bigint, ts timestamp, value double")
 
 
+def test_kernel_matches_step_reference():
+    """The inlined fast kernel must stay bit-identical to the documented
+    single-step reference implementation (_step)."""
+    import pandas as pd
+    from datetime import datetime, timedelta
+    t0 = datetime(2024, 1, 1)
+    vals = [10, 14, 18, 30, 30, 5, 5, 5, 5, 40, 40, 2, 2, 2, 2, 2, 39, 41]
+    pdf = pd.DataFrame({
+        "user_id": [1] * len(vals),
+        "event_id": list(range(len(vals))),
+        "ts": [t0 + timedelta(seconds=0.25 * i) for i in range(len(vals))],
+        "value": [float(v) for v in vals]})
+    out, final = ST._run_kernel(pdf.copy(), ST._fresh_state())
+    st = ST._fresh_state()
+    for i, r in enumerate(pdf.itertuples(index=False)):
+        st, cap = ST._step(st, r.ts.timestamp(), float(r.value))
+        assert out["ema"][i] == st["ema"], i
+        assert out["peak"][i] == st["peak"], i
+        assert out["phase"][i] == st["phase"], i
+        assert bool(out["capture"][i]) == cap, i
+    assert final == st
+
+
 def test_ema_values(spark):
     df = _mk_events(spark, [10.0, 20.0, 20.0])
     out = sorted(ST.ema_phase_batch(df).collect(), key=lambda r: r["event_id"])

@@ -86,26 +86,79 @@ def _fresh_state() -> dict[str, Any]:
 
 
 def _run_kernel(pdf: pd.DataFrame, state: dict[str, Any]) -> tuple[pd.DataFrame, dict]:
-    """Shared kernel: ts-sorted events × state → output trace + final state."""
+    """Shared kernel: ts-sorted events × state → output trace + final state.
+
+    Inner loop is ``_step`` inlined over pre-extracted numpy columns —
+    float ops stay in the exact sequential order of ``_step`` (bit-identical
+    results; the DuckDB EMA oracle folds the same way), but the per-row
+    pandas itertuples/dict overhead is gone (~4× on the sf0.1 bench).
+    """
     pdf = pdf.sort_values(["ts", "event_id"])
-    out = []
-    for r in pdf.itertuples(index=False):
-        ts_sec = r.ts.timestamp()
-        state, capture = _step(state, ts_sec, float(r.value))
-        out.append((int(r.user_id), int(r.event_id), r.ts, float(r.value),
-                    state["ema"], state["peak"], state["phase"], capture))
-    cols = ["user_id", "event_id", "ts", "value", "ema", "peak", "phase", "capture"]
-    return pd.DataFrame(out, columns=cols), state
+    ts_secs = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") / 1e9
+    values = pdf["value"].to_numpy(dtype="float64")
+    ema, peak = state["ema"], state["peak"]
+    phase, below_since = state["phase"], state["below_since"]
+    captured = state["captured"]
+    n = len(values)
+    emas = [0.0] * n
+    peaks = [0.0] * n
+    phases = [""] * n
+    captures = [False] * n
+    for i in range(n):
+        value = values[i]
+        ema = value if ema is None else ALPHA * value + (1 - ALPHA) * ema
+        capture = False
+        if peak is None or ema > peak + PEAK_BUMP_MIN:
+            if peak is None or ema > peak:
+                peak = ema
+        if phase == "SCAN":
+            if peak is not None and ema <= peak - DROP_TO_START:
+                phase = "SEEK"
+        elif phase == "SEEK":
+            if peak is not None and ema >= peak - UNLOCK_MARGIN:
+                phase = "LOCKED"
+                below_since = None
+                if not captured:
+                    capture = True      # ST7: once per first lock
+                    captured = True
+        else:  # LOCKED
+            if peak is not None and ema < peak - UNLOCK_MARGIN:
+                ts_sec = ts_secs[i]
+                if below_since is None:
+                    below_since = ts_sec
+                elif ts_sec - below_since >= UNLOCK_DWELL:
+                    phase = "SEEK"
+                    below_since = None
+            else:
+                below_since = None
+        emas[i] = ema
+        peaks[i] = peak
+        phases[i] = phase
+        captures[i] = capture
+    out = pd.DataFrame({
+        "user_id": pdf["user_id"].to_numpy(), "event_id": pdf["event_id"].to_numpy(),
+        "ts": pdf["ts"].to_numpy(), "value": values,
+        "ema": emas, "peak": peaks, "phase": phases, "capture": captures})
+    return out, {"ema": ema, "peak": peak, "phase": phase,
+                 "below_since": below_since, "captured": captured}
 
 
-def ema_phase_batch(events: DataFrame) -> DataFrame:
-    """Batch twin: per-key kernel over full history via applyInPandas."""
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        out, _ = _run_kernel(pdf, _fresh_state())
-        return out
+def ema_phase_batch(events: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """Batch twin: per-key kernel over full history via applyInPandas.
 
-    return (events.select("user_id", "event_id", "ts", "value")
-            .groupBy("user_id").applyInPandas(run, schema=OUTPUT_DDL))
+    The groupBy is fed by an EXPLICIT hash repartition on user_id: AQE's
+    byte-based coalescing sees a few MB of shuffle data and merges the
+    Python-kernel stage down to 1-2 tasks, serializing the CPU-bound work;
+    a user-specified partition count is exempt from coalescing. groupBy on
+    the same key reuses the exchange, so this adds no extra shuffle.
+    """
+    ev = events.select("user_id", "event_id", "ts", "value")
+    n = n_partitions or max(
+        events.sparkSession.sparkContext.defaultParallelism * 2, 16)
+    return (ev.repartition(n, "user_id")
+            .groupBy("user_id").applyInPandas(
+                lambda pdf: _run_kernel(pdf, _fresh_state())[0],
+                schema=OUTPUT_DDL))
 
 
 def _stateful_fn(key: tuple, pdfs: Iterable[pd.DataFrame],
