@@ -329,9 +329,11 @@ def q_cosine_topk(spark, sf):  # ann: exact brute-force cosine top-k
     return cosine_topk(q, rounded, k=5)
 
 
-def q_rp_lsh_topk(spark, sf):  # ann: LSH-bucketed approximate top-k (rows-only)
+def q_rp_lsh_topk(spark, sf):  # ann: LSH-bucketed approximate top-k, oracle-checked
     from wine_label_ocr_spark.operators.ann import rp_lsh_topk
-    e = _t(spark, sf, "embeddings")
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double"), 3)).alias("embedding"))
     q = (e.filter(F.col("vec_id") % 100 == 0)
          .select(F.col("vec_id").alias("q_id"), "embedding"))
     return rp_lsh_topk(q, e, dim=64, k=5, n_planes=6)
@@ -660,6 +662,53 @@ def _near_dup_oracle_sql(n_planes=8, dim=64, min_cosine=0.95) -> str:
     """
 
 
+def _rp_lsh_oracle_sql(n_planes=6, dim=64, k=5) -> str:
+    """DuckDB twin of rp_lsh_topk over 3dp-rounded doubles: same inlined
+    hyperplanes/bucketing as _near_dup_oracle_sql, then per-query exact
+    cosine re-rank within the query's bucket."""
+    from wine_label_ocr_spark.operators.ann import _hyperplanes
+    planes = _hyperplanes(n_planes, dim)
+    rows = ", ".join(
+        f"({p}, [{', '.join(('1.0' if w > 0 else '-1.0') for w in pl)}])"
+        for p, pl in enumerate(planes))
+    dotv = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(generate_series(1, {d}), i -> e[i] * pl[i])), "
+            "(a, b) -> a + b)").format(d=dim)
+    sq = ("sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+          "list_transform({v}, x -> x * x)), (a, b) -> a + b))")
+    return f"""
+        WITH base AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> round(CAST(x AS DOUBLE), 3)) AS e
+          FROM embeddings),
+        planes(p, pl) AS (VALUES {rows}),
+        sig AS (
+          SELECT vec_id, e,
+                 CAST(SUM(CASE WHEN {dotv} > 0
+                          THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+                          ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+          FROM base, planes GROUP BY vec_id, e),
+        q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM sig
+              WHERE vec_id % 100 = 0),
+        scored AS (
+          SELECT q.q_id, c.vec_id AS c_id,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(generate_series(1, {dim}),
+                                    i -> qe[i] * c.e[i])), (x, y) -> x + y)
+                 / GREATEST({sq.format(v='qe')} * {sq.format(v='c.e')},
+                            CAST(1e-12 AS DOUBLE)) AS cosine
+          FROM q JOIN sig c ON q.bucket = c.bucket)
+        -- rank on the UNROUNDED cosine (matches the Spark window), round
+        -- only in the projection
+        SELECT q_id, c_id, ROUND(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+        FROM (SELECT q_id, c_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cosine DESC, c_id) AS rank
+              FROM scored)
+        WHERE rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from wine_label_ocr_spark.operators.textops import (
         BPE_ISH_PATTERN, LANG_MARKERS, QUALITY_STOPWORDS)
@@ -852,6 +901,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
         """,
         "minhash_lsh": _minhash_oracle_sql(),
+        "rp_lsh_topk": _rp_lsh_oracle_sql(),
         "simhash_fingerprints": _simhash_oracle_sql(),
         "embedding_near_dup": _near_dup_oracle_sql(),
         "media_features": """
