@@ -89,3 +89,33 @@ def test_raw_candidate_buckets(records):
         or raw["year_candidates"] == []  # year may come from the raw_text fallback
     assert all(0.0 <= b["conf"] <= 1.1 for b in raw["blocks"])
     assert row["text"].startswith(raw["blocks"][0]["text"][:10])
+
+
+def test_best_maker_from_raw(spark):
+    """E9 — pooled-candidate argmax mirrors _extract_best_maker_from_raw
+    (final_run_ocr.py:361-373): reserved buckets skipped, len>=3 / '.'
+    gate, normalize, longest wins with FIRST-wins tie-break."""
+    from pyspark.sql import functions as F
+    from wine_label_ocr_spark.operators.extraction import best_maker_from_raw
+    ddl = "raw map<string, array<struct<text:string, conf:double>>>"
+    mk = lambda *ts: [{"text": t, "conf": 1.0} for t in ts]  # noqa: E731
+    rows = [
+        # named bucket first; "ZZ" gated (len<3); "." gated; ties: first wins
+        ({"maker_name_candidates": mk("opus one"),
+          "vintage_candidates": mk("SHOULD NOT APPEAR EVER"),
+          "blocks": mk("ZZ", ".", "chateau margaux", "ABCDEFGH MARGAUX")},),
+        # normalization may shrink a longer raw string below a shorter one
+        ({"maker_name_candidates": mk("aaa bbb"),
+          "blocks": mk("@@@@@@@@@@@@@@@@x!")},),
+        ({"maker_name_candidates": [], "blocks": mk("ZZ", ".")},),
+    ]
+    df = spark.createDataFrame(rows, ddl)
+    got = [r["best"] for r in
+           df.select(best_maker_from_raw(F.col("raw")).alias("best")).collect()]
+    # row 1: "CHATEAU MARGAUX" and "ABCDEFGH MARGAUX" both 15/16 chars;
+    # ABCDEFGH MARGAUX is longer (16) -> wins; reserved bucket excluded
+    assert got[0] == "ABCDEFGH MARGAUX"
+    # row 2: "@...x!" normalizes to "X" (len 1) -> "AAA BBB" wins
+    assert got[1] == "AAA BBB"
+    # row 3: everything gated -> NULL
+    assert got[2] is None

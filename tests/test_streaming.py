@@ -172,6 +172,29 @@ def test_processing_time_cadence_with_backpressure(spark, tmp_path):
                (w["event_id"], w["phase"], w["capture"])
 
 
+def test_rate_source_device_analog(spark, tmp_path):
+    """S6/S7: frames from the rate source (webcam/DepthAI analog) drive the
+    same stateful program; the source paces emission (backpressure bound)."""
+    q = (ST.ema_phase_stream(ST.synthetic_frames_stream(spark, rows_per_second=200))
+         .writeStream.format("memory").queryName("frames")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="250 milliseconds").start())
+    import time
+    deadline = time.time() + 60
+    try:
+        while time.time() < deadline:
+            if spark.sql("select count(*) from frames").collect()[0][0] >= 100:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    rows = spark.sql("select * from frames").collect()
+    assert len(rows) >= 100
+    assert all(r["phase"] in ST.PHASES for r in rows)
+    assert all(10.0 <= r["value"] <= 30.0 for r in rows)
+
+
 def test_sessionize(spark):
     t0 = datetime(2024, 1, 1)
     rows = [(1, 1, t0, 1.0), (1, 2, t0 + timedelta(seconds=30), 1.0),

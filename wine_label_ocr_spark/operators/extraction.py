@@ -74,6 +74,37 @@ def barcode_col(head_raw: Column) -> Column:
     return F.nullif(c, F.lit(""))
 
 
+# buckets the reference's candidate pool skips (final_run_ocr.py:364-366)
+RESERVED_RAW_BUCKETS = ("maker_name_candidates", "vintage_candidates",
+                        "vintage_from_maker_region", "vintage_from_fallback")
+
+
+def best_maker_from_raw(raw: Column) -> Column:
+    """E9 — ``_extract_best_maker_from_raw`` (final_run_ocr.py:361-373) as
+    one native column fold: pool the maker_name_candidates bucket first,
+    then every non-reserved bucket in map order; gate ``len(strip) >= 3``
+    and ``!= '.'``; normalize (E7 charset); pick the longest with
+    FIRST-wins tie-break (Python ``max(key=len)`` keeps the first maximum,
+    so the fold only replaces on strictly-greater length)."""
+    named = F.transform(F.coalesce(raw["maker_name_candidates"],
+                                   F.array().cast("array<struct<text:string,conf:double>>")),
+                        lambda s: s["text"])
+    others = F.filter(F.map_entries(raw),
+                      lambda e: ~e["key"].isin(*RESERVED_RAW_BUCKETS))
+    pooled = F.flatten(F.transform(
+        others, lambda e: F.transform(e["value"], lambda s: s["text"])))
+    cands = F.concat(named, pooled)
+    gated = F.filter(cands, lambda t: t.isNotNull()
+                     & (F.length(F.trim(t)) >= 3) & (F.trim(t) != "."))
+    normed = F.filter(F.transform(gated, normalize_maker_col),
+                      lambda t: t.isNotNull())
+    return F.aggregate(
+        normed, F.lit(None).cast("string"),
+        lambda best, t: F.when(best.isNull()
+                               | (F.length(t) > F.length(best)), t)
+                         .otherwise(best))
+
+
 def extract_fields(seg: DataFrame) -> DataFrame:
     """Segmented pages → typed record columns (E6 dispatch analog).
 

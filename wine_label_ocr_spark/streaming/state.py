@@ -194,6 +194,26 @@ def ema_phase_stream(events_stream: DataFrame) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def synthetic_frames_stream(spark, rows_per_second: int = 30,
+                            n_users: int = 4) -> DataFrame:
+    """S6/S7 — device/webcam source analog: the Structured Streaming rate
+    source emitting frames at a fixed FPS, standing in for the reference's
+    DepthAI 30 FPS bounded-queue loop (QRCodeScanner.py:34-57) and
+    cv2.VideoCapture poll (Char_Count_TurnTable.py:135-139). The rate cap
+    IS the backpressure bound — frames never arrive faster than the
+    configured cadence, the maxSize=4 queue-drop analog. ``value`` is a
+    deterministic wave of the frame index, so the phase machine downstream
+    has structure to lock onto."""
+    r = (spark.readStream.format("rate")
+         .option("rowsPerSecond", rows_per_second).load())
+    return r.select(
+        (F.col("value") % n_users).cast("bigint").alias("user_id"),
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.lit(20.0) + F.lit(10.0)
+         * F.sin(F.col("value").cast("double") / 7.0)).alias("value"))
+
+
 def windowed_counts_stream(events_stream: DataFrame,
                            watermark: str = "10 seconds",
                            window: str = "5 seconds") -> DataFrame:
