@@ -261,6 +261,44 @@ def q_extract_pdf_pipeline(spark, sf):
         "text")
 
 
+def q_warc_extract(spark, sf):
+    """WARC ingestion under the correctness gate: documents rendered as
+    pages → written to WARC shards (Common-Crawl's container) → read back
+    through the distributed binaryFile scan → full two-stage extraction.
+    The oracle recomputes the expected fields from documents directly, so
+    a hash match proves the WARC path is byte-faithful end-to-end."""
+    import hashlib as _h
+    import os
+    import tempfile
+
+    from wine_label_ocr_spark.fixtures import documents_as_pages
+    from wine_label_ocr_spark.operators.extraction import extract_fields
+    from wine_label_ocr_spark.operators.segmentation import segment
+    from wine_label_ocr_spark.sources.warc import read_warc, write_warc
+
+    tag = _h.md5(sf.encode()).hexdigest()[:10]
+    shard_dir = os.path.join(tempfile.gettempdir(), f"wlos_warc_{tag}")
+    done = os.path.join(shard_dir, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(shard_dir, exist_ok=True)
+        rows = sorted(documents_as_pages(spark, sf).collect(),
+                      key=lambda r: r["url"])
+        per = max(len(rows) // 4, 1)
+        for i in range(0, len(rows), per):
+            write_warc(os.path.join(shard_dir, f"shard-{i:06d}.warc"),
+                       ({"url": r["url"], "warc_ts": r["warc_ts"],
+                         "html": bytes(r["html"]), "lang": r["lang"]}
+                        for r in rows[i:i + per]))
+        open(done, "w").close()
+    pages = read_warc(spark, os.path.join(shard_dir, "*.warc"))
+    rec = extract_fields(segment(pages))
+    return rec.select(
+        F.regexp_extract("url", r"/doc/(\d+)", 1).cast("bigint").alias("doc_id"),
+        "maker_name",
+        F.col("vintage").cast("int").alias("vintage"),
+        "text")
+
+
 def q_bpe_token_counts(spark, sf):  # textops: BPE-ish tokenizer
     from wine_label_ocr_spark.operators.textops import bpe_ish_token_count
     d = _t(spark, sf, "documents")
@@ -521,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_blocked_join": q_fuzzy_blocked_join,
         "extract_fields_pipeline": q_extract_fields_pipeline,
         "extract_pdf_pipeline": q_extract_pdf_pipeline,
+        "warc_extract": q_warc_extract,
         "bpe_token_counts": q_bpe_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -845,6 +884,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    'pdf' AS method,
                    concat('PDF DOC ', CAST(doc_id AS VARCHAR)) AS maker_name,
+                   text
+            FROM documents
+        """,
+        "warc_extract": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   concat(UPPER(source), ' DOC ', CAST(doc_id AS VARCHAR)) AS maker_name,
+                   CAST(1900 + doc_id % 131 AS INT) AS vintage,
                    text
             FROM documents
         """,

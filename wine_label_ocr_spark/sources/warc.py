@@ -1,0 +1,138 @@
+"""WARC source — Common-Crawl's native container format as an input.
+
+The north rule's input is "Common-Crawl-style web pages"; at 100 TB those
+arrive as sharded ``.warc`` files (~1 GB each), not parquet. This module
+adds a distributed WARC reader so a user can point the engine straight at
+a crawl: ``binaryFile`` scan (one task per shard — exactly how
+Common-Crawl parallelism works, thousands of shards) → Arrow-batched
+``mapInPandas`` record splitter → the same pages schema
+``(url, warc_ts, html, lang)`` the rest of the pipeline consumes.
+
+Format handled (public WARC/1.0 subset): records of
+
+    WARC/1.0\\r\\n
+    <Name>: <value>\\r\\n ...          (headers)
+    \\r\\n
+    <Content-Length bytes of payload>
+    \\r\\n\\r\\n                        (record separator)
+
+``response`` records carry the page bytes as the payload (no embedded
+HTTP envelope — the WARC-Identified-Payload-Type style of storage);
+other record types (warcinfo, request, metadata) are skipped. Truncated
+trailing records are dropped, not fatal (ST8 tolerant-parse policy).
+
+Scale notes: parallelism = shard count (a WARC shard is not splittable
+mid-record, the same constraint gzip imposes on real crawls); per-task
+memory is one shard. Writers shard accordingly (``write_warc`` in
+fixtures/tests writes one shard per call).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_PAGES_DDL = "url string, warc_ts timestamp, html binary, lang string"
+
+_DATE_FMT = "%Y-%m-%dT%H:%M:%S.%fZ"
+
+
+def format_warc_record(url: str, warc_ts: datetime, payload: bytes,
+                       lang: str | None = None,
+                       record_type: str = "response") -> bytes:
+    """One WARC/1.0 record (deterministic byte layout for golden tests)."""
+    headers = [
+        ("WARC-Type", record_type),
+        ("WARC-Target-URI", url),
+        ("WARC-Date", warc_ts.strftime(_DATE_FMT)),
+    ]
+    if lang is not None:
+        headers.append(("WARC-Identified-Content-Language", lang))
+    headers.append(("Content-Length", str(len(payload))))
+    head = b"WARC/1.0\r\n" + b"".join(
+        f"{k}: {v}\r\n".encode("utf-8") for k, v in headers) + b"\r\n"
+    return head + payload + b"\r\n\r\n"
+
+
+def write_warc(path: str, rows: Iterable[dict]) -> int:
+    """Write one WARC shard from dicts with (url, warc_ts, html[, lang]).
+
+    Fixture/test helper (driver-side by design: a shard is a single
+    sequential file). Returns the number of records written.
+    """
+    n = 0
+    with open(path, "wb") as f:
+        f.write(format_warc_record(
+            "urn:warcinfo", datetime(2025, 1, 1, tzinfo=timezone.utc),
+            b"software: wine_label_ocr_spark\r\n", record_type="warcinfo"))
+        for r in rows:
+            f.write(format_warc_record(r["url"], r["warc_ts"], r["html"],
+                                       r.get("lang")))
+            n += 1
+    return n
+
+
+def parse_warc_bytes(blob: bytes) -> Iterator[tuple[str, datetime, bytes, str | None]]:
+    """Split one shard's bytes into (url, ts, payload, lang) tuples.
+
+    Pure function (stdlib only) shared by the Spark reader and tests.
+    Tolerant: malformed/truncated records end the shard instead of raising.
+    """
+    pos = 0
+    n = len(blob)
+    while True:
+        start = blob.find(b"WARC/1.0\r\n", pos)
+        if start < 0:
+            return
+        head_end = blob.find(b"\r\n\r\n", start)
+        if head_end < 0:
+            return
+        headers: dict[str, str] = {}
+        for line in blob[start + 10:head_end].split(b"\r\n"):
+            k, sep, v = line.partition(b": ")
+            if sep:
+                headers[k.decode("utf-8", "replace").lower()] = \
+                    v.decode("utf-8", "replace")
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = head_end + 4
+            continue
+        body_start = head_end + 4
+        if body_start + length > n:
+            return  # truncated trailing record — tolerated, dropped
+        pos = body_start + length
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        try:
+            ts = datetime.strptime(headers.get("warc-date", ""), _DATE_FMT)
+        except ValueError:
+            ts = None
+        yield url, ts, blob[body_start:pos], \
+            headers.get("warc-identified-content-language")
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed WARC scan → pages DataFrame (url, warc_ts, html, lang).
+
+    One input row (= one task) per shard via the binaryFile source; the
+    record splitter runs as a pure map, so everything downstream
+    (segment → extract) pipelines exactly as it does from parquet.
+    """
+    def split(batches: Iterable) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                b = bytes(blob) if not isinstance(blob, bytes) else blob
+                rows.extend(parse_warc_bytes(b))
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "lang"])
+
+    return (spark.read.format("binaryFile").load(path_glob)
+            .select("content")
+            .mapInPandas(split, schema=WARC_PAGES_DDL))
