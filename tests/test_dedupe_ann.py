@@ -148,6 +148,28 @@ def test_embedding_near_dup_finds_planted_dup(spark, emb):
     assert any(r["id_b"] - r["id_a"] == 100000 for r in pairs)
 
 
+def test_ivf_index_prunes_partitions(spark, emb, tmp_path):
+    """The written IVF layout must prove its point: a query scan reads only
+    the probed cells' files (partition pruning), and results match the
+    in-memory ivf_topk contract (self-match at rank 1)."""
+    path = str(tmp_path / "ivf_index")
+    ann.ivf_index_write(emb, path, n_cells=8, iters=2)
+    q = emb.limit(4).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = ann.ivf_index_topk(spark, path, q, k=3, nprobe=2)
+    full = spark.read.parquet(path)
+    pruned = full.filter(F.col("cell").isin([0, 1]))
+    files_read = lambda df: df.select(  # noqa: E731
+        F.input_file_name()).distinct().count()
+    assert files_read(pruned) < files_read(full)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
+    rows = out.collect()
+    got = {r["q_id"]: r for r in rows if r["rank"] == 1}
+    assert all(got[qid]["c_id"] == qid and got[qid]["cosine"] == 1.0
+               for qid in got), rows
+    assert len(got) == 4
+
+
 def test_parse_image_header_real_bytes():
     """REAL stdlib header decode on hand-built PNG/JPEG/GIF bytes."""
     import struct

@@ -200,6 +200,84 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
             .select("q_id", "c_id", F.round("cosine", 6).alias("cosine"), "rank"))
 
 
+def ivf_index_write(corpus: DataFrame, path: str, n_cells: int = 16,
+                    iters: int = 2, c_id: str = "vec_id",
+                    c_vec: str = "embedding", seed: int = 42) -> list[list[float]]:
+    """Materialize the IVF layout the docstring of ivf_topk promises: the
+    corpus written partitioned BY CELL, centroids persisted alongside.
+
+    At 10^12 rows this is the entire point of IVF — a query must read only
+    nprobe/n_cells of the data, and with ``partitionBy("cell")`` that
+    pruning happens at the FILE level in the scan (PartitionFilters), not
+    as a post-read filter. Returns the trained centroids.
+    """
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = ivf_train_centroids(corpus, k=n_cells, iters=iters,
+                                c_vec=c_vec, seed=seed)
+    C = np.array(cents, dtype=np.float64)
+
+    def assign(s):
+        M = np.array(s.tolist(), dtype=np.float64)
+        d2 = ((M ** 2).sum(1)[:, None] + (C ** 2).sum(1)[None, :]
+              - 2 * M @ C.T)
+        return pd.Series(d2.argmin(1).astype("int32"))
+
+    assign_udf = pandas_udf(assign, "int")
+    (corpus.select(F.col(c_id).alias("vec_id"),
+                   F.col(c_vec).alias("embedding"),
+                   assign_udf(F.col(c_vec)).alias("cell"))
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+    with open(os.path.join(path, "_centroids.json"), "w", encoding="utf-8") as f:
+        json.dump({"n_cells": n_cells, "seed": seed, "centroids": cents}, f)
+    return cents
+
+
+def ivf_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
+                   nprobe: int = 2, q_id: str = "q_id",
+                   q_vec: str = "embedding") -> DataFrame:
+    """Query a written IVF index: probe cells resolve driver-side (tiny
+    k×dim math), become LITERAL partition predicates on the scan —
+    ``cell IN (...)`` prunes untouched cells' files before any IO — then
+    exact cosine re-ranks inside the probed cells.
+    """
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    with open(os.path.join(path, "_centroids.json"), encoding="utf-8") as f:
+        C = np.array(json.load(f)["centroids"], dtype=np.float64)
+
+    def probes(s):
+        M = np.array(s.tolist(), dtype=np.float64)
+        d2 = ((M ** 2).sum(1)[:, None] + (C ** 2).sum(1)[None, :]
+              - 2 * M @ C.T)
+        return pd.Series(list(np.argsort(d2, axis=1)[:, :nprobe].astype("int32")))
+
+    q = queries.select(F.col(q_id).alias("q_id"), F.col(q_vec).alias("_qv"),
+                       F.explode(pandas_udf(probes, "array<int>")(F.col(q_vec)))
+                       .alias("cell"))
+    cells = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    index = (spark.read.parquet(path)
+             .filter(F.col("cell").isin(cells)))  # literal → partition pruning
+    scored = (index.join(F.broadcast(q), "cell")
+              .select("q_id", F.col("vec_id").alias("c_id"),
+                      cosine(F.col("_qv"), F.col("embedding")).alias("cosine"))
+              .dropDuplicates(["q_id", "c_id"]))
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "c_id", F.round("cosine", 6).alias("cosine"), "rank"))
+
+
 def embedding_near_dup(corpus: DataFrame, dim: int, min_cosine: float = 0.95,
                        n_planes: int = 12, seed: int = 42,
                        c_id: str = "vec_id", c_vec: str = "embedding") -> DataFrame:
