@@ -206,6 +206,35 @@ def test_sessionize(spark):
     assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
 
 
+def test_sessionize_stream_equals_batch(spark, tmp_path):
+    """ST6 streaming twin: cross-micro-batch session continuation must
+    reproduce the batch window form exactly."""
+    events = (spark.read.parquet(f"{SF}/events.parquet")
+              .filter(F.col("user_id") < 25)
+              .select("user_id", "event_id", "ts", "value").cache())
+    cut = events.agg(F.expr(
+        "percentile_approx(unix_millis(cast(ts as timestamp)), 0.5)")).collect()[0][0]
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "src")
+    events.filter(ms <= cut).coalesce(1).write.parquet(src + "/a=1")
+    events.filter(ms > cut).coalesce(1).write.parquet(src + "/a=2")
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/a=*"))
+    q = (ST.sessionize_stream(stream, gap_sec=600.0)
+         .writeStream.format("memory").queryName("sess")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from sess").orderBy("user_id", "event_id").collect()
+    want = (ST.sessionize(events, gap_sec=600.0)
+            .select("user_id", "event_id", "ts", "session_seq")
+            .orderBy("user_id", "event_id").collect())
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert (g["event_id"], g["session_seq"]) == (w["event_id"], w["session_seq"])
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """ST2/ST8: an event arriving after its window has been finalized
     (watermark passed the window end in an earlier batch) is dropped and

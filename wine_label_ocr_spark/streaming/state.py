@@ -232,6 +232,57 @@ def windowed_counts_stream(events_stream: DataFrame,
                  F.round(F.max("value") - F.min("value"), 6).alias("spread")))
 
 
+SESSION_STATE_DDL = "last_ts double, session_seq int"
+SESSION_OUT_DDL = ("user_id bigint, event_id bigint, ts timestamp, "
+                   "session_seq int")
+
+
+def sessionize_stream(events_stream: DataFrame, gap_sec: float = 60.0,
+                      idle_evict_sec: float = 3600.0) -> DataFrame:
+    """ST6 streaming twin of ``sessionize``: per-key (last_ts, seq) state
+    under applyInPandasWithState, identical gap logic to the batch window
+    form (tests assert trace equality). State for users idle longer than
+    ``idle_evict_sec`` of PROCESSING time is evicted via the state timeout
+    — the next event simply starts a new session, which the gap rule would
+    have decreed anyway, so eviction bounds state without changing
+    results (for idle_evict_sec ≥ gap_sec)."""
+    gap_ms = gap_sec * 1000.0
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_ts, seq = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            # integer-ms truncation matches the batch twin's unix_millis
+            # (a float /1e6 would carry sub-ms and flip exact-gap edges)
+            ts_ms = (pdf["ts"].to_numpy(dtype="datetime64[ns]")
+                     .astype("int64") // 1_000_000).astype("float64")
+            seqs = [0] * len(pdf)
+            for i, t in enumerate(ts_ms):
+                if last_ts is None or t - last_ts > gap_ms:
+                    seq += 1
+                last_ts = t
+                seqs[i] = seq
+            yield pd.DataFrame({
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "ts": pdf["ts"].to_numpy(), "session_seq": seqs})
+        state.update((last_ts, seq))
+        state.setTimeoutDuration(int(idle_evict_sec * 1000))
+
+    return (events_stream.select("user_id", "event_id", "ts", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                fn,
+                outputStructType=SESSION_OUT_DDL,
+                stateStructType=SESSION_STATE_DDL,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
 def sessionize(events: DataFrame, gap_sec: float = 60.0) -> DataFrame:
     """ST6 — session boundaries from inactivity gaps (batch analog of the
     absent-debounce session counter, Char_Count_TurnTable.py:141-185).
