@@ -330,6 +330,26 @@ def q_content_fingerprint(spark, sf):  # textops: rolling-hash fingerprint
                     doc_fingerprint(F.col("text")).alias("content_fp"))
 
 
+def q_latest_capture(spark, sf):  # A8/U3 — crawl-scale last-wins per url
+    """Keep the newest capture per url (the Common-Crawl recrawl dedup):
+    synthesize recrawls for every 10th doc with a later timestamp, then
+    max_by(ts, doc_id) per url — one shuffle, map-side combinable."""
+    d = _t(spark, sf, "documents").select(
+        F.concat(F.lit("https://x.example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("doc_id").alias("capture_seq"),
+        F.substring("text", 1, 30).alias("body"))
+    recrawl = (d.filter(F.col("doc_id") % 10 == 0)
+               .withColumn("capture_seq", F.col("capture_seq") + 1_000_000)
+               .withColumn("body", F.concat(F.lit("RECRAWL "), "body")))
+    allc = d.unionByName(recrawl)
+    return (allc.groupBy("url")
+            .agg(F.max_by("body", "capture_seq").alias("body"),
+                 F.max("capture_seq").alias("latest_seq"),
+                 F.count(F.lit(1)).alias("n_captures")))
+
+
 def q_exact_dedup(spark, sf):  # dedupe: exact content dedup
     from wine_label_ocr_spark.operators.dedupe import exact_dedup
     d = _t(spark, sf, "documents")
@@ -564,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "content_fingerprint": q_content_fingerprint,
+        "latest_capture": q_latest_capture,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -940,6 +961,25 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id,
                          list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
                   FROM documents)
+        """,
+        "latest_capture": """
+            WITH d AS (
+              SELECT concat('https://x.example/doc/', CAST(doc_id AS VARCHAR)) AS url,
+                     CAST(doc_id AS BIGINT) AS doc_id,
+                     doc_id AS capture_seq,
+                     substr(text, 1, 30) AS body
+              FROM documents),
+            allc AS (
+              SELECT * FROM d
+              UNION ALL
+              SELECT url, doc_id, capture_seq + 1000000 AS capture_seq,
+                     concat('RECRAWL ', body) AS body
+              FROM d WHERE doc_id % 10 = 0)
+            SELECT url,
+                   max_by(body, capture_seq) AS body,
+                   CAST(MAX(capture_seq) AS BIGINT) AS latest_seq,
+                   COUNT(*) AS n_captures
+            FROM allc GROUP BY url
         """,
         "exact_dedup": """
             SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
