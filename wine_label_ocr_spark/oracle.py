@@ -220,10 +220,14 @@ def lex_blocks(decoded: str) -> list[dict[str, Any]]:
         cur_tag = next_tag
 
     pos = 0
+    # local bindings — the loop runs once per tag over every document
+    skip_set, boiler_set, block_set = SKIP_CONTAINERS, BOILER_CONTAINERS, BLOCK_TAGS
     for m in _TAG_RE.finditer(decoded):
         pre = decoded[pos:m.start()]
         if pre and skip_depth == 0:
-            if pre.strip():
+            # not-isspace() ≡ strip() truthiness for non-empty strings,
+            # without allocating the stripped copy
+            if not pre.isspace():
                 segs.append((pre, link_depth > 0))
                 if boiler_depth > 0:
                     seg_boiler = True
@@ -234,7 +238,7 @@ def lex_blocks(decoded: str) -> list[dict[str, Any]]:
         if g2 is None:
             continue  # comment / doctype / CDATA
         closing, tag, selfclosed = g1 == "/", g2.lower(), g4 == "/"
-        if tag in SKIP_CONTAINERS:
+        if tag in skip_set:
             if selfclosed:
                 pass
             elif closing:
@@ -249,18 +253,18 @@ def lex_blocks(decoded: str) -> list[dict[str, Any]]:
             elif not selfclosed:
                 link_depth += 1
             continue
-        if tag in BOILER_CONTAINERS:
+        if tag in boiler_set:
             if closing:
                 boiler_depth = max(0, boiler_depth - 1)
             elif not selfclosed:
                 boiler_depth += 1
             flush(tag if not closing else cur_tag)
             continue
-        if tag in BLOCK_TAGS:
+        if tag in block_set:
             flush(tag if not closing else cur_tag)
     # trailing text after the last tag (degraded/truncated documents)
     tail = decoded[pos:]
-    if tail.strip() and skip_depth == 0:
+    if tail and not tail.isspace() and skip_depth == 0:
         segs.append((tail, link_depth > 0))
         if boiler_depth > 0:
             seg_boiler = True
