@@ -195,6 +195,25 @@ def test_parse_image_header_real_bytes():
     assert r["feature"] == M.header_features(640, 480, 4)
 
 
+def test_parse_wav_header_real_bytes():
+    import struct
+    from wine_label_ocr_spark.operators import multimodal as M
+    rate, ch, bits, n_samples = 16000, 2, 16, 8000  # 0.5 s stereo
+    block = ch * bits // 8
+    data = b"\0" * (n_samples * block)
+    fmt = (b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, bits))
+    wav = (b"RIFF" + struct.pack("<I", 4 + len(fmt) + 8 + len(data)) + b"WAVE"
+           + fmt + b"data" + struct.pack("<I", len(data)) + data)
+    got = M.parse_wav_header(wav)
+    assert got == {"format": "wav", "channels": 2, "sample_rate": 16000,
+                   "duration_ms": 500}
+    r = M.decode_stub(wav)
+    assert r["channels"] == 2 and r["width"] is None
+    assert M.parse_wav_header(b"RIFFxxxx") is None
+    assert M.parse_wav_header(b"not audio") is None
+
+
 def test_media_fixture_roundtrip(spark):
     """Columnar-built payloads decode to the doc_id-derived dimensions."""
     from wine_label_ocr_spark.fixtures import documents_as_media

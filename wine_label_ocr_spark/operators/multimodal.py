@@ -103,6 +103,39 @@ def parse_image_header(payload: bytes) -> dict | None:
     return None
 
 
+def parse_wav_header(payload: bytes) -> dict | None:
+    """REAL stdlib audio-metadata decode: RIFF/WAVE fmt + data chunks.
+
+    Returns ``{format, channels, sample_rate, duration_ms}`` or None.
+    Chunk walk tolerates unknown chunks (LIST, INFO, ...) and truncation.
+    """
+    if not payload:
+        return None
+    p = bytes(payload)
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    i = 12
+    channels = rate = block_align = None
+    data_len = None
+    while i + 8 <= len(p):
+        cid = p[i:i + 4]
+        clen = int.from_bytes(p[i + 4:i + 8], "little")
+        if cid == b"fmt " and i + 16 <= len(p):
+            channels = int.from_bytes(p[i + 10:i + 12], "little")
+            rate = int.from_bytes(p[i + 12:i + 16], "little")
+            block_align = int.from_bytes(p[i + 20:i + 22], "little") or None
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if not channels or not rate:
+        return None
+    duration_ms = None
+    if data_len is not None and block_align:
+        duration_ms = int(data_len / (rate * block_align) * 1000)
+    return {"format": "wav", "channels": channels, "sample_rate": rate,
+            "duration_ms": duration_ms}
+
+
 def header_features(width: int, height: int, channels: int) -> list[float]:
     """Placeholder feature kernel over the REAL parsed dimensions.
 
@@ -124,6 +157,13 @@ def decode_stub(payload: bytes, fake: bool = False) -> dict:
                 "channels": hdr["channels"], "n_frames": 1,
                 "feature": header_features(hdr["width"], hdr["height"],
                                            hdr["channels"])}
+    wav = parse_wav_header(payload)
+    if wav is not None:
+        return {"width": None, "height": None,
+                "channels": wav["channels"], "n_frames": 1,
+                "feature": header_features(wav["sample_rate"] % 65536,
+                                           wav["duration_ms"] or 0,
+                                           wav["channels"])}
     if fake:
         return _fake_decode(payload)
     raise NotImplementedError(
