@@ -276,7 +276,13 @@ def q_warc_extract(spark, sf):
     from wine_label_ocr_spark.operators.segmentation import segment
     from wine_label_ocr_spark.sources.warc import read_warc, write_warc
 
-    tag = _h.md5(sf.encode()).hexdigest()[:10]
+    # cache key covers the renderer's source too, so a fixture change can
+    # never serve stale shards to the gate
+    import inspect
+
+    from wine_label_ocr_spark import fixtures as _fx
+    tag = _h.md5((sf + inspect.getsource(_fx.render_doc_page))
+                 .encode()).hexdigest()[:10]
     shard_dir = os.path.join(tempfile.gettempdir(), f"wlos_warc_{tag}")
     done = os.path.join(shard_dir, "_DONE")
     if not os.path.exists(done):
