@@ -30,6 +30,15 @@ def test_similarity_symmetric_and_bounded(a, b):
     assert 0.0 <= x <= 100.0
 
 
+@given(text_st, text_st)
+@settings(max_examples=200, deadline=None)
+def test_indel_ratio_identity_of_indiscernibles(a, b):
+    """_ratio == 100 iff the strings are equal: 2·LCS = |a|+|b| forces
+    |a| = |b| = LCS, i.e. equality — a property difflib's block-matching
+    ratio does NOT guarantee under junk heuristics."""
+    assert (S._ratio(a, b) == 100.0) == (a == b)
+
+
 @given(text_st)
 @settings(max_examples=100, deadline=None)
 def test_similarity_reflexive_after_normalization(s):
