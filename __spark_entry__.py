@@ -336,6 +336,14 @@ def q_content_fingerprint(spark, sf):  # textops: rolling-hash fingerprint
                     doc_fingerprint(F.col("text")).alias("content_fp"))
 
 
+def q_unigram_logprob(spark, sf):  # corpus-LM quality scoring
+    from wine_label_ocr_spark.operators.textops import unigram_logprob
+    d = _t(spark, sf, "documents")
+    return (unigram_logprob(d)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "logprob_scaled", "n_toks"))
+
+
 def q_latest_capture(spark, sf):  # A8/U3 — crawl-scale last-wins per url
     """Keep the newest capture per url (the Common-Crawl recrawl dedup):
     synthesize recrawls for every 10th doc with a later timestamp, then
@@ -590,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "content_fingerprint": q_content_fingerprint,
+        "unigram_logprob": q_unigram_logprob,
         "latest_capture": q_latest_capture,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
@@ -967,6 +976,21 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id,
                          list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
                   FROM documents)
+        """,
+        "unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id, lower(unnest(list_filter(
+                         string_split_regex(text, '\\s+'), x -> x != ''))) AS tok
+              FROM documents),
+            vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+            tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab)
+            SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+                   CAST(SUM(CAST(ROUND(ln(CAST(v.cnt AS DOUBLE)
+                                          / CAST(tot.total AS DOUBLE)) * 1e6)
+                            AS BIGINT)) AS BIGINT) AS logprob_scaled,
+                   COUNT(*) AS n_toks
+            FROM toks t JOIN vocab v USING (tok), tot
+            GROUP BY t.doc_id
         """,
         "latest_capture": """
             WITH d AS (

@@ -133,6 +133,36 @@ def doc_fingerprint(text: Column, n_tokens: int = 64) -> Column:
         lambda acc, t: F.pmod(acc * F.lit(31) + tok_val(t), F.lit(2147483647)))
 
 
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-level unigram LM quality score — the classic training-data
+    filter ("drop documents whose tokens are improbable under the corpus
+    LM"), as two aggregations:
+
+    1. vocab: one shuffle on token → (token, count), plus the scalar total
+       (broadcast back — a few bytes);
+    2. score: tokens joined to vocab (shuffle on token; at 10^12 docs the
+       vocab side is the broadcast candidate after frequency pruning),
+       per-doc SUM of log-probabilities.
+
+    The per-token term is scaled to an integer (round(log(p)·1e6)) so the
+    per-doc sum is exact and order-free — a raw double sum would hash
+    differently between engines because addition order is unspecified.
+    """
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(tokens_col(F.col(text_col))).alias("tok"))
+            .withColumn("tok", F.lower("tok")))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    term = F.round(F.log(F.col("cnt").cast("double")
+                         / F.col("total").cast("double")) * 1e6).cast("bigint")
+    return (toks.join(vocab, "tok")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(F.sum(term).alias("logprob_scaled"),
+                 F.count(F.lit(1)).alias("n_toks")))
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-stop profiling projection used by the pipeline and the bench."""
     t = F.col(text_col)
