@@ -344,6 +344,14 @@ def q_unigram_logprob(spark, sf):  # corpus-LM quality scoring
                     "logprob_scaled", "n_toks"))
 
 
+def q_tfidf_top_terms(spark, sf):  # keyword extraction (tf·idf top-k)
+    from wine_label_ocr_spark.operators.textops import tfidf_top_terms
+    d = _t(spark, sf, "documents")
+    return (tfidf_top_terms(d, k=3)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "tok", "tf", "df", "tfidf_scaled", "rank"))
+
+
 def q_latest_capture(spark, sf):  # A8/U3 — crawl-scale last-wins per url
     """Keep the newest capture per url (the Common-Crawl recrawl dedup):
     synthesize recrawls for every 10th doc with a later timestamp, then
@@ -599,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "content_fingerprint": q_content_fingerprint,
         "unigram_logprob": q_unigram_logprob,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "latest_capture": q_latest_capture,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
@@ -991,6 +1000,26 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_toks
             FROM toks t JOIN vocab v USING (tok), tot
             GROUP BY t.doc_id
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id, lower(unnest(list_filter(
+                         string_split_regex(text, '\\s+'), x -> x != ''))) AS tok
+              FROM documents),
+            tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+            dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+            nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+                     CAST(ROUND(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+                                * 1e6) AS BIGINT) AS tfidf_scaled
+              FROM tf JOIN dfreq USING (tok), nd)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, tok, tf, df, tfidf_scaled,
+                   CAST(rank AS INT) AS rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf_scaled DESC, tok) AS rank
+                  FROM scored)
+            WHERE rank <= 3
         """,
         "latest_capture": """
             WITH d AS (

@@ -163,6 +163,33 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
                  F.count(F.lit(1)).alias("n_toks")))
 
 
+def tfidf_top_terms(df: DataFrame, k: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document top-k terms by tf·idf (keyword extraction for corpus
+    exploration/labeling). Shuffles: (doc, token) tf agg, token df agg,
+    then a per-doc ranking window. The score is integer-scaled
+    (round(tf·ln(N/df)·1e6)) so ordering is exact and engine-independent;
+    ties break on the token."""
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(tokens_col(F.col(text_col))).alias("tok"))
+            .withColumn("tok", F.lower("tok")))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(dfreq, "tok").crossJoin(F.broadcast(n_docs))
+              .withColumn("tfidf_scaled",
+                          F.round(F.col("tf")
+                                  * F.log(F.col("n_docs").cast("double")
+                                          / F.col("df").cast("double"))
+                                  * 1e6).cast("bigint")))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf_scaled").desc(), "tok")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "tok", "tf", "df", "tfidf_scaled",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-stop profiling projection used by the pipeline and the bench."""
     t = F.col(text_col)
