@@ -388,6 +388,20 @@ def q_minhash_lsh(spark, sf):  # dedupe: MinHash+LSH near-dup pairs
         "jaccard")
 
 
+def q_near_dup_components(spark, sf):  # dedupe: transitive clustering
+    """Connected components over the MinHash near-dup pairs — min-label
+    propagation (O(diameter) rounds, lineage cut per round); the oracle is
+    a DuckDB recursive CTE over the identical pair set."""
+    from wine_label_ocr_spark.operators.dedupe import (
+        connected_components, minhash_lsh_pairs)
+    d = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(d, n_perm=16, n_bands=4, min_jaccard=0.4,
+                              oracle_safe=True)
+    return (connected_components(pairs)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.col("component").cast("bigint").alias("component")))
+
+
 def q_simhash_fingerprints(spark, sf):  # dedupe: SimHash, oracle-checked
     # oracle_safe=True → md5-derived token hashes DuckDB can reproduce
     # bit-for-bit; the xxhash64 production flavor is what bench.py runs
@@ -611,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_capture": q_latest_capture,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
+        "near_dup_components": q_near_dup_components,
         "simhash_fingerprints": q_simhash_fingerprints,
         "cosine_topk": q_cosine_topk,
         "rp_lsh_topk": q_rp_lsh_topk,
@@ -1046,6 +1061,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
         """,
         "minhash_lsh": _minhash_oracle_sql(),
+        "near_dup_components": f"""
+            WITH RECURSIVE
+            mh AS (SELECT id_a, id_b FROM ({_minhash_oracle_sql()}) t),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM mh
+                      UNION SELECT id_b, id_a FROM mh),
+            reach(id, label) AS (
+              SELECT DISTINCT src AS id, src AS label FROM edges
+              UNION
+              SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+            SELECT CAST(id AS BIGINT) AS doc_id,
+                   CAST(MIN(label) AS BIGINT) AS component
+            FROM reach GROUP BY id
+        """,
         "rp_lsh_topk": _rp_lsh_oracle_sql(),
         "simhash_fingerprints": _simhash_oracle_sql(),
         "embedding_near_dup": _near_dup_oracle_sql(),

@@ -99,6 +99,27 @@ def test_simhash_pairs_full_recall_vs_brute_force(spark, dup_docs):
         assert got == exp and (h < 16 or exp), (h, len(exp), len(got))
 
 
+def test_connected_components_chain_and_keep_one(spark):
+    """A~B~C chains must collapse to ONE component (pairwise keep-one
+    under-deletes); disjoint clusters stay apart; keep-one keeps exactly
+    the min id per cluster plus all unpaired docs."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),       # chain 1-2-3-4
+         (10, 11),                     # pair
+         (20, 21), (21, 22), (20, 22)],  # triangle
+        "id_a bigint, id_b bigint")
+    comp = {r["doc_id"]: r["component"]
+            for r in dedupe.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20}
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]],
+        "doc_id bigint, text string")
+    kept = sorted(r["doc_id"] for r in
+                  dedupe.dedup_keep_one(docs, pairs).collect())
+    assert kept == [1, 10, 20, 99]
+
+
 def test_simhash_stability(spark, dup_docs):
     a = dup_docs.select(dedupe.simhash64(F.col("text")).alias("s")).collect()
     b = dup_docs.select(dedupe.simhash64(F.col("text")).alias("s")).collect()

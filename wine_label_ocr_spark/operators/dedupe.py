@@ -167,6 +167,57 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "jaccard"))
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iters: int = 50) -> DataFrame:
+    """Near-dup pairs → components via min-label propagation.
+
+    The step a real dedup pipeline needs after pair generation: group
+    transitively-linked documents so exactly one survivor per CLUSTER can
+    be kept (pairwise keep-one under-deletes chains A~B~C). Iterative: each
+    round every node takes the min label among itself and its neighbors;
+    converges in O(graph diameter) rounds. Per-round ``localCheckpoint``
+    truncates lineage (an un-checkpointed loop re-executes the whole
+    history each round and the plan grows without bound); the driver-side
+    loop is over ROUNDS (a dozen), never over rows.
+
+    Returns (doc_id, component) for every id appearing in ``pairs``;
+    component = min doc_id of the cluster.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(max_iters):
+        neigh = (edges.join(labels, edges.dst == labels.id)
+                 .groupBy("src").agg(F.min("label").alias("nlabel")))
+        stepped = (labels.join(neigh, labels.id == neigh.src, "left")
+                   .select(labels.id,
+                           F.col("label").alias("_old"),
+                           F.least(F.col("label"),
+                                   F.coalesce("nlabel", F.col("label")))
+                           .alias("label")))
+        stepped = stepped.localCheckpoint(eager=True)
+        changed = stepped.filter(F.col("label") != F.col("_old")).count()
+        labels = stepped.drop("_old")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("component"))
+
+
+def dedup_keep_one(df: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Cluster-aware dedup: keep the min-id document of every near-dup
+    component, plus every document in no component at all."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("doc_id") != F.col("component")) \
+                 .select(F.col("doc_id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash64(text: Column, oracle_safe: bool = False) -> Column:
     """64-bit SimHash over whitespace tokens.
 
