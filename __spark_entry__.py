@@ -441,6 +441,19 @@ def q_ivf_topk(spark, sf):  # ann: IVF coarse-quantizer top-k (rows-only)
     return ivf_topk(q, e, dim=64, k=5, n_cells=8, nprobe=2, iters=2)
 
 
+def q_embedding_quantized(spark, sf):  # ann: int8 quantization, oracle-checked
+    from wine_label_ocr_spark.operators.ann import quantize_embedding
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double"), 3)).alias("embedding"))
+    q, max_abs = quantize_embedding(F.col("embedding"))
+    return e.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.md5(F.array_join(F.transform(q, lambda v: v.cast("string")), ","))
+        .alias("q_fp"),
+        F.round(max_abs * 1000).cast("bigint").alias("scale_mill"))
+
+
 def q_embedding_near_dup(spark, sf):  # ann: embedding near-dup, oracle-checked
     from wine_label_ocr_spark.operators.ann import embedding_near_dup
     e = _t(spark, sf, "embeddings")
@@ -631,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_lsh_topk": q_rp_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_quantized": q_embedding_quantized,
         "media_features": q_media_features,
         "dedup_decisions": q_dedup_decisions,
         "ema_final": q_ema_final,
@@ -1077,6 +1091,22 @@ def oracle_sql() -> dict[str, str]:
         "rp_lsh_topk": _rp_lsh_oracle_sql(),
         "simhash_fingerprints": _simhash_oracle_sql(),
         "embedding_near_dup": _near_dup_oracle_sql(),
+        "embedding_quantized": """
+            WITH base AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> round(CAST(x AS DOUBLE), 3)) AS e
+              FROM embeddings),
+            m AS (SELECT vec_id, e,
+                         list_max(list_transform(e, x -> abs(x))) AS mx
+                  FROM base)
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   md5(array_to_string(
+                       CASE WHEN mx > 0
+                            THEN list_transform(e, x -> CAST(round(x * 127.0 / mx) AS INT))
+                            ELSE list_transform(e, x -> 0) END, ',')) AS q_fp,
+                   CAST(round(mx * 1000) AS BIGINT) AS scale_mill
+            FROM m
+        """,
         "media_features": """
             -- recomputes the expected decode of the synthetic PNG/JPEG
             -- payloads straight from doc_id (the fixture makes dims a pure

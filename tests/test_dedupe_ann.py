@@ -99,6 +99,30 @@ def test_simhash_pairs_full_recall_vs_brute_force(spark, dup_docs):
         assert got == exp and (h < 16 or exp), (h, len(exp), len(got))
 
 
+def test_quantized_topk_recall_vs_exact(spark, emb):
+    """int8 quantization must keep the neighborhood structure: recall@5 of
+    the quantized brute force vs exact cosine ≥ 0.8 on testdata."""
+    q = emb.limit(10).select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = ann.cosine_topk(q, emb, k=5)
+    quant = ann.quantized_topk(q, emb, k=5)
+    ex = {(r["q_id"], r["c_id"]) for r in exact.collect()}
+    qu = {(r["q_id"], r["c_id"]) for r in quant.collect()}
+    assert len(ex & qu) / len(ex) >= 0.8
+    # self-match survives quantization exactly
+    self_hits = [r for r in quant.collect() if r["q_id"] == r["c_id"]]
+    assert len(self_hits) == 10 and all(r["rank"] == 1 for r in self_hits)
+
+
+def test_quantize_embedding_roundtrip_error(spark, emb):
+    qcol, max_abs = ann.quantize_embedding(F.col("embedding"))
+    row = emb.select("embedding", qcol.alias("q"), max_abs.alias("m")).first()
+    import numpy as np
+    x = np.array(row["embedding"], dtype=float)
+    back = np.array(row["q"], dtype=float) * row["m"] / 127.0
+    assert np.abs(x - back).max() <= row["m"] / 127.0 * 0.5 + 1e-9
+    assert max(abs(v) for v in row["q"]) <= 127
+
+
 def test_connected_components_chain_and_keep_one(spark):
     """A~B~C chains must collapse to ONE component (pairwise keep-one
     under-deletes); disjoint clusters stay apart; keep-one keeps exactly

@@ -200,6 +200,55 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
             .select("q_id", "c_id", F.round("cosine", 6).alias("cosine"), "rank"))
 
 
+def quantize_embedding(vec: Column) -> tuple[Column, Column]:
+    """Symmetric per-vector int8 quantization: q = round(x·127/max|x|).
+
+    The 100 TB embedding-store move: float32 → int8 is 4× less IO and the
+    int dot product stays exact integer algebra. Returns (q array<int>,
+    max_abs) — reconstruct with x ≈ q·max_abs/127. Pure column algebra.
+    """
+    from ..functions import let
+
+    def q_of(m: Column) -> Column:
+        return F.when(m > 0, F.transform(
+            vec, lambda x: F.round(x * 127.0 / m).cast("int"))
+        ).otherwise(F.transform(vec, lambda x: F.lit(0)))
+
+    max_abs = F.aggregate(vec, F.lit(0.0),
+                          lambda acc, x: F.greatest(acc, F.abs(x)))
+    return let(max_abs, q_of), max_abs
+
+
+def cosine_q8(qa: Column, qb: Column) -> Column:
+    """Cosine over int8-quantized vectors — integer dot and norms (exact),
+    one double division at the end. Scales cancel for cosine."""
+    dot_i = F.aggregate(F.zip_with(qa, qb, lambda x, y: (x * y).cast("bigint")),
+                        F.lit(0).cast("bigint"), lambda a, v: a + v)
+    n = lambda q: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(q, lambda x: (x * x).cast("bigint")),
+        F.lit(0).cast("bigint"), lambda a, v: a + v).cast("double"))
+    return dot_i.cast("double") / F.greatest(n(qa) * n(qb), F.lit(1e-12))
+
+
+def quantized_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                   q_id: str = "q_id", c_id: str = "vec_id",
+                   q_vec: str = "embedding", c_vec: str = "embedding") -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors: same broadcast shape
+    as cosine_topk at a quarter of the scan bytes (recall vs exact is
+    pinned in tests)."""
+    qq, _ = quantize_embedding(F.col(q_vec))
+    cq, _ = quantize_embedding(F.col(c_vec))
+    q = queries.select(F.col(q_id).alias("q_id"), qq.alias("_qq"))
+    c = corpus.select(F.col(c_id).alias("c_id"), cq.alias("_cq"))
+    scored = (c.join(F.broadcast(q))
+              .select("q_id", "c_id",
+                      cosine_q8(F.col("_qq"), F.col("_cq")).alias("cosine")))
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "c_id", F.round("cosine", 6).alias("cosine"), "rank"))
+
+
 def ivf_index_write(corpus: DataFrame, path: str, n_cells: int = 16,
                     iters: int = 2, c_id: str = "vec_id",
                     c_vec: str = "embedding", seed: int = 42) -> list[list[float]]:
