@@ -352,6 +352,23 @@ def q_tfidf_top_terms(spark, sf):  # keyword extraction (tf·idf top-k)
                     "tok", "tf", "df", "tfidf_scaled", "rank"))
 
 
+def q_chunk_documents(spark, sf):  # LLM-pretraining chunker (shuffle-free)
+    from wine_label_ocr_spark.operators.textops import chunk_documents
+    d = _t(spark, sf, "documents")
+    return (chunk_documents(d, chunk_tokens=64, overlap=8)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "chunk_idx", F.md5("chunk_text").alias("chunk_fp"),
+                    "n_tokens"))
+
+
+def q_pack_sequences(spark, sf):  # training-batch packing by token budget
+    from wine_label_ocr_spark.operators.textops import pack_sequences
+    d = _t(spark, sf, "documents")
+    return pack_sequences(d, budget_tokens=512).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"), "bin_id")
+
+
 def q_latest_capture(spark, sf):  # A8/U3 — crawl-scale last-wins per url
     """Keep the newest capture per url (the Common-Crawl recrawl dedup):
     synthesize recrawls for every 10th doc with a later timestamp, then
@@ -635,6 +652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_fingerprint": q_content_fingerprint,
         "unigram_logprob": q_unigram_logprob,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
         "latest_capture": q_latest_capture,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
@@ -1049,6 +1068,34 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY tfidf_scaled DESC, tok) AS rank
                   FROM scored)
             WHERE rank <= 3
+        """,
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id, len(toks) AS n, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 64, 0) + 56, 56)) AS s
+              FROM t)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST((s - 1) / 56 AS INT) AS chunk_idx,
+                   md5(array_to_string(toks[s:s+63], ' ')) AS chunk_fp,
+                   CAST(LEAST(n - s + 1, 64) AS INT) AS n_tokens
+            FROM c
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x != '')) AS n_tok
+              FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_tok AS BIGINT) AS n_tokens,
+                   CAST(FLOOR((SUM(n_tok) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                               - n_tok) / 512.0) AS BIGINT) AS bin_id
+            FROM t
         """,
         "latest_capture": """
             WITH d AS (

@@ -72,3 +72,47 @@ def test_text_profile_schema(spark, docs):
     assert {"n_tokens", "n_bpe_tokens", "alpha_ratio", "quality",
             "quality_ok", "lang_pred", "content_fp"} <= set(out.columns)
     assert out.count() == 10
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Every token appears in some chunk; consecutive chunks overlap by
+    exactly `overlap`; the tail chunk is short but present (the r2 bug
+    class: stopping the stride at n-chunk+1 dropped tail tokens)."""
+    from pyspark.sql import functions as F
+    from wine_label_ocr_spark.operators.textops import chunk_documents
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(n)))
+            for i, n in enumerate([1, 63, 64, 65, 120, 128, 129, 300])]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = chunk_documents(df, chunk_tokens=64, overlap=8)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"], r["n_tokens"]))
+    for i, n in enumerate([1, 63, 64, 65, 120, 128, 129, 300]):
+        chunks = sorted(got[i])
+        toks = set()
+        for idx, (ci, text, nt) in enumerate(chunks):
+            ts = text.split()
+            assert ci == idx and len(ts) == nt <= 64
+            toks.update(ts)
+        assert toks == {f"t{i}_{j}" for j in range(n)}, (i, n)
+        if n > 64:  # overlap property between consecutive chunks
+            a, b = chunks[0][1].split(), chunks[1][1].split()
+            assert a[-8:] == b[:8]
+
+
+def test_pack_sequences_respects_budget(spark):
+    from wine_label_ocr_spark.operators.textops import pack_sequences
+    rows = [(i, " ".join(["w"] * n))
+            for i, n in enumerate([100, 200, 300, 50, 512, 600, 10])]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = sorted((r["bin_id"], r["doc_id"], r["n_tokens"])
+                 for r in pack_sequences(df, budget_tokens=512).collect())
+    # bins: docs 0,1,2 start at cum-n 0,100,300 -> bin 0; doc 3 at 600 -> 1...
+    by_bin = {}
+    for b, d, n in out:
+        by_bin.setdefault(b, []).append(n)
+    # a new bin starts only when the running total before the doc crossed
+    # the budget; every doc is in exactly one bin
+    assert sum(len(v) for v in by_bin.values()) == 7
+    assert by_bin[0] == [100, 200, 300]  # 0,100,300 all < 512

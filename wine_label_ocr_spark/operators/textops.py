@@ -190,6 +190,71 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, id_col: str = "doc_id",
                     F.col("rank").cast("int").alias("rank")))
 
 
+def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 16, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard LLM-pretraining chunker. Pure column algebra: token array →
+    stride sequence → slice+join per chunk → explode. No shuffle at all;
+    chunking inherits the scan's partitioning.
+
+    Emits (id, chunk_idx, chunk_text, n_tokens); the final short chunk is
+    kept (training pipelines usually pad or drop it downstream).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_col(F.col(text_col))
+
+    def chunks_of(t: Column) -> Column:
+        n = F.size(t)
+        # start offsets 1, 1+stride, ...; the stop extends one stride past
+        # n-chunk so the FINAL (short) window still covers the tail tokens
+        # — stopping at n-chunk+1 exactly would drop up to stride-1 tokens
+        # whenever (n-chunk) isn't a multiple of the stride. A doc shorter
+        # than one chunk yields exactly one chunk.
+        starts = F.sequence(
+            F.lit(1),
+            F.greatest(n - F.lit(chunk_tokens), F.lit(0)) + F.lit(stride),
+            F.lit(stride))
+        return F.transform(starts, lambda s: F.struct(
+            ((s - 1) / stride).cast("int").alias("chunk_idx"),
+            F.array_join(F.slice(t, s, chunk_tokens), " ").alias("chunk_text"),
+            F.least(n - s + 1, F.lit(chunk_tokens)).alias("n_tokens")))
+
+    from ..functions import let
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(let(toks, chunks_of)).alias("c"))
+            .select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"),
+                    F.col("c.chunk_text").alias("chunk_text"),
+                    F.col("c.n_tokens").alias("n_tokens")))
+
+
+def pack_sequences(df: DataFrame, budget_tokens: int = 512,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Contiguous sequence packing: assign documents (in id order) to
+    fixed-token-budget bins by running token total — the scalable
+    approximation of training-batch packing (greedy first-fit needs global
+    state; contiguous packing is one window over a single sort and gets
+    within one doc of the same utilization).
+
+    bin_id = floor((cumulative_tokens − n_tokens) / budget): a doc starts a
+    new bin when the budget before it is exhausted. Oversized docs (>
+    budget) still land in exactly one bin. Deterministic; at scale,
+    partition the window by a shard key (e.g. pmod(xxhash64(url), P)) so
+    no global sort is needed — bins are then per-shard, which packing
+    tolerates by construction.
+    """
+    from pyspark.sql import Window as W
+    n_tok = token_count(F.col(text_col))
+    w = W.orderBy(id_col).rowsBetween(W.unboundedPreceding, 0)
+    cum = F.sum(n_tok).over(w)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        F.floor((cum - n_tok) / budget_tokens).cast("bigint").alias("bin_id"))
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-stop profiling projection used by the pipeline and the bench."""
     t = F.col(text_col)
