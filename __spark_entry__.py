@@ -369,6 +369,39 @@ def q_pack_sequences(spark, sf):  # training-batch packing by token budget
         F.col("n_tokens").cast("bigint").alias("n_tokens"), "bin_id")
 
 
+def q_pii_redaction(spark, sf):  # training-data PII scrub
+    """Plant synthetic PII deterministically, scrub it, emit fingerprints
+    plus a leak check the oracle reproduces."""
+    from wine_label_ocr_spark.operators.textops import redact_pii
+    d = _t(spark, sf, "documents")
+    planted = F.concat(
+        F.lit("contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 10.0."),
+        (F.col("doc_id") % 255).cast("string"), F.lit(".7 tel +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" :: "), F.substring("text", 1, 60))
+    red = redact_pii(planted)
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.md5(red).alias("redacted_fp"),
+        red.rlike("@|\\d{3}[-.]\\d{4}").alias("pii_leaked"))
+
+
+def q_repetition_stats(spark, sf):  # Gopher-style repetition filters
+    from wine_label_ocr_spark.operators.textops import repetition_stats
+    d = _t(spark, sf, "documents")
+    # plant duplicate lines + a hot bigram for every 7th doc so the filter
+    # demonstrably fires on testdata
+    planted = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit("spam line\nspam line\nbuy now buy now buy now\n"),
+                        F.col("text"))).otherwise(F.col("text")))
+    return repetition_stats(planted).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "dup_line_frac", "top_bigram_frac")
+
+
 def q_latest_capture(spark, sf):  # A8/U3 — crawl-scale last-wins per url
     """Keep the newest capture per url (the Common-Crawl recrawl dedup):
     synthesize recrawls for every 10th doc with a later timestamp, then
@@ -654,6 +687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
+        "pii_redaction": q_pii_redaction,
+        "repetition_stats": q_repetition_stats,
         "latest_capture": q_latest_capture,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
@@ -838,6 +873,23 @@ def _rp_lsh_oracle_sql(n_planes=6, dim=64, k=5) -> str:
                                         ORDER BY cosine DESC, c_id) AS rank
               FROM scored)
         WHERE rank <= {k}
+    """
+
+
+def _pii_oracle_sql() -> str:
+    from wine_label_ocr_spark.operators.textops import PII_PATTERNS
+    red = ("concat('contact user', CAST(doc_id AS VARCHAR), "
+           "'@mail.example.com or 10.0.', CAST(doc_id % 255 AS VARCHAR), "
+           "'.7 tel +1 (555) 010-', "
+           "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' :: ', "
+           "substr(text, 1, 60))")
+    for pat, repl in PII_PATTERNS:  # same ordered chain, global flag
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               md5(r) AS redacted_fp,
+               regexp_matches(r, '@|\\d{{3}}[-.]\\d{{4}}') AS pii_leaked
+        FROM (SELECT doc_id, {red} AS r FROM documents)
     """
 
 
@@ -1096,6 +1148,44 @@ def oracle_sql() -> dict[str, str]:
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                                - n_tok) / 512.0) AS BIGINT) AS bin_id
             FROM t
+        """,
+        "pii_redaction": _pii_oracle_sql(),
+        "repetition_stats": """
+            WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN concat('spam line', chr(10), 'spam line', chr(10),
+                                      'buy now buy now buy now', chr(10), text)
+                          ELSE text END AS t
+              FROM documents),
+            lines AS (
+              SELECT doc_id,
+                     list_filter(string_split(t, chr(10)), x -> trim(x) != '') AS ls,
+                     list_filter(string_split_regex(t, '\\s+'), x -> x != '') AS toks
+              FROM p),
+            base AS (
+              SELECT doc_id,
+                     CASE WHEN len(ls) > 0
+                          THEN ROUND((len(ls) - len(list_distinct(ls)))
+                                     / CAST(len(ls) AS DOUBLE), 6)
+                          ELSE 0.0 END AS dup_line_frac,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_transform(generate_series(1, len(toks) - 1),
+                                              i -> array_to_string(toks[i:i+1], ' '))
+                          ELSE [] END AS bg
+              FROM lines),
+            cnt AS (
+              SELECT doc_id, bgx, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(bg) AS bgx FROM base)
+              GROUP BY doc_id, bgx),
+            agg AS (
+              SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS total_c
+              FROM cnt GROUP BY doc_id)
+            SELECT CAST(b.doc_id AS BIGINT) AS doc_id, b.dup_line_frac,
+                   CASE WHEN COALESCE(a.total_c, 0) > 0
+                        THEN ROUND(a.top_c / CAST(a.total_c AS DOUBLE), 6)
+                        ELSE 0.0 END AS top_bigram_frac
+            FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
         """,
         "latest_capture": """
             WITH d AS (

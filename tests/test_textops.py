@@ -116,3 +116,34 @@ def test_pack_sequences_respects_budget(spark):
     # the budget; every doc is in exactly one bin
     assert sum(len(v) for v in by_bin.values()) == 7
     assert by_bin[0] == [100, 200, 300]  # 0,100,300 all < 512
+
+
+def test_redact_pii(spark):
+    from pyspark.sql import functions as F
+    from wine_label_ocr_spark.operators.textops import redact_pii
+    rows = [("a", "mail me at jo.doe+x@sub.example.org thanks"),
+            ("b", "server at 192.168.001.1 port"),
+            ("c", "call +44 (0)20 7946 0958 now"),
+            ("d", "clean text with no pii at all")]
+    df = spark.createDataFrame(rows, "k string, t string")
+    got = {r["k"]: r["red"] for r in
+           df.select("k", redact_pii(F.col("t")).alias("red")).collect()}
+    assert got["a"] == "mail me at [EMAIL] thanks"
+    assert got["b"] == "server at [IP] port"
+    assert got["c"] == "call [PHONE] now"
+    assert got["d"] == rows[3][1]
+
+
+def test_repetition_stats_flags_spam(spark):
+    from wine_label_ocr_spark.operators.textops import repetition_stats
+    rows = [(1, "spam\nspam\nspam\nreal line"),
+            (2, "buy now buy now buy now buy now"),
+            (3, "all distinct words here today friends"),
+            (4, "one")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["dup_line_frac"] == 0.5       # 4 lines, 2 dup
+    assert got[2]["top_bigram_frac"] > 0.5      # "buy now"/"now buy" dominate
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[3]["top_bigram_frac"] == 0.2     # 5 distinct bigrams
+    assert got[4]["top_bigram_frac"] == 0.0     # <2 tokens

@@ -255,6 +255,61 @@ def pack_sequences(df: DataFrame, budget_tokens: int = 512,
         F.floor((cum - n_tok) / budget_tokens).cast("bigint").alias("bin_id"))
 
 
+# RE2-compatible PII patterns (shared verbatim with the DuckDB oracle)
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "[PHONE]"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Training-data PII scrubbing: emails, IPv4s, phone-shaped digit runs
+    → typed placeholders. Ordered regexp_replace chain (email first so its
+    digits can't be half-eaten by the phone pattern); all JVM-side."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters: duplicate-line fraction and the
+    fraction of all 2-grams taken by the most frequent 2-gram. High values
+    flag boilerplate/spam for training-data removal. Line stats are pure
+    column algebra; the top-bigram stat is one (doc, bigram) aggregation.
+    """
+    lines = F.filter(F.split(F.col(text_col), r"\n"),
+                     lambda s: F.trim(s) != "")
+    n_lines = F.size(lines)
+    dup_frac = F.when(
+        n_lines > 0,
+        F.round((n_lines - F.size(F.array_distinct(lines)))
+                / n_lines.cast("double"), 6)).otherwise(F.lit(0.0))
+    toks = tokens_col(F.col(text_col))
+    bigrams = F.when(F.size(toks) >= 2, F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.array_join(F.slice(toks, i, 2), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     dup_frac.alias("dup_line_frac"),
+                     bigrams.alias("_bg"))
+    counts = (base.select("doc_id", F.explode_outer("_bg").alias("bg"))
+              .groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+              .groupBy("doc_id")
+              .agg(F.max(F.when(F.col("bg").isNotNull(), F.col("c"))
+                         .otherwise(F.lit(0))).alias("top_c"),
+                   F.sum(F.when(F.col("bg").isNotNull(), F.col("c"))
+                         .otherwise(F.lit(0))).alias("total_c")))
+    return (base.select("doc_id", "dup_line_frac").join(counts, "doc_id")
+            .select("doc_id", "dup_line_frac",
+                    F.when(F.col("total_c") > 0,
+                           F.round(F.col("top_c") / F.col("total_c")
+                                   .cast("double"), 6))
+                    .otherwise(F.lit(0.0)).alias("top_bigram_frac")))
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-stop profiling projection used by the pipeline and the bench."""
     t = F.col(text_col)
