@@ -206,6 +206,35 @@ def test_sessionize(spark):
     assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
 
 
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    """Stream-stream interval join (watermarked both sides) produces the
+    same pair set as the identical batch join condition."""
+    events = (spark.read.parquet(f"{SF}/events.parquet")
+              .filter(F.col("user_id") < 8)
+              .select("user_id", "event_id", "ts", "value").cache())
+    left_b = events.filter(F.col("event_id") % 2 == 0)
+    right_b = events.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "s")
+    left_b.coalesce(1).write.parquet(src + "/left")
+    right_b.coalesce(1).write.parquet(src + "/right")
+    ls = spark.readStream.schema(events.schema).parquet(src + "/left")
+    rs = spark.readStream.schema(events.schema).parquet(src + "/right")
+    q = (ST.interval_join_stream(ls, rs, bound_sec=86400.0,
+                                 watermark="2 days")
+         .writeStream.format("memory").queryName("ivj")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["left_id"], r["right_id"])
+           for r in spark.sql("select * from ivj").collect()}
+    want = {(r["left_id"], r["right_id"])
+            for r in ST.interval_join_stream(left_b, right_b,
+                                             bound_sec=86400.0,
+                                             watermark="2 days").collect()}
+    assert got == want and len(want) > 0
+
+
 def test_sessionize_stream_equals_batch(spark, tmp_path):
     """ST6 streaming twin: cross-micro-batch session continuation must
     reproduce the batch window form exactly."""

@@ -283,6 +283,35 @@ def sessionize_stream(events_stream: DataFrame, gap_sec: float = 60.0,
                 timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
 
 
+def interval_join_stream(left: DataFrame, right: DataFrame,
+                         key: str = "user_id", bound_sec: float = 5.0,
+                         watermark: str = "30 seconds") -> DataFrame:
+    """Stream-stream interval join: match left/right events of the same key
+    within ±bound_sec of event time. Watermarks on BOTH sides bound the
+    join state (Spark buffers only rows younger than watermark+bound);
+    without them state grows forever. The streaming analog of the
+    reference correlating two concurrent captures of the same object
+    (Photo_Stitch front/back views) — and the batch twin is the identical
+    join condition, which tests assert.
+    """
+    # watermarks require TIMESTAMP (not NTZ); session tz is UTC → lossless
+    l = (left.withColumn("ts", F.col("ts").cast("timestamp"))
+         .withWatermark("ts", watermark).alias("l"))
+    r = (right.withColumn("ts", F.col("ts").cast("timestamp"))
+         .withWatermark("ts", watermark).alias("r"))
+    cond = ((F.col(f"l.{key}") == F.col(f"r.{key}"))
+            & (F.col("r.ts") >= F.col("l.ts")
+               - F.expr(f"INTERVAL {bound_sec} SECONDS"))
+            & (F.col("r.ts") <= F.col("l.ts")
+               + F.expr(f"INTERVAL {bound_sec} SECONDS")))
+    return l.join(r, cond).select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"))
+
+
 def sessionize(events: DataFrame, gap_sec: float = 60.0) -> DataFrame:
     """ST6 — session boundaries from inactivity gaps (batch analog of the
     absent-debounce session counter, Char_Count_TurnTable.py:141-185).
