@@ -147,3 +147,25 @@ def test_repetition_stats_flags_spam(spark):
     assert got[3]["dup_line_frac"] == 0.0
     assert got[3]["top_bigram_frac"] == 0.2     # 5 distinct bigrams
     assert got[4]["top_bigram_frac"] == 0.0     # <2 tokens
+
+
+def test_pack_sequences_sharded_scales(spark):
+    """n_shards partitions the running-sum window (no single-task global
+    sort) while keeping every bin within budget+one-doc overflow."""
+    rows = [(i, " ".join(["w"] * (50 + i % 70))) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = pack = __import__("wine_label_ocr_spark.operators.textops",
+                            fromlist=["pack_sequences"]).pack_sequences(
+        df, budget_tokens=256, n_shards=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the window must be partitioned: no empty partition spec
+    assert "Window" in plan
+    assert "windowspecdefinition(doc_id" not in plan.replace(" ", "").lower()
+    rows_out = out.collect()
+    assert len(rows_out) == 400
+    by_bin = {}
+    for r in rows_out:
+        by_bin.setdefault(r["bin_id"], []).append(r["n_tokens"])
+    # budget property: every bin except possibly its last doc fits 256
+    for toks in by_bin.values():
+        assert sum(toks[:-1]) < 256 or len(toks) == 1
