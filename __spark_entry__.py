@@ -402,6 +402,33 @@ def q_repetition_stats(spark, sf):  # Gopher-style repetition filters
         "dup_line_frac", "top_bigram_frac")
 
 
+def q_training_funnel(spark, sf):
+    """The whole training-data funnel as ONE composed plan: corpus →
+    quality gate → language filter → exact dedup → chunking, with a
+    per-stage surviving-count row. Demonstrates that the operators
+    compose (each stage feeds the next lazily; Catalyst plans the funnel
+    as one DAG) — and the oracle recomputes every stage in SQL."""
+    from wine_label_ocr_spark.operators.dedupe import exact_dedup
+    from wine_label_ocr_spark.operators.textops import (
+        chunk_documents, quality_gate)
+
+    d = _t(spark, sf, "documents")
+    s1 = d.filter(quality_gate(F.col("text")))
+    s2 = s1.filter(F.col("lang") == "en")
+    s3 = exact_dedup(s2)
+    s4 = chunk_documents(s3, chunk_tokens=64, overlap=8)
+
+    def stage(n, df):
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(n).alias("stage"), "n")
+
+    return (stage("0_corpus", d)
+            .unionByName(stage("1_quality", s1))
+            .unionByName(stage("2_lang_en", s2))
+            .unionByName(stage("3_deduped", s3))
+            .unionByName(stage("4_chunks", s4)))
+
+
 def q_latest_capture(spark, sf):  # A8/U3 — crawl-scale last-wins per url
     """Keep the newest capture per url (the Common-Crawl recrawl dedup):
     synthesize recrawls for every 10th doc with a later timestamp, then
@@ -689,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
+        "training_funnel": q_training_funnel,
         "latest_capture": q_latest_capture,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
@@ -1150,6 +1178,31 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "pii_redaction": _pii_oracle_sql(),
+        "training_funnel": f"""
+            WITH f AS (
+              SELECT doc_id, text, lang, length(text) AS n,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                     length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS punct
+              FROM documents),
+            s1 AS (SELECT * FROM f
+                   WHERE n >= 25 AND (alpha / GREATEST(n, 1)) >= CAST(0.5 AS DOUBLE)
+                     AND (punct / GREATEST(n, 1)) <= CAST(0.2 AS DOUBLE)),
+            s2 AS (SELECT * FROM s1 WHERE lang = 'en'),
+            s3 AS (SELECT MIN(doc_id) AS doc_id FROM s2
+                   GROUP BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))),
+            s3d AS (SELECT s2.doc_id, s2.text FROM s2 JOIN s3 USING (doc_id)),
+            s4 AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, GREATEST(len(list_filter(
+                         string_split_regex(text, '\\s+'), x -> x != '')) - 64, 0)
+                         + 56, 56)) AS s
+              FROM s3d)
+            SELECT '0_corpus' AS stage, COUNT(*) AS n FROM documents
+            UNION ALL SELECT '1_quality', COUNT(*) FROM s1
+            UNION ALL SELECT '2_lang_en', COUNT(*) FROM s2
+            UNION ALL SELECT '3_deduped', COUNT(*) FROM s3d
+            UNION ALL SELECT '4_chunks', COUNT(*) FROM s4
+        """,
         "repetition_stats": """
             WITH p AS (
               SELECT doc_id,
