@@ -403,11 +403,13 @@ def q_repetition_stats(spark, sf):  # Gopher-style repetition filters
 
 
 def q_training_funnel(spark, sf):
-    """The whole training-data funnel as ONE composed plan: corpus →
+    """The whole training-data funnel composed end-to-end: corpus →
     quality gate → language filter → exact dedup → chunking, with a
-    per-stage surviving-count row. Demonstrates that the operators
-    compose (each stage feeds the next lazily; Catalyst plans the funnel
-    as one DAG) — and the oracle recomputes every stage in SQL."""
+    per-stage surviving-count row; the oracle recomputes every stage in
+    SQL. NB the five count branches share subtrees that this union form
+    re-executes — fine for a gate query; a production run would count all
+    stages in ONE pass (observe()/accumulators on the single funnel plan)
+    while writing stage 4's chunks."""
     from wine_label_ocr_spark.operators.dedupe import exact_dedup
     from wine_label_ocr_spark.operators.textops import (
         chunk_documents, quality_gate)
