@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from wine_label_ocr_spark.fixtures import pages_pandas
 from wine_label_ocr_spark.sources.warc import (
-    parse_warc_bytes, read_warc, write_warc)
+    parse_warc_bytes, read_warc, write_warc, write_warc_shards)
 
 N = 80
 
@@ -65,3 +65,20 @@ def test_warc_tolerates_truncation_and_junk(tmp_path, spark):
     got = list(parse_warc_bytes(open(path, "rb").read()))
     assert 4 <= len(got) <= 6  # earlier records survive, tail dropped
     assert read_warc(spark, path).count() == len(got)
+
+
+def test_write_warc_shards_roundtrip(tmp_path, spark):
+    """Distributed export: shards written task-side (atomic rename), read
+    back byte-identical; manifest counts match."""
+    from wine_label_ocr_spark.fixtures import pages_spark
+    out = str(tmp_path / "export")
+    pages = pages_spark(spark, 60, partitions=3)
+    manifest = write_warc_shards(pages, out, n_shards=3).collect()
+    assert sum(r["n_records"] for r in manifest) == 60
+    assert len([r for r in manifest if r["n_records"] > 0]) == 3
+    back = read_warc(spark, out + "/*.warc").collect()
+    want = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    assert len(back) == 60
+    assert all(bytes(r["html"]) == want[r["url"]] for r in back)
+    import os
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]

@@ -117,6 +117,56 @@ def parse_warc_bytes(blob: bytes) -> Iterator[tuple[str, datetime, bytes, str | 
             headers.get("warc-identified-content-language")
 
 
+def write_warc_shards(pages: DataFrame, out_dir: str,
+                      n_shards: int | None = None) -> DataFrame:
+    """Distributed WARC export: one shard file per partition, written
+    task-side with a write-tmp-then-atomic-rename protocol (a crashed task
+    leaves only a .tmp orphan, never a half shard with a final name).
+    Returns the shard manifest (path, n_records, n_bytes) as a DataFrame —
+    collect it to commit the export.
+
+    The inverse of ``read_warc``: a corpus curated in the engine ships
+    back out in Common-Crawl's container for downstream consumers.
+    """
+    import os
+    import uuid as _uuid
+    from collections.abc import Iterable, Iterator
+
+    os.makedirs(out_dir, exist_ok=True)
+    if n_shards is not None:
+        pages = pages.repartition(n_shards)
+
+    def write_partition(batches: Iterable) -> Iterator:
+        import pandas as pd
+        name = f"shard-{_uuid.uuid4().hex}.warc"
+        tmp = os.path.join(out_dir, name + ".tmp")
+        final = os.path.join(out_dir, name)
+        n = n_bytes = 0
+        f = None
+        for pdf in batches:
+            if f is None:
+                f = open(tmp, "wb")
+            for r in pdf.itertuples(index=False):
+                rec = format_warc_record(
+                    r.url, pd.Timestamp(r.ts).to_pydatetime(),
+                    bytes(r.html), getattr(r, "lang", None))
+                f.write(rec)
+                n += 1
+                n_bytes += len(rec)
+        if f is None:
+            yield pd.DataFrame(columns=["path", "n_records", "n_bytes"])
+            return
+        f.close()
+        os.replace(tmp, final)  # atomic publish
+        yield pd.DataFrame([(final, n, n_bytes)],
+                           columns=["path", "n_records", "n_bytes"])
+
+    cols = [c for c in ("url", "warc_ts", "html", "lang") if c in pages.columns]
+    sel = pages.select(*cols).withColumnRenamed("warc_ts", "ts")
+    return sel.mapInPandas(
+        write_partition, schema="path string, n_records long, n_bytes long")
+
+
 def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     """Distributed WARC scan → pages DataFrame (url, warc_ts, html, lang).
 
