@@ -89,6 +89,21 @@ def main() -> None:
          "Payload bytes assembled JVM-side (hex algebra + to_binary), one "
          "MapInPandas for the stdlib header decode, hashable projection.",
          E.q_media_features(spark, SF)),
+        ("chunk_documents — shuffle-free chunker",
+         "Token windows built entirely in the projection (sequence + slice "
+         "+ explode): zero Exchange, chunking inherits the scan's "
+         "partitioning.",
+         E.q_chunk_documents(spark, SF)),
+        ("pack_sequences (sharded) — partitioned running-sum window",
+         "With n_shards the window partitions on pmod(xxhash64(id), n) — "
+         "no single-task global sort; bins are shard-prefixed.",
+         __import__("wine_label_ocr_spark.operators.textops",
+                    fromlist=["pack_sequences"]).pack_sequences(
+             docs, budget_tokens=512, n_shards=8)),
+        ("training_funnel — composed quality→lang→dedup→chunk counts",
+         "Five observation branches over shared subtrees (gate form); the "
+         "one-pass observe() form lives in plans/funnel.py.",
+         E.q_training_funnel(spark, SF)),
     ]
 
     out = [HEADER]
