@@ -813,10 +813,13 @@ def _simhash_oracle_sql() -> str:
     """
 
 
-def _near_dup_oracle_sql(n_planes=8, dim=64, min_cosine=0.95) -> str:
+def _near_dup_oracle_sql(n_planes=8, dim=64, min_cosine=0.95,
+                         max_bucket=200) -> str:
     """DuckDB twin of embedding_near_dup over 3dp-rounded doubles: the
     deterministic md5 hyperplanes are inlined as literals, bucket = OR of
-    sign bits (disjoint → SUM), pairwise cosine within buckets."""
+    sign bits (disjoint → SUM), pairwise cosine within buckets. Mirrors
+    the operator's max_bucket hot-bucket guard (drop buckets above the
+    cap before pairing) so both sides compute the identical pair set."""
     from wine_label_ocr_spark.operators.ann import _hyperplanes
     planes = _hyperplanes(n_planes, dim)
     rows = ", ".join(
@@ -843,9 +846,14 @@ def _near_dup_oracle_sql(n_planes=8, dim=64, min_cosine=0.95) -> str:
                           THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
           FROM corpus, planes GROUP BY vec_id, e),
+        guarded AS (
+          SELECT vec_id, e, bucket FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bn FROM sig)
+          WHERE bn <= {max_bucket}),
         pairs AS (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.e AS ea, b.e AS eb
-          FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          FROM guarded a JOIN guarded b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
         scored AS (
           SELECT id_a, id_b, ROUND(
                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -193,6 +193,28 @@ def test_embedding_near_dup_finds_planted_dup(spark, emb):
     assert any(r["id_b"] - r["id_a"] == 100000 for r in pairs)
 
 
+def test_embedding_near_dup_hot_bucket_guard(spark, emb):
+    """A cluster of m near-identical embeddings lands in ONE LSH bucket and
+    would cost m² pairs — the max_bucket guard must drop the hot bucket
+    while normal-sized buckets keep producing pairs."""
+    base = emb.limit(1).select("embedding").first()["embedding"]
+    neg = [-x for x in base]  # complement sign pattern → different bucket
+    hot = [(i, list(base)) for i in range(30)]            # one hot bucket
+    small = [(1000 + i, neg) for i in range(3)]           # stays under cap
+    corpus = spark.createDataFrame(hot + small,
+                                   "vec_id bigint, embedding array<double>")
+    got = ann.embedding_near_dup(corpus, dim=64, min_cosine=0.999,
+                                 max_bucket=10).collect()
+    hot_pairs = [r for r in got if r["id_a"] < 1000]
+    small_pairs = [r for r in got if r["id_a"] >= 1000]
+    assert hot_pairs == []          # 30 > max_bucket → bucket dropped
+    assert len(small_pairs) == 3    # 3 <= max_bucket → all C(3,2) pairs
+    # with the cap lifted the hot cluster's quadratic pair set comes back
+    unguarded = ann.embedding_near_dup(corpus, dim=64, min_cosine=0.999,
+                                       max_bucket=10_000).collect()
+    assert len([r for r in unguarded if r["id_a"] < 1000]) == 30 * 29 // 2
+
+
 def test_ivf_index_prunes_partitions(spark, emb, tmp_path):
     """The written IVF layout must prove its point: a query scan reads only
     the probed cells' files (partition pruning), and results match the

@@ -108,6 +108,10 @@ def test_best_maker_from_raw(spark):
         ({"maker_name_candidates": mk("aaa bbb"),
           "blocks": mk("@@@@@@@@@@@@@@@@x!")},),
         ({"maker_name_candidates": [], "blocks": mk("ZZ", ".")},),
+        # the len>=3 gate applies ONLY to non-reserved buckets — a 1-2 char
+        # maker_name candidate survives on truthiness alone
+        # (final_run_ocr.py:362 keeps `txt` with no length check)
+        ({"maker_name_candidates": mk("AB"), "blocks": mk("ZZ", ".")},),
     ]
     df = spark.createDataFrame(rows, ddl)
     got = [r["best"] for r in
@@ -119,3 +123,5 @@ def test_best_maker_from_raw(spark):
     assert got[1] == "AAA BBB"
     # row 3: everything gated -> NULL
     assert got[2] is None
+    # row 4: short named candidate kept (reference parity)
+    assert got[3] == "AB"

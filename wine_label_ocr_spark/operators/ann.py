@@ -128,6 +128,8 @@ def ivf_train_centroids(corpus: DataFrame, k: int = 16, iters: int = 3,
     import pandas as pd
 
     rows = _ivf_seed_candidates(corpus, k, c_vec, seed).collect()
+    if not rows:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
     # driver-side dedup so exact-duplicate vectors don't collapse centroids
     picked, seen = [], set()
     for r in rows:
@@ -137,7 +139,7 @@ def ivf_train_centroids(corpus: DataFrame, k: int = 16, iters: int = 3,
             picked.append(list(r["_v"]))
         if len(picked) == k:
             break
-    cents = np.array(picked or [list(rows[0]["_v"])], dtype=np.float64)
+    cents = np.array(picked, dtype=np.float64)
 
     for _ in range(iters):
         C = cents.copy()
@@ -329,12 +331,21 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
 
 def embedding_near_dup(corpus: DataFrame, dim: int, min_cosine: float = 0.95,
                        n_planes: int = 12, seed: int = 42,
-                       c_id: str = "vec_id", c_vec: str = "embedding") -> DataFrame:
+                       c_id: str = "vec_id", c_vec: str = "embedding",
+                       max_bucket: int = 200) -> DataFrame:
     """Near-duplicate vector pairs: one shuffle on the LSH bucket, pairwise
-    cosine only within buckets (embedding-cosine dedup for training data)."""
+    cosine only within buckets (embedding-cosine dedup for training data).
+
+    ``max_bucket`` is the hot-bucket skew guard (same shape as
+    ``dedupe.minhash_lsh_pairs``): the near-dup regime is exactly when a
+    cluster of m near-identical embeddings lands in ONE bucket and the
+    self-join costs m² — buckets above the cap are dropped before the
+    join, bounding every bucket's pair count at max_bucket²/2."""
     planes = _hyperplanes(n_planes, dim, seed)
     c = corpus.select(F.col(c_id).alias("_id"), F.col(c_vec).alias("_v"),
                       rp_signature(F.col(c_vec), planes).alias("_bucket"))
+    c = (c.withColumn("_bn", F.count("*").over(W.partitionBy("_bucket")))
+         .filter(F.col("_bn") <= max_bucket).drop("_bn"))
     a, b = c.alias("a"), c.alias("b")
     return (a.join(b, (F.col("a._bucket") == F.col("b._bucket"))
                    & (F.col("a._id") < F.col("b._id")))

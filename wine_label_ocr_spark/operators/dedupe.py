@@ -190,6 +190,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     ).dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")))
+    changed = 0
     for _ in range(max_iters):
         neigh = (edges.join(labels, edges.dst == labels.id)
                  .groupBy("src").agg(F.min("label").alias("nlabel")))
@@ -204,6 +205,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels = stepped.drop("_old")
         if changed == 0:
             break
+    if changed != 0:
+        # a chain longer than max_iters hops would return silently SPLIT
+        # components and dedup_keep_one would then under-delete — fail loud.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters — rounds "
+            "needed is O(graph diameter)")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("component"))
 

@@ -81,22 +81,25 @@ RESERVED_RAW_BUCKETS = ("maker_name_candidates", "vintage_candidates",
 
 def best_maker_from_raw(raw: Column) -> Column:
     """E9 — ``_extract_best_maker_from_raw`` (final_run_ocr.py:361-373) as
-    one native column fold: pool the maker_name_candidates bucket first,
-    then every non-reserved bucket in map order; gate ``len(strip) >= 3``
-    and ``!= '.'``; normalize (E7 charset); pick the longest with
-    FIRST-wins tie-break (Python ``max(key=len)`` keeps the first maximum,
-    so the fold only replaces on strictly-greater length)."""
+    one native column fold: pool the maker_name_candidates bucket first
+    (truthiness-gated ONLY — the reference keeps any non-empty text here,
+    final_run_ocr.py:362), then every non-reserved bucket in map order
+    gated with ``len(strip) >= 3`` and ``!= '.'``
+    (final_run_ocr.py:366-370); normalize (E7 charset); pick the longest
+    with FIRST-wins tie-break (Python ``max(key=len)`` keeps the first
+    maximum, so the fold only replaces on strictly-greater length)."""
     named = F.transform(F.coalesce(raw["maker_name_candidates"],
                                    F.array().cast("array<struct<text:string,conf:double>>")),
                         lambda s: s["text"])
+    named = F.filter(named, lambda t: t.isNotNull() & (t != ""))
     others = F.filter(F.map_entries(raw),
                       lambda e: ~e["key"].isin(*RESERVED_RAW_BUCKETS))
     pooled = F.flatten(F.transform(
         others, lambda e: F.transform(e["value"], lambda s: s["text"])))
-    cands = F.concat(named, pooled)
-    gated = F.filter(cands, lambda t: t.isNotNull()
+    gated = F.filter(pooled, lambda t: t.isNotNull()
                      & (F.length(F.trim(t)) >= 3) & (F.trim(t) != "."))
-    normed = F.filter(F.transform(gated, normalize_maker_col),
+    cands = F.concat(named, gated)
+    normed = F.filter(F.transform(cands, normalize_maker_col),
                       lambda t: t.isNotNull())
     return F.aggregate(
         normed, F.lit(None).cast("string"),

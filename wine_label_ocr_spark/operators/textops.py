@@ -261,7 +261,9 @@ def pack_sequences(df: DataFrame, budget_tokens: int = 512,
         shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
         w = (W.partitionBy(shard).orderBy(id_col)
              .rowsBetween(W.unboundedPreceding, 0))
-        shard_prefix = shard.cast("bigint") * F.lit(1_000_000_000)
+        # 2^40 bins/shard (~512T tokens at budget 512) before ids could
+        # collide with the next shard's space — wide enough for 10^12 docs.
+        shard_prefix = shard.cast("bigint") * F.lit(1 << 40)
     cum = F.sum(n_tok).over(w)
     return df.select(
         F.col(id_col).alias("doc_id"),
