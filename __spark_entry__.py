@@ -263,10 +263,12 @@ def q_extract_pdf_pipeline(spark, sf):
 
 def q_warc_extract(spark, sf):
     """WARC ingestion under the correctness gate: documents rendered as
-    pages → written to WARC shards (Common-Crawl's container) → read back
-    through the distributed binaryFile scan → full two-stage extraction.
-    The oracle recomputes the expected fields from documents directly, so
-    a hash match proves the WARC path is byte-faithful end-to-end."""
+    pages → exported with the DISTRIBUTED gzip shard writer (the
+    production sink — per-record gzip members, task-side atomic publish,
+    no driver collect) → read back through the binaryFile scan → full
+    two-stage extraction. The oracle recomputes the expected fields from
+    documents directly, so a hash match proves the gzip WARC path is
+    byte-faithful end-to-end."""
     import hashlib as _h
     import os
     import tempfile
@@ -274,29 +276,39 @@ def q_warc_extract(spark, sf):
     from wine_label_ocr_spark.fixtures import documents_as_pages
     from wine_label_ocr_spark.operators.extraction import extract_fields
     from wine_label_ocr_spark.operators.segmentation import segment
-    from wine_label_ocr_spark.sources.warc import read_warc, write_warc
+    from wine_label_ocr_spark.sources.warc import read_warc, write_warc_shards
 
-    # cache key covers the renderer's source too, so a fixture change can
-    # never serve stale shards to the gate
+    # cache key covers the renderer's source AND the parquet fixture's
+    # file identity (sizes + mtimes), so neither a renderer change nor a
+    # regenerated fixture at the same path can serve stale shards
     import inspect
 
     from wine_label_ocr_spark import fixtures as _fx
-    tag = _h.md5((sf + inspect.getsource(_fx.render_doc_page))
+    doc_dir = os.path.join(sf, "documents.parquet")
+    stat = "" if not os.path.isdir(doc_dir) else ";".join(
+        f"{f}:{s.st_size}:{s.st_mtime_ns}" for f, s in sorted(
+            (f, os.stat(os.path.join(doc_dir, f)))
+            for f in os.listdir(doc_dir) if not f.startswith(".")))
+    tag = _h.md5((sf + stat + inspect.getsource(_fx.render_doc_page)
+                  + inspect.getsource(_fx.documents_as_pages))
                  .encode()).hexdigest()[:10]
     shard_dir = os.path.join(tempfile.gettempdir(), f"wlos_warc_{tag}")
-    done = os.path.join(shard_dir, "_DONE")
-    if not os.path.exists(done):
-        os.makedirs(shard_dir, exist_ok=True)
-        rows = sorted(documents_as_pages(spark, sf).collect(),
-                      key=lambda r: r["url"])
-        per = max(len(rows) // 4, 1)
-        for i in range(0, len(rows), per):
-            write_warc(os.path.join(shard_dir, f"shard-{i:06d}.warc"),
-                       ({"url": r["url"], "warc_ts": r["warc_ts"],
-                         "html": bytes(r["html"]), "lang": r["lang"]}
-                        for r in rows[i:i + per]))
-        open(done, "w").close()
-    pages = read_warc(spark, os.path.join(shard_dir, "*.warc"))
+    if not os.path.isdir(shard_dir):
+        # distributed export into a run-private staging dir, then ONE
+        # atomic directory rename publishes it — concurrent runs race on
+        # the rename, losers discard their staging dir, readers only ever
+        # see exactly one complete shard set
+        import shutil
+        import uuid
+        staging = f"{shard_dir}.stage-{uuid.uuid4().hex}"
+        pages = documents_as_pages(spark, sf).repartition(
+            4, F.abs(F.xxhash64("url")) % 4)
+        write_warc_shards(pages, staging, compress=True).collect()
+        try:
+            os.rename(staging, shard_dir)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)  # lost the race
+    pages = read_warc(spark, os.path.join(shard_dir, "*.warc.gz"))
     rec = extract_fields(segment(pages))
     return rec.select(
         F.regexp_extract("url", r"/doc/(\d+)", 1).cast("bigint").alias("doc_id"),

@@ -67,6 +67,55 @@ def test_warc_tolerates_truncation_and_junk(tmp_path, spark):
     assert read_warc(spark, path).count() == len(got)
 
 
+def test_warc_gz_roundtrip(tmp_path, spark):
+    """.warc.gz shards (concatenated per-record gzip members — the real
+    Common-Crawl layout) read back byte-identical via the same scan."""
+    import gzip
+    pdf = pages_pandas(N)
+    rows = pdf.to_dict("records")
+    per = (N + 2) // 3
+    for i in range(3):
+        write_warc(str(tmp_path / f"shard-{i:03d}.warc.gz"),
+                   rows[i * per:(i + 1) * per], compress=True)
+    # each shard really is a multi-member gzip stream
+    blob = open(tmp_path / "shard-000.warc.gz", "rb").read()
+    assert blob[:2] == b"\x1f\x8b"
+    assert gzip.decompress(blob).startswith(b"WARC/1.0\r\n")
+    got = read_warc(spark, str(tmp_path / "*.warc.gz")).collect()
+    assert len(got) == N
+    want = {r["url"]: bytes(r["html"]) for r in pdf.to_dict("records")}
+    assert all(bytes(r["html"]) == want[r["url"]] for r in got)
+
+
+def test_warc_gz_tolerates_truncated_member(tmp_path):
+    """A shard cut mid-gzip-member yields every fully-decoded record and
+    never raises (ST8)."""
+    pdf = pages_pandas(6)
+    path = tmp_path / "trunc.warc.gz"
+    write_warc(str(path), pdf.to_dict("records"), compress=True)
+    blob = open(path, "rb").read()
+    got = list(parse_warc_bytes(blob[:-30]))  # chop into the last member
+    assert 4 <= len(got) <= 6
+    # garbage that merely starts with the magic decodes to zero records
+    assert list(parse_warc_bytes(b"\x1f\x8bgarbage not gzip at all")) == []
+
+
+def test_write_warc_shards_gz_roundtrip(tmp_path, spark):
+    """Distributed gz export: per-record gzip members, atomic publish,
+    byte-identical readback."""
+    from wine_label_ocr_spark.fixtures import pages_spark
+    out = str(tmp_path / "export_gz")
+    pages = pages_spark(spark, 60, partitions=3)
+    manifest = write_warc_shards(pages, out, n_shards=3, compress=True).collect()
+    assert sum(r["n_records"] for r in manifest) == 60
+    import os
+    assert all(f.endswith(".warc.gz") for f in os.listdir(out))
+    back = read_warc(spark, out + "/*.warc.gz").collect()
+    want = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    assert len(back) == 60
+    assert all(bytes(r["html"]) == want[r["url"]] for r in back)
+
+
 def test_write_warc_shards_roundtrip(tmp_path, spark):
     """Distributed export: shards written task-side (atomic rename), read
     back byte-identical; manifest counts match."""

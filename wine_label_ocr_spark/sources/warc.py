@@ -21,6 +21,13 @@ HTTP envelope — the WARC-Identified-Payload-Type style of storage);
 other record types (warcinfo, request, metadata) are skipped. Truncated
 trailing records are dropped, not fatal (ST8 tolerant-parse policy).
 
+Gzip: real Common-Crawl shards are ``.warc.gz`` — a CONCATENATION of
+per-record gzip members (that is what makes record-level random access
+possible via the crawl indexes). ``parse_warc_bytes`` auto-detects the
+gzip magic and inflates member-by-member with stdlib zlib, tolerating a
+truncated trailing member (ST8); writers emit one deterministic gzip
+member per record (``mtime=0``) when ``compress=True``.
+
 Scale notes: parallelism = shard count (a WARC shard is not splittable
 mid-record, the same constraint gzip imposes on real crawls); per-task
 memory is one shard. Writers shard accordingly (``write_warc`` in
@@ -29,6 +36,8 @@ fixtures/tests writes one shard per call).
 
 from __future__ import annotations
 
+import gzip as _gzip
+import zlib as _zlib
 from collections.abc import Iterable, Iterator
 from datetime import datetime, timezone
 
@@ -56,20 +65,49 @@ def format_warc_record(url: str, warc_ts: datetime, payload: bytes,
     return head + payload + b"\r\n\r\n"
 
 
-def write_warc(path: str, rows: Iterable[dict]) -> int:
+def gzip_member(record: bytes) -> bytes:
+    """One record → one deterministic gzip member (mtime=0, no filename) —
+    the Common-Crawl ``.warc.gz`` convention: members concatenate into a
+    shard and each record stays independently random-accessible."""
+    return _gzip.compress(record, compresslevel=6, mtime=0)
+
+
+def gunzip_members(blob: bytes) -> bytes:
+    """Inflate a concatenation of gzip members back to plain WARC bytes.
+
+    Tolerant (ST8): a corrupt or truncated trailing member ends the shard
+    with everything decoded so far, never raises.
+    """
+    out = []
+    data = blob
+    while data[:2] == b"\x1f\x8b":
+        d = _zlib.decompressobj(31)  # 31 = gzip wrapper
+        try:
+            out.append(d.decompress(data))
+        except _zlib.error:
+            break
+        if not d.eof:
+            break  # truncated trailing member — keep what decoded
+        data = d.unused_data
+    return b"".join(out)
+
+
+def write_warc(path: str, rows: Iterable[dict], compress: bool = False) -> int:
     """Write one WARC shard from dicts with (url, warc_ts, html[, lang]).
 
     Fixture/test helper (driver-side by design: a shard is a single
-    sequential file). Returns the number of records written.
+    sequential file). ``compress=True`` writes per-record gzip members
+    (the ``.warc.gz`` layout). Returns the number of records written.
     """
+    pack = gzip_member if compress else (lambda b: b)
     n = 0
     with open(path, "wb") as f:
-        f.write(format_warc_record(
+        f.write(pack(format_warc_record(
             "urn:warcinfo", datetime(2025, 1, 1, tzinfo=timezone.utc),
-            b"software: wine_label_ocr_spark\r\n", record_type="warcinfo"))
+            b"software: wine_label_ocr_spark\r\n", record_type="warcinfo")))
         for r in rows:
-            f.write(format_warc_record(r["url"], r["warc_ts"], r["html"],
-                                       r.get("lang")))
+            f.write(pack(format_warc_record(r["url"], r["warc_ts"], r["html"],
+                                            r.get("lang"))))
             n += 1
     return n
 
@@ -78,8 +116,12 @@ def parse_warc_bytes(blob: bytes) -> Iterator[tuple[str, datetime, bytes, str | 
     """Split one shard's bytes into (url, ts, payload, lang) tuples.
 
     Pure function (stdlib only) shared by the Spark reader and tests.
-    Tolerant: malformed/truncated records end the shard instead of raising.
+    Gzipped shards (``.warc.gz`` — concatenated per-record members) are
+    detected by magic and inflated first. Tolerant: malformed/truncated
+    records end the shard instead of raising.
     """
+    if blob[:2] == b"\x1f\x8b":
+        blob = gunzip_members(blob)
     pos = 0
     n = len(blob)
     while True:
@@ -118,7 +160,8 @@ def parse_warc_bytes(blob: bytes) -> Iterator[tuple[str, datetime, bytes, str | 
 
 
 def write_warc_shards(pages: DataFrame, out_dir: str,
-                      n_shards: int | None = None) -> DataFrame:
+                      n_shards: int | None = None,
+                      compress: bool = False) -> DataFrame:
     """Distributed WARC export: one shard file per partition, written
     task-side with a write-tmp-then-atomic-rename protocol (a crashed task
     leaves only a .tmp orphan, never a half shard with a final name).
@@ -138,18 +181,19 @@ def write_warc_shards(pages: DataFrame, out_dir: str,
 
     def write_partition(batches: Iterable) -> Iterator:
         import pandas as pd
-        name = f"shard-{_uuid.uuid4().hex}.warc"
+        name = f"shard-{_uuid.uuid4().hex}.warc" + (".gz" if compress else "")
         tmp = os.path.join(out_dir, name + ".tmp")
         final = os.path.join(out_dir, name)
+        pack = gzip_member if compress else (lambda b: b)
         n = n_bytes = 0
         f = None
         for pdf in batches:
             if f is None:
                 f = open(tmp, "wb")
             for r in pdf.itertuples(index=False):
-                rec = format_warc_record(
+                rec = pack(format_warc_record(
                     r.url, pd.Timestamp(r.ts).to_pydatetime(),
-                    bytes(r.html), getattr(r, "lang", None))
+                    bytes(r.html), getattr(r, "lang", None)))
                 f.write(rec)
                 n += 1
                 n_bytes += len(rec)
