@@ -521,7 +521,7 @@ def q_rp_lsh_topk(spark, sf):  # ann: LSH-bucketed approximate top-k, oracle-che
         F.transform("embedding", lambda x: F.round(x.cast("double"), 3)).alias("embedding"))
     q = (e.filter(F.col("vec_id") % 100 == 0)
          .select(F.col("vec_id").alias("q_id"), "embedding"))
-    return rp_lsh_topk(q, e, dim=64, k=5, n_planes=6)
+    return rp_lsh_topk(q, e, dim=64, k=5, n_planes=6, n_probes=3)
 
 
 def q_ivf_topk(spark, sf):  # ann: IVF coarse-quantizer top-k (rows-only)
@@ -879,10 +879,13 @@ def _near_dup_oracle_sql(n_planes=8, dim=64, min_cosine=0.95,
     """
 
 
-def _rp_lsh_oracle_sql(n_planes=6, dim=64, k=5) -> str:
+def _rp_lsh_oracle_sql(n_planes=6, dim=64, k=5, n_probes=3) -> str:
     """DuckDB twin of rp_lsh_topk over 3dp-rounded doubles: same inlined
-    hyperplanes/bucketing as _near_dup_oracle_sql, then per-query exact
-    cosine re-rank within the query's bucket."""
+    hyperplanes/bucketing as _near_dup_oracle_sql, the same margin-ordered
+    multi-probe expansion of the query side (flip the smallest-|dot|
+    planes first, ties by plane index — identical to the Spark
+    array_sort(struct(abs, j)) ordering), then per-query exact cosine
+    re-rank within the probed buckets."""
     from wine_label_ocr_spark.operators.ann import _hyperplanes
     planes = _hyperplanes(n_planes, dim)
     rows = ", ".join(
@@ -899,14 +902,29 @@ def _rp_lsh_oracle_sql(n_planes=6, dim=64, k=5) -> str:
                  list_transform(embedding, x -> round(CAST(x AS DOUBLE), 3)) AS e
           FROM embeddings),
         planes(p, pl) AS (VALUES {rows}),
+        dots AS (
+          SELECT vec_id, e, CAST(p AS INT) AS p, {dotv} AS d
+          FROM base, planes),
         sig AS (
           SELECT vec_id, e,
-                 CAST(SUM(CASE WHEN {dotv} > 0
-                          THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+                 CAST(SUM(CASE WHEN d > 0
+                          THEN (CAST(1 AS BIGINT) << p)
                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
-          FROM base, planes GROUP BY vec_id, e),
+          FROM dots GROUP BY vec_id, e),
         q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM sig
               WHERE vec_id % 100 = 0),
+        qflip AS (
+          SELECT vec_id AS q_id, p,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY ABS(d), p) AS rnk
+          FROM dots WHERE vec_id % 100 = 0),
+        qprobes AS (
+          SELECT q_id, qe, bucket FROM q
+          UNION ALL
+          SELECT q.q_id, q.qe,
+                 xor(q.bucket, CAST(1 AS BIGINT) << f.p) AS bucket
+          FROM q JOIN qflip f ON q.q_id = f.q_id
+          WHERE f.rnk <= {n_probes - 1}),
         scored AS (
           SELECT q.q_id, c.vec_id AS c_id,
                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -914,7 +932,7 @@ def _rp_lsh_oracle_sql(n_planes=6, dim=64, k=5) -> str:
                                     i -> qe[i] * c.e[i])), (x, y) -> x + y)
                  / GREATEST({sq.format(v='qe')} * {sq.format(v='c.e')},
                             CAST(1e-12 AS DOUBLE)) AS cosine
-          FROM q JOIN sig c ON q.bucket = c.bucket)
+          FROM qprobes q JOIN sig c ON q.bucket = c.bucket)
         -- rank on the UNROUNDED cosine (matches the Spark window), round
         -- only in the projection
         SELECT q_id, c_id, ROUND(cosine, 6) AS cosine, CAST(rank AS INT) AS rank

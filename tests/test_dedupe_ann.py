@@ -184,6 +184,27 @@ def test_rp_lsh_recall_vs_exact(spark, emb):
             assert approx_top1[r["q_id"]] == r["c_id"]
 
 
+def test_rp_lsh_multi_probe_beats_single(spark, emb):
+    """Margin-ordered multi-probe must (a) match single-probe exactly at
+    n_probes=1, (b) strictly improve recall-vs-exact at equal n_planes —
+    the standard fix for single-probe recall decay as n_planes grows."""
+    q = emb.limit(50).select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = {(r["q_id"], r["c_id"])
+             for r in ann.cosine_topk(q, emb, k=3).collect()}
+
+    def recall(n_probes):
+        got = {(r["q_id"], r["c_id"])
+               for r in ann.rp_lsh_topk(q, emb, dim=64, k=3, n_planes=8,
+                                        n_probes=n_probes).collect()}
+        return len(exact & got) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 > r1  # deterministic data + deterministic planes
+    # every single-probe hit survives multi-probe (supersets of candidates
+    # can only push non-hits out, never drop a true top-k member's bucket)
+    assert recall(9) >= r4  # 9 = base bucket + all 8 flips (capped)
+
+
 def test_embedding_near_dup_finds_planted_dup(spark, emb):
     # plant an exact duplicate vector with a new id
     dup = emb.limit(1).select((F.col("vec_id") + 100000).alias("vec_id"),

@@ -144,6 +144,29 @@ def test_fuzzy_cross_vintage_fallback(spark):
     assert out2["decision"] == "not seen"  # only MARGAUX|2019 considered
 
 
+def test_fuzzy_fallback_bounded_by_default(spark):
+    """The full-store fallback tier is size-asserted by default: an
+    oversized store raises instead of silently going quadratic; the
+    explicit opt-ins (unbounded_fallback / a raised limit) restore the
+    reference's unbounded-scan semantics with identical decisions."""
+    import pytest
+    store = spark.createDataFrame(
+        [(f"MAKER {i:04d}|2018", f"MAKER {i:04d}", 2018) for i in range(12)],
+        "custom_id string, maker_name string, vintage int")
+    new = spark.createDataFrame(
+        [("MAKER 0003|2019", "MAKER 0003", 2019)],  # cross-vintage fallback
+        "custom_id string, maker_name string, vintage int")
+    with pytest.raises(ValueError, match="fallback_store_limit"):
+        S.fuzzy_match_decisions(new, store, fallback_store_limit=10).collect()
+    bounded = S.fuzzy_match_decisions(new, store).collect()[0]
+    unbounded = S.fuzzy_match_decisions(
+        new, store, unbounded_fallback=True).collect()[0]
+    assert (bounded["decision"], bounded["matched_key"],
+            bounded["match_score"]) == \
+           (unbounded["decision"], unbounded["matched_key"],
+            unbounded["match_score"]) == ("seen-fuzzy", "MAKER 0003|2018", 100.0)
+
+
 # -- span-layout matcher ------------------------------------------------------
 
 def _mk_span(start, end, cx, cy, area, ar=4.0, sol=0.8, ext=1.0):

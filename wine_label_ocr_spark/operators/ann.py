@@ -65,6 +65,22 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def _plane_dots(vec: Column, planes: list[list[float]]) -> Column:
+    """array<double> of the vector's dot product with every hyperplane."""
+    return F.array(*[dot(vec, F.array(*[F.lit(w) for w in p]))
+                     for p in planes])
+
+
+def _sig_from_dots(d: Column, n_planes: int) -> Column:
+    """Sign-pattern bucket id (long) from a precomputed dots array."""
+    out = F.lit(0).cast("long")
+    for j in range(n_planes):
+        out = out.bitwiseOR(
+            F.when(F.get(d, j) > 0, F.shiftleft(F.lit(1).cast("long"), j))
+             .otherwise(F.lit(0).cast("long")))
+    return out
+
+
 def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket id (long) from dot products with fixed planes."""
     bits = []
@@ -79,18 +95,61 @@ def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def rp_probe_buckets(vec: Column, planes: list[list[float]],
+                     n_probes: int) -> Column:
+    """Multi-probe LSH bucket list (array<long>): the vector's own bucket
+    first, then hamming-distance-1 buckets obtained by flipping the sign
+    bit of the CLOSEST hyperplane first (smallest |dot| = the plane the
+    vector most plausibly sits on the other side of) — the standard
+    query-directed multi-probe ordering. The dots array and the base
+    signature are computed ONCE via ``let`` (lambda-bearing exprs are
+    exempt from codegen CSE — see functions.let)."""
+    from ..functions import let
+
+    n = len(planes)
+    n_probes = max(1, min(n_probes, n + 1))
+    dots = _plane_dots(vec, planes)
+
+    def body(d: Column) -> Column:
+        ranked = F.transform(
+            F.array_sort(F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda j: F.struct(F.abs(F.get(d, j)).alias("m"),
+                                   j.cast("int").alias("j")))),
+            lambda s: s["j"])
+
+        def flips(sig: Column) -> Column:
+            probes = [sig]
+            for i in range(n_probes - 1):
+                probes.append(sig.bitwiseXOR(F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), F.get(ranked, i))))
+            return F.array(*probes)
+
+        return let(_sig_from_dots(d, n), flips)
+
+    return let(dots, body)
+
+
 def rp_lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int,
                 k: int = 10, n_planes: int = 8, seed: int = 42,
+                n_probes: int = 1,
                 q_id: str = "q_id", c_id: str = "vec_id",
                 q_vec: str = "embedding", c_vec: str = "embedding") -> DataFrame:
-    """Approximate top-k: candidates from the query's LSH bucket only,
-    exact cosine re-rank inside the bucket. Recall grows with fewer planes
-    / multi-probe; this is the single-probe baseline."""
+    """Approximate top-k: candidates from the query's LSH bucket —
+    plus, with ``n_probes > 1``, its nearest hamming-1 neighbor buckets
+    (margin-ordered multi-probe, the standard recall fix as n_planes
+    grows) — exact cosine re-rank inside. The corpus is still bucketed
+    exactly once; only the (tiny, broadcast) query side explodes, so the
+    probe count never touches the big side's plan."""
     planes = _hyperplanes(n_planes, dim, seed)
-    q = queries.select(F.col(q_id).alias("q_id"), F.col(q_vec).alias("_qv"),
-                       rp_signature(F.col(q_vec), planes).alias("_bucket"))
+    q = queries.select(
+        F.col(q_id).alias("q_id"), F.col(q_vec).alias("_qv"),
+        F.explode(rp_probe_buckets(F.col(q_vec), planes, n_probes))
+        .alias("_bucket"))
     c = corpus.select(F.col(c_id).alias("c_id"), F.col(c_vec).alias("_cv"),
                       rp_signature(F.col(c_vec), planes).alias("_bucket"))
+    # probe buckets are pairwise distinct (each flips a different bit), so
+    # a (q_id, c_id) pair matches at most one probe — no dedup needed.
     scored = (c.join(F.broadcast(q), "_bucket")
               .select("q_id", "c_id", cosine(F.col("_qv"), F.col("_cv")).alias("cosine")))
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))

@@ -191,7 +191,9 @@ def custom_id_similar(id_a: Column, id_b: Column, score: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 def fuzzy_match_decisions(new: DataFrame, store: DataFrame,
-                          block_null_vintage: bool = False) -> DataFrame:
+                          block_null_vintage: bool = False,
+                          unbounded_fallback: bool = False,
+                          fallback_store_limit: int = 100_000) -> DataFrame:
     """best_match (scan_and_store.py:121-164) as a Spark plan.
 
     Tiers: (1) exact canonical-key equi join → "seen-exact";
@@ -208,13 +210,18 @@ def fuzzy_match_decisions(new: DataFrame, store: DataFrame,
     Returns ``new`` columns + ``decision, matched_key, match_score``.
     Input contract: both sides carry (custom_id, maker_name, vintage).
 
-    Scale note: the reference scans ALL candidates for a vintage-less
-    record (scan_and_store.py:144-148) — O(|new_null| · |store|). That is
-    fine for a broadcastable store; at 10^12 keys set
-    ``block_null_vintage=True`` to additionally block those rows on the
-    first normalized maker token. This is a recall-for-cost trade
-    (token_set_ratio can match names whose first tokens differ), so it is
-    opt-in and off by default to preserve reference semantics.
+    Scale note: the reference scans ALL candidates for a vintage-less or
+    zero-candidate record (scan_and_store.py:144-148) — O(|fallback| ·
+    |store|). Safe-by-default policy: the full-store tiers are BOUNDED —
+    the store side must be broadcast-sized, asserted via a limited count
+    against ``fallback_store_limit`` (decision parity with the reference
+    is exact whenever the store fits, i.e. always in its regime: the
+    reference holds the whole store in one process's memory). Above the
+    limit this raises instead of silently going quadratic; the caller
+    then chooses the scale path (``block_null_vintage=True`` — blocks
+    vintage-less rows on the first normalized maker token, a
+    recall-for-cost trade) or explicitly accepts the reference's
+    unbounded scan (``unbounded_fallback=True``).
     """
     n = new.select(
         F.col("custom_id").alias("n_key"),
@@ -244,10 +251,26 @@ def fuzzy_match_decisions(new: DataFrame, store: DataFrame,
     blocked = rest.join(s, cond, "inner")
     # tier 2b: zero-candidate rows (vintage-bearing, no same-vintage store
     # rows) fall back to the full store — mirrors the reference's
-    # `cands = db` when same_vintage is empty. Cost is |fallback|·|store|
-    # like the reference; at scale the store side is the broadcast side.
+    # `cands = db` when same_vintage is empty. Bounded by default: the
+    # store must be broadcast-sized (limited count ≤ fallback_store_limit,
+    # then an explicit broadcast nested-loop join — |fallback|·|store|
+    # with a size-asserted small side). unbounded_fallback=True is the
+    # only way to reach the unguarded full-store cross join.
+    s_fb = s
+    if not unbounded_fallback:
+        n_store = s.limit(fallback_store_limit + 1).count()
+        if n_store > fallback_store_limit:
+            raise ValueError(
+                f"fuzzy_match_decisions: store exceeds fallback_store_limit="
+                f"{fallback_store_limit} keys, so the full-store fuzzy "
+                "fallback tier would be quadratic at this scale. Use "
+                "block_null_vintage=True (blocked scale path), raise "
+                "fallback_store_limit if the store is genuinely broadcastable, "
+                "or opt into the reference's unbounded scan with "
+                "unbounded_fallback=True.")
+        s_fb = F.broadcast(s)
     fallback = (rest.join(blocked.select("n_key").distinct(), "n_key", "left_anti")
-                .join(s, F.lit(True), "inner"))
+                .join(s_fb, F.lit(True), "inner"))
     cands = blocked.unionByName(fallback)
     scored = cands.withColumn(
         "raw_score", fuzzy_score_udf(F.col("n_maker"), F.col("s_maker")))
