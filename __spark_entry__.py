@@ -502,6 +502,22 @@ def q_simhash_fingerprints(spark, sf):  # dedupe: SimHash, oracle-checked
                     simhash64(F.col("text"), oracle_safe=True).alias("simhash"))
 
 
+def q_simhash_pairs(spark, sf):  # dedupe: banded SimHash pairing, oracle-checked
+    """Banded SimHash near-dup pairs (pigeonhole full recall) under the
+    gate: plant near-duplicates (same text + a short tail) so the operator
+    demonstrably fires; the DuckDB oracle reproduces the md5 token hashes,
+    band-slice arithmetic, bucket guard, and exact hamming verify."""
+    from wine_label_ocr_spark.operators.dedupe import simhash_pairs
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate tail")).alias("text"))
+    return (simhash_pairs(d.unionByName(dup), max_hamming=4, oracle_safe=True)
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                    F.col("hamming").cast("int").alias("hamming")))
+
+
 def q_cosine_topk(spark, sf):  # ann: exact brute-force cosine top-k
     from wine_label_ocr_spark.operators.ann import cosine_topk
     e = _t(spark, sf, "embeddings")
@@ -736,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "near_dup_components": q_near_dup_components,
         "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "rp_lsh_topk": q_rp_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -822,6 +839,68 @@ def _simhash_oracle_sql() -> str:
         SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
                COALESCE(s.simhash, CAST(0 AS BIGINT)) AS simhash
         FROM documents d LEFT JOIN sh s ON d.doc_id = s.doc_id
+    """
+
+
+def _simhash_pairs_oracle_sql(max_hamming=4, max_bucket=2000) -> str:
+    """DuckDB twin of simhash_pairs(oracle_safe=True): same md5 60-bit
+    token hashes, same band widths (divmod band layout inlined as VALUES),
+    same bucket guard, exact hamming via bit_count(xor). simhash values
+    are < 2^60 so plain arithmetic >> equals shiftrightunsigned."""
+    n_bands = max_hamming + 1
+    base, rem = divmod(64, n_bands)
+    bands, start = [], 0
+    for j in range(n_bands):
+        w = base + (1 if j < rem else 0)
+        bands.append(f"({j}, {start}, {(1 << w) - 1})")
+        start += w
+    band_rows = ", ".join(bands)
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id,
+                 text || ' near duplicate tail' AS text
+          FROM documents WHERE doc_id % 50 = 0),
+        toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS tk
+          FROM corpus),
+        h AS (
+          SELECT doc_id,
+                 CAST(CAST(concat('0x', substr(md5(concat(unnest(tk), '#0')), 1, 15))
+                      AS UBIGINT) AS BIGINT) AS hv
+          FROM toks),
+        bitsum AS (
+          SELECT doc_id, CAST(g.j AS INT) AS j,
+                 SUM(CASE WHEN (hv >> CAST(g.j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+          FROM h, generate_series(0, 59) AS g(j)
+          GROUP BY doc_id, g.j),
+        sh0 AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << j)
+                          ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+          FROM bitsum GROUP BY doc_id),
+        sh AS (
+          SELECT c.doc_id, COALESCE(s.simhash, CAST(0 AS BIGINT)) AS simhash
+          FROM corpus c LEFT JOIN sh0 s ON c.doc_id = s.doc_id),
+        bands(band, start, mask) AS (VALUES {band_rows}),
+        bb AS (
+          SELECT doc_id, simhash, band,
+                 (simhash >> CAST(start AS INT)) & mask AS bits
+          FROM sh, bands),
+        guarded AS (
+          SELECT doc_id, simhash, band, bits FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY band, bits) AS bn FROM bb)
+          WHERE bn <= {max_bucket}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.simhash AS sa, b.simhash AS sb
+          FROM guarded a JOIN guarded b
+            ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
+        SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+               CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
     """
 
 
@@ -1320,6 +1399,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rp_lsh_topk": _rp_lsh_oracle_sql(),
         "simhash_fingerprints": _simhash_oracle_sql(),
+        "simhash_pairs": _simhash_pairs_oracle_sql(),
         "embedding_near_dup": _near_dup_oracle_sql(),
         "embedding_quantized": """
             WITH base AS (

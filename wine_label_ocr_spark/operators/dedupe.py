@@ -287,7 +287,8 @@ def simhash_bands(sh: Column, n_bands: int) -> Column:
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 8,
                   n_bands: int | None = None,
-                  max_bucket: int = 2000) -> DataFrame:
+                  max_bucket: int = 2000,
+                  oracle_safe: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash with a pigeonhole recall guarantee.
 
     The 64 bits split into ``n_bands`` disjoint bands (default
@@ -303,7 +304,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     if n_bands > 64:
         raise ValueError("n_bands must be <= 64")
     s = df.select(F.col(id_col).alias("_id"),
-                  simhash64(F.col(text_col)).alias("_sh"))
+                  simhash64(F.col(text_col), oracle_safe).alias("_sh"))
     buck = s.select(
         "_id", "_sh",
         F.explode(simhash_bands(F.col("_sh"), n_bands)).alias("_b"),
