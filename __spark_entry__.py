@@ -594,6 +594,28 @@ def q_media_features(spark, sf):  # multimodal: REAL header decode, oracle-check
         F.md5(F.array_join(feature_ints, ",")).alias("feature_fp"))
 
 
+def q_media_pixels(spark, sf):  # multimodal: REAL PNG raster decode, oracle-checked
+    """Full-raster PNGs (solid color, filters cycling 0..4) → stdlib
+    inflate + unfilter → TRUE per-channel pixel statistics. The oracle
+    recomputes the closed-form expected stats from doc_id, so a hash match
+    proves the entire raster path (chunk walk, zlib, all five unfilter
+    types, channel-lane math) is byte-faithful."""
+    from wine_label_ocr_spark.fixtures import documents_as_media_pixels
+    from wine_label_ocr_spark.operators.multimodal import extract_media_features
+    out = extract_media_features(documents_as_media_pixels(spark, sf), fake=False)
+    return out.select(
+        "url",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        "decode_ok",
+        F.round(F.get("feature", 0) * 255).cast("int").alias("mean_r"),
+        F.round(F.get("feature", 1) * 255).cast("int").alias("mean_g"),
+        F.round(F.get("feature", 2) * 255).cast("int").alias("mean_b"),
+        F.round(F.get("feature", 4) * 100000).cast("int").alias("std_r_e5"),
+        F.round(F.get("feature", 12) * 100000).cast("int").alias("grad_row_e5"))
+
+
 def q_dedup_decisions(spark, sf):  # J2/J3 fuzzy ingest decisions (rows-only)
     from wine_label_ocr_spark.operators.similarity import fuzzy_match_decisions
     d = _t(spark, sf, "documents")
@@ -759,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_quantized": q_embedding_quantized,
         "media_features": q_media_features,
+        "media_pixels": q_media_pixels,
         "dedup_decisions": q_dedup_decisions,
         "ema_final": q_ema_final,
         "sessionize": q_sessionize,
@@ -1433,6 +1456,22 @@ def oracle_sql() -> dict[str, str]:
                        i -> CAST(((16 + doc_id % 240) * (i + 3)
                                   + (16 + (doc_id * 7) % 240) * (i + 7)
                                   + 3 * (i + 1)) % 255 AS VARCHAR)), ',')) AS feature_fp
+            FROM documents
+        """,
+        "media_pixels": """
+            -- closed-form expected pixel stats of the solid-color raster
+            -- fixture: means are exactly the planted channel values, stds
+            -- and gradients exactly zero (any unfilter bug breaks this)
+            SELECT concat('mediapx:', CAST(doc_id AS VARCHAR)) AS url,
+                   CAST(8 + doc_id % 24 AS INT) AS width,
+                   CAST(8 + (doc_id * 7) % 24 AS INT) AS height,
+                   CAST(3 AS INT) AS channels,
+                   TRUE AS decode_ok,
+                   CAST(doc_id % 256 AS INT) AS mean_r,
+                   CAST((doc_id * 3) % 256 AS INT) AS mean_g,
+                   CAST((doc_id * 7) % 256 AS INT) AS mean_b,
+                   CAST(0 AS INT) AS std_r_e5,
+                   CAST(0 AS INT) AS grad_row_e5
             FROM documents
         """,
         "cosine_topk": """

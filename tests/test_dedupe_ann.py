@@ -283,6 +283,52 @@ def test_parse_image_header_real_bytes():
     assert r["feature"] == M.header_features(640, 480, 4)
 
 
+def test_png_raster_roundtrip_all_filters():
+    """encode→decode is the identity for arbitrary 8-bit content under
+    EVERY row-filter type and every supported channel count — this pins
+    the Sub/Up/Average/Paeth unfilter math bit-for-bit."""
+    import numpy as np
+    from wine_label_ocr_spark.operators.multimodal import decode_png, encode_png
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        arr = rng.integers(0, 256, size=(13, 9, c), dtype=np.uint8)
+        for filters in (None, [0], [1], [2], [3], [4], [4, 3, 1]):
+            back = decode_png(encode_png(arr, filters=filters))
+            assert back is not None and back.shape == (13, 9, c)
+            assert (back == arr).all(), (c, filters)
+
+
+def test_png_pixel_features_known_stats():
+    import numpy as np
+    from wine_label_ocr_spark.operators.multimodal import (
+        decode_stub, encode_png, pixel_features)
+    arr = np.tile(np.array([10, 20, 30], dtype=np.uint8), (6, 4, 1))
+    feat = pixel_features(arr)
+    assert [round(f * 255) for f in feat[:3]] == [10, 20, 30]
+    assert feat[3] == 0.0  # pad channel mean
+    assert all(abs(s) < 1e-12 for s in feat[4:8])  # stds ~0 (fp epsilon)
+    assert round(feat[10] * 255) == 10 and round(feat[11] * 255) == 30
+    assert feat[12] == feat[13] == 0.0  # solid → zero gradients
+    # decode_stub routes a raster-bearing PNG through the pixel kernel
+    r = decode_stub(encode_png(arr))
+    assert (r["width"], r["height"], r["channels"]) == (4, 6, 3)
+    assert [round(f * 255) for f in r["feature"][:3]] == [10, 20, 30]
+
+
+def test_png_header_only_falls_back_to_header_features():
+    """The header-only fixture PNGs (no IDAT) keep their header-derived
+    features — raster decode returns None, not garbage."""
+    from wine_label_ocr_spark.operators.multimodal import (
+        decode_png, decode_stub, header_features)
+    hdr_only = bytes.fromhex(
+        "89504e470d0a1a0a0000000d49484452"
+        + format(40, "08x") + format(30, "08x") + "080200000000000000")
+    assert decode_png(hdr_only) is None
+    r = decode_stub(hdr_only)
+    assert (r["width"], r["height"]) == (40, 30)
+    assert r["feature"] == header_features(40, 30, 3)
+
+
 def test_parse_wav_header_real_bytes():
     import struct
     from wine_label_ocr_spark.operators import multimodal as M

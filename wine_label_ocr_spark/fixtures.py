@@ -286,6 +286,38 @@ def documents_as_media(spark, sf_dir: str):
         F.when(is_png, F.lit("png")).otherwise(F.lit("jpeg")).alias("media_type"))
 
 
+def documents_as_media_pixels(spark, sf_dir: str):
+    """documents.parquet → FULL-raster PNG payloads (real IDAT, valid
+    CRCs) via the stdlib encoder, built distributed in ``mapInPandas``.
+
+    Each doc is a solid-color RGB image — color (doc_id%256, doc_id*3%256,
+    doc_id*7%256), size (8+doc_id%24) × (8+doc_id*7%24) — with the row
+    filter CYCLING 0..4, so decoding exercises every PNG unfilter path
+    while the expected pixel statistics stay a closed-form function of
+    doc_id that a DuckDB oracle can recompute without touching bytes.
+    """
+    from collections.abc import Iterable, Iterator
+
+    from .operators.multimodal import encode_png
+
+    def gen(batches: Iterable) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % 24, 8 + (i * 7) % 24
+                rgb = (i % 256, (i * 3) % 256, (i * 7) % 256)
+                arr = np.tile(np.array(rgb, dtype=np.uint8), (h, w, 1))
+                rows.append((f"mediapx:{i}", encode_png(arr), "png"))
+            yield pd.DataFrame(rows, columns=["url", "payload", "media_type"])
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return d.mapInPandas(
+        gen, schema="url string, payload binary, media_type string")
+
+
 def pages_pandas(n: int, offset: int = 0):
     """Small-scale generation → pandas DataFrame (tests)."""
     import pandas as pd

@@ -7,14 +7,16 @@ document, ``final_run_ocr.py:389-396``), generalized to any modality.
 
 Image METADATA decode is REAL: ``parse_image_header`` reads PNG IHDR,
 JPEG SOFn, and GIF logical-screen headers with pure stdlib byte walking —
-no codec library needed — yielding true width/height/channels. Pixel-level
-work (full raster decode, audio resample, video frame-sample) needs
-libraries this container does not ship, so those kernels remain STUBS:
-the placeholder feature vector is derived deterministically from the
-parsed header (documented below), and ``decode_stub`` on a non-image
+no codec library needed — yielding true width/height/channels. PNG
+RASTER decode is also REAL (``decode_png``: zlib inflate + per-row
+unfilter for all five filter types), so PNG payloads get true per-channel
+pixel statistics (``pixel_features``). JPEG/GIF raster and audio/video
+resample need libraries this container does not ship, so those kernels
+remain STUBS: their feature vector derives deterministically from the
+parsed header (documented below), and ``decode_stub`` on a non-media
 payload raises ``NotImplementedError`` unless ``fake=True``. The
 Spark-side plumbing — schema, batching, partitioning, UDF signature — is
-real and tested; a production deploy swaps the feature kernel for
+real and tested; a production deploy swaps the remaining stub kernels for
 Pillow/ffmpeg with no plan changes.
 """
 
@@ -136,6 +138,147 @@ def parse_wav_header(payload: bytes) -> dict | None:
             "duration_ms": duration_ms}
 
 
+def _paeth(left: int, up: int, ul: int) -> int:
+    pa, pb, pc = abs(up - ul), abs(left - ul), abs(left + up - 2 * ul)
+    if pa <= pb and pa <= pc:
+        return left
+    return up if pb <= pc else ul
+
+
+def encode_png(arr, filters=None) -> bytes:
+    """Minimal REAL PNG encoder (stdlib zlib/struct): 8-bit gray / gray+A /
+    RGB / RGBA, no interlace, one IDAT, valid CRCs. ``filters`` picks the
+    per-row filter type (default cycles 0..4 so a decode exercises every
+    unfilter path). Fixture/test-scale tool — the point is byte-real PNGs
+    whose raster is a known function, not encoding throughput."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + cid + data
+                + struct.pack(">I", _zlib.crc32(cid + data) & 0xFFFFFFFF))
+
+    flat = a.reshape(h, w * c).astype(np.int16)
+    prev = np.zeros(w * c, dtype=np.int16)
+    raw = bytearray()
+    for y in range(h):
+        cur = flat[y]
+        f = (y % 5) if filters is None else filters[y % len(filters)]
+        left = np.concatenate([np.zeros(c, dtype=np.int16), cur[:-c]])
+        ul = np.concatenate([np.zeros(c, dtype=np.int16), prev[:-c]])
+        if f == 0:
+            delta = cur
+        elif f == 1:
+            delta = cur - left
+        elif f == 2:
+            delta = cur - prev
+        elif f == 3:
+            delta = cur - ((left + prev) >> 1)
+        else:
+            pred = np.array([_paeth(int(left[x]), int(prev[x]), int(ul[x]))
+                             for x in range(w * c)], dtype=np.int16)
+            delta = cur - pred
+        raw.append(f)
+        raw.extend((delta & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zlib.compress(bytes(raw), 6))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes):
+    """REAL stdlib PNG raster decode: chunk walk → zlib-inflate the IDAT
+    stream → per-row unfilter (None/Sub/Up/Average/Paeth). Supports 8-bit
+    depth, color types 0/2/4/6 (not palette), no interlace. Returns an
+    (h, w, channels) numpy uint8 array, or None when the payload carries
+    no decodable raster (e.g. the header-only fixtures) — callers fall
+    back to header-derived features. Sub rows unfilter via a vectorized
+    per-lane cumsum; Average/Paeth are inherently sequential in x."""
+    import zlib as _zlib
+
+    import numpy as np
+    p = bytes(payload or b"")
+    if p[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i, w, h, depth, ctype, interlace = 8, None, None, None, None, None
+    idat = []
+    while i + 8 <= len(p):
+        clen = int.from_bytes(p[i:i + 4], "big")
+        cid = p[i + 4:i + 8]
+        data = p[i + 8:i + 8 + clen]
+        if cid == b"IHDR" and clen >= 13:
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype, interlace = data[8], data[9], data[12]
+        elif cid == b"IDAT":
+            idat.append(data)
+        elif cid == b"IEND":
+            break
+        i += 12 + clen
+    c = _PNG_CHANNELS.get(ctype) if ctype != 3 else None
+    if not idat or not w or not h or depth != 8 or interlace != 0 or c is None:
+        return None
+    try:
+        raw = _zlib.decompress(b"".join(idat))
+    except _zlib.error:
+        return None
+    stride = w * c
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += 1 + stride
+        if f == 1:  # Sub: cumulative sum along x within each channel lane
+            row = np.cumsum(row.reshape(w, c), axis=0).reshape(stride)
+        elif f == 2:  # Up
+            row = row + prev
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = row[x - c] & 0xFF if x >= c else 0
+                row[x] += (left + (prev[x] & 0xFF)) >> 1
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                left = row[x - c] & 0xFF if x >= c else 0
+                ul = prev[x - c] & 0xFF if x >= c else 0
+                row[x] += _paeth(left, prev[x] & 0xFF, ul)
+        elif f != 0:
+            return None
+        row &= 0xFF
+        out[y] = row
+        prev = row
+    return out.reshape(h, w, c)
+
+
+def pixel_features(arr) -> list[float]:
+    """REAL pixel statistics (16 dims, all in [0,1]-ish):
+    [mean_c0..c3, std_c0..c3 (missing channels 0), overall mean, overall
+    std, min, max, mean |row gradient|, mean |col gradient|, h/4096,
+    w/4096]. Deterministic float64 math; the Arrow boundary narrows to
+    float32 (FEATURES_DDL)."""
+    import numpy as np
+    a = np.asarray(arr, dtype=np.float64) / 255.0
+    h, w, c = a.shape
+    means = [float(a[:, :, j].mean()) for j in range(c)] + [0.0] * (4 - c)
+    stds = [float(a[:, :, j].std()) for j in range(c)] + [0.0] * (4 - c)
+    grad_r = float(np.abs(np.diff(a, axis=0)).mean()) if h > 1 else 0.0
+    grad_c = float(np.abs(np.diff(a, axis=1)).mean()) if w > 1 else 0.0
+    return (means + stds
+            + [float(a.mean()), float(a.std()), float(a.min()), float(a.max()),
+               grad_r, grad_c, h / 4096.0, w / 4096.0])
+
+
 def header_features(width: int, height: int, channels: int) -> list[float]:
     """Placeholder feature kernel over the REAL parsed dimensions.
 
@@ -148,11 +291,20 @@ def header_features(width: int, height: int, channels: int) -> list[float]:
 
 
 def decode_stub(payload: bytes, fake: bool = False) -> dict:
-    """Header-real decode: true dims from the byte header when the payload
-    is PNG/JPEG/GIF; otherwise the deterministic fake (``fake=True``) or
-    ``NotImplementedError`` (non-image modalities need ffmpeg etc.)."""
+    """Header-real decode, raster-real for PNG: a PNG payload with a
+    decodable IDAT gets TRUE pixel statistics (stdlib inflate + unfilter,
+    ``decode_png``/``pixel_features``); header-only or non-PNG images fall
+    back to header-derived features; otherwise the deterministic fake
+    (``fake=True``) or ``NotImplementedError`` (JPEG/GIF raster and
+    audio/video resample still need Pillow/ffmpeg — the remaining seam)."""
     hdr = parse_image_header(payload)
     if hdr is not None:
+        if hdr["format"] == "png":
+            raster = decode_png(payload)
+            if raster is not None:
+                h, w, c = raster.shape
+                return {"width": w, "height": h, "channels": c,
+                        "n_frames": 1, "feature": pixel_features(raster)}
         return {"width": hdr["width"], "height": hdr["height"],
                 "channels": hdr["channels"], "n_frames": 1,
                 "feature": header_features(hdr["width"], hdr["height"],
