@@ -44,6 +44,58 @@ def test_overwrite_replaces(spark, tmp_path):
     assert t.read(spark).count() == 3
 
 
+def test_merge_upsert_last_write_wins(spark, tmp_path):
+    """WHEN MATCHED UPDATE + WHEN NOT MATCHED INSERT: re-ingesting a
+    changed record replaces it in the current snapshot; history keeps the
+    pre-merge rows (time travel preserved)."""
+    from pyspark.sql import functions as F
+    t = ManifestTable(str(tmp_path / "t"))
+    s1 = t.append(spark.range(5).select(
+        F.col("id").alias("k"), F.lit("old").alias("v")))
+    t.merge_upsert(spark, spark.range(3, 8).select(
+        F.col("id").alias("k"), F.lit("new").alias("v")), "k")
+    cur = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert cur == {0: "old", 1: "old", 2: "old",
+                   3: "new", 4: "new", 5: "new", 6: "new", 7: "new"}
+    # history: the pre-merge snapshot still reads the old values
+    old = {r["k"]: r["v"] for r in t.read(spark, snapshot_id=s1).collect()}
+    assert old == {i: "old" for i in range(5)}
+    assert t.snapshots()[-1]["op"] == "merge_upsert"
+    # idempotent: upserting the same batch changes nothing
+    t.merge_upsert(spark, spark.range(3, 8).select(
+        F.col("id").alias("k"), F.lit("new").alias("v")), "k")
+    assert {r["k"]: r["v"] for r in t.read(spark).collect()} == cur
+
+
+def test_file_stats_pruning(spark, tmp_path):
+    """Per-file min/max recorded from parquet footers at write; a keyed
+    read SKIPS files whose range can't match — asserted on the scan's
+    actual input file list, not just the result."""
+    from pyspark.sql import functions as F
+    t = ManifestTable(str(tmp_path / "t"))
+    # range-partitioned write → 4 files with (near-)disjoint k ranges
+    df = spark.range(1000).select(F.col("id").alias("k"),
+                                  (F.col("id") * 2).alias("v"))
+    t.append(df.repartitionByRange(4, "k"), stats_col="k")
+    snap = t.snapshots()[-1]
+    assert snap["stats_col"] == "k"
+    assert len(snap["stats"]) == len(snap["files"]) == 4
+    pruned = t.read(spark, key_between=(10, 20))
+    assert len(pruned.inputFiles()) < 4  # files actually skipped
+    got = sorted(r["k"] for r in pruned.filter(F.col("k").between(10, 20)).collect())
+    assert got == list(range(10, 21))  # pruning never changes results
+    # append WITHOUT restating stats_col: it is sticky, new files get stats
+    t.append(spark.range(2000, 2100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")))
+    snap2 = t.snapshots()[-1]
+    assert snap2["stats_col"] == "k" and len(snap2["stats"]) == len(snap2["files"])
+    late = t.read(spark, key_between=(2050, 2050))
+    assert len(late.inputFiles()) < len(snap2["files"])
+    assert late.filter(F.col("k") == 2050).count() == 1
+    # an out-of-range key prunes everything → None, matching is_empty logic
+    assert t.read(spark, key_between=(10**9, 10**9)) is None
+
+
 N = 120
 
 

@@ -13,10 +13,16 @@ implements the same commit semantics on plain parquet:
 * ``merge_insert`` = INSERT-iff-NOT-MATCHED (the reference's
   "append iff decision == not seen", ``scan_and_store.py:234-235``).
 
+* ``merge_upsert`` = WHEN MATCHED UPDATE (last-write-wins) + WHEN NOT
+  MATCHED INSERT, the copy-on-write MERGE shape;
+* writes can record per-file min/max for a key column (read straight from
+  the parquet footers' row-group statistics — no data scan), and ``read``
+  prunes non-overlapping files BEFORE Spark ever lists them — the Iceberg
+  file-stats pruning analog.
+
 Only the manifest swap is driver-side; all data moves stay distributed.
-At 100 TB the manifest would hold file-level stats for pruning — here it
-records per-commit row counts and lineage metadata (run id, bucket), which
-doubles as the resume/metrics journal.
+The manifest also records per-commit row counts and lineage metadata
+(run id, bucket), which doubles as the resume/metrics journal.
 """
 
 from __future__ import annotations
@@ -66,12 +72,36 @@ class ManifestTable:
                 return s["files"]
         raise KeyError(f"snapshot {snapshot_id} not found")
 
+    def _current_snapshot(self, snapshot_id: int | None = None) -> dict[str, Any] | None:
+        m = self._load()
+        sid = m["current"] if snapshot_id is None else snapshot_id
+        for s in m["snapshots"]:
+            if s["id"] == sid:
+                return s
+        return None
+
     # -- read --------------------------------------------------------------
 
-    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame | None:
+    def read(self, spark: SparkSession, snapshot_id: int | None = None,
+             key_between: tuple | None = None) -> DataFrame | None:
+        """Read a snapshot; with ``key_between=(lo, hi)`` (inclusive,
+        ``(v, v)`` for equality) files whose recorded [min, max] for the
+        snapshot's stats column cannot overlap are skipped BEFORE the scan
+        — file-level pruning from manifest stats, the Iceberg move. Files
+        without stats are always kept (safe), so pruning is best-effort
+        and never changes results."""
         files = self.current_files(snapshot_id)
         if not files:
             return None
+        if key_between is not None:
+            snap = self._current_snapshot(snapshot_id) or {}
+            stats = snap.get("stats") or {}
+            lo, hi = key_between
+            files = [f for f in files
+                     if f not in stats
+                     or (stats[f][0] <= hi and stats[f][1] >= lo)]
+            if not files:
+                return None
         return spark.read.parquet(*files)
 
     def is_empty(self) -> bool:
@@ -87,28 +117,85 @@ class ManifestTable:
             if f.endswith(".parquet"))
         return files, len(files)
 
-    def append(self, df: DataFrame, meta: dict[str, Any] | None = None) -> int:
-        """Write df's files, then commit prev ∪ new as a new snapshot (S3)."""
+    @staticmethod
+    def _file_stats(files: list[str], col: str) -> dict[str, list]:
+        """Per-file [min, max] for ``col`` from parquet FOOTER row-group
+        statistics (pyarrow metadata read — no data pages touched). Files
+        whose stats are absent or not JSON-serializable are omitted, which
+        read() treats as \"always keep\" (pruning stays safe)."""
+        import pyarrow.parquet as pq
+        out: dict[str, list] = {}
+        for p in files:
+            try:
+                md = pq.ParquetFile(p).metadata
+                mins: list = []
+                maxs: list = []
+                ok = md.num_row_groups > 0
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    st = next(
+                        (row_group.column(i).statistics
+                         for i in range(row_group.num_columns)
+                         if row_group.column(i).path_in_schema == col), None)
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if ok:
+                    lo, hi = min(mins), max(maxs)
+                    json.dumps([lo, hi])  # only primitives survive
+                    out[p] = [lo, hi]
+            except Exception:
+                continue  # stats are an optimization, never a failure
+        return out
+
+    def _snapshot_stats(self, new_files: list[str],
+                        stats_col: str | None) -> tuple[str | None, dict]:
+        """Stats for the NEW snapshot: carry the previous snapshot's
+        entries for surviving files, add footer stats for new files."""
+        prev = self._current_snapshot() or {}
+        col = stats_col or prev.get("stats_col")
+        if col is None:
+            return None, {}
+        stats = dict(prev.get("stats") or {})
+        stats.update(self._file_stats(new_files, col))
+        return col, stats
+
+    def append(self, df: DataFrame, meta: dict[str, Any] | None = None,
+               stats_col: str | None = None) -> int:
+        """Write df's files, then commit prev ∪ new as a new snapshot (S3).
+
+        ``stats_col`` (sticky across commits once set) records per-file
+        min/max for that column, enabling pruned reads."""
         files, _ = self._write_files(df)
         m = self._load()
         prev = self.current_files() if m["current"] is not None else []
+        col, stats = self._snapshot_stats(files, stats_col)
         sid = (m["current"] or 0) + 1
+        all_files = prev + files
         m["snapshots"].append({
             "id": sid, "op": "append", "ts": time.time(),
-            "files": prev + files, "new_files": files,
+            "files": all_files, "new_files": files,
+            "stats_col": col,
+            "stats": {f: s for f, s in stats.items() if f in set(all_files)},
             "meta": meta or {},
         })
         m["current"] = sid
         self._commit(m)
         return sid
 
-    def overwrite(self, df: DataFrame, meta: dict[str, Any] | None = None) -> int:
+    def overwrite(self, df: DataFrame, meta: dict[str, Any] | None = None,
+                  stats_col: str | None = None, op: str = "overwrite") -> int:
         files, _ = self._write_files(df)
         m = self._load()
+        col, _ = self._snapshot_stats([], stats_col)
+        stats = self._file_stats(files, col) if col else {}
         sid = (m["current"] or 0) + 1
         m["snapshots"].append({
-            "id": sid, "op": "overwrite", "ts": time.time(),
-            "files": files, "new_files": files, "meta": meta or {},
+            "id": sid, "op": op, "ts": time.time(),
+            "files": files, "new_files": files,
+            "stats_col": col, "stats": stats, "meta": meta or {},
         })
         m["current"] = sid
         self._commit(m)
@@ -151,3 +238,22 @@ class ManifestTable:
         if cur is not None:
             new = new.join(cur.select(key), key, "left_anti")
         return self.append(new, meta=meta)
+
+    def merge_upsert(self, spark: SparkSession, df: DataFrame, key: str,
+                     meta: dict[str, Any] | None = None) -> int:
+        """MERGE … WHEN MATCHED THEN UPDATE (last-write-wins) WHEN NOT
+        MATCHED THEN INSERT — the copy-on-write MERGE: survivors =
+        (current ⟕anti incoming) ∪ incoming, committed as one new
+        snapshot. Prior snapshots keep the pre-merge rows (time-travel
+        preserved; ``vacuum`` is the destructive step). Incoming
+        duplicates on ``key`` collapse to one arbitrary-but-deterministic
+        row (max_by on the key itself is meaningless, so dropDuplicates —
+        callers needing a specific winner pre-aggregate).
+        """
+        cur = self.read(spark)
+        new = df.dropDuplicates([key])
+        if cur is None:
+            return self.append(new, meta=meta)
+        kept = cur.join(new.select(key), key, "left_anti")
+        merged = kept.unionByName(new.select(*kept.columns))
+        return self.overwrite(merged, meta=meta, op="merge_upsert")
