@@ -299,3 +299,39 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # never appears (it would make spread 99.0 or re-emit the window)
     assert emitted.count((0, 2, 4.0)) == 1, emitted
     assert not any(r["spread"] == 99.0 for r in rows)
+
+
+def test_extract_stream_equals_batch_with_checkpoint_restart(spark, tmp_path):
+    """The flagship pipeline as a checkpointed streaming query: drain
+    phase-A pages, RESTART from the checkpoint after phase-B files land,
+    and the union of sink output must equal the batch extract_records
+    over all pages — byte-identical text, no duplicates, no gaps."""
+    from wine_label_ocr_spark.fixtures import pages_spark
+    from wine_label_ocr_spark.plans.pipeline import extract_records
+    from wine_label_ocr_spark.streaming.extract_stream import run_extract_stream
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "records")
+    ck = str(tmp_path / "ck")
+
+    pages_a = pages_spark(spark, 120, partitions=4)
+    pages_b = pages_spark(spark, 240, partitions=8).filter(
+        F.xxhash64("url").isNotNull()).join(
+        pages_a.select("url"), "url", "left_anti")
+    pages_a.write.mode("append").parquet(src)
+    run_extract_stream(spark, src, out, ck, max_files_per_trigger=2)
+    n_first = spark.read.parquet(out).count()
+    assert n_first == 120
+
+    # phase B: more files appear; a NEW query on the SAME checkpoint
+    # resumes with only the unprocessed files (exactly-once records)
+    pages_b.write.mode("append").parquet(src)
+    run_extract_stream(spark, src, out, ck, max_files_per_trigger=2)
+
+    got = spark.read.parquet(out).select("url", "custom_id", "text").collect()
+    want = extract_records(spark.read.parquet(src)) \
+        .select("url", "custom_id", "text").collect()
+    gd = {r["url"]: (r["custom_id"], r["text"]) for r in got}
+    wd = {r["url"]: (r["custom_id"], r["text"]) for r in want}
+    assert len(got) == len(want) == 240  # no dupes (exactly-once resume)
+    assert gd == wd  # stream ≡ batch, byte-identical text per url
