@@ -502,6 +502,40 @@ def q_simhash_fingerprints(spark, sf):  # dedupe: SimHash, oracle-checked
                     simhash64(F.col("text"), oracle_safe=True).alias("simhash"))
 
 
+def q_paragraph_dedup(spark, sf):  # dedupe: CCNet paragraph boilerplate strip
+    """Plant two boilerplate lines (newsletter / copyright) on periodic
+    docs; the operator must strip every paragraph shared by ≥2 distinct
+    docs — including naturally-duplicated whole texts in testdata — and
+    rebuild docs in paragraph order."""
+    from wine_label_ocr_spark.operators.dedupe import drop_common_paragraphs
+    d = _t(spark, sf, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("\nsubscribe to our newsletter for daily updates"))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit("\ncopyright example corp all rights reserved"))
+             .otherwise(F.lit(""))).alias("text"))
+    out = drop_common_paragraphs(corpus, min_docs=2)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.md5("clean_text").alias("clean_fp"),
+                      "n_paragraphs_kept")
+
+
+def q_decontamination(spark, sf):  # dedupe: benchmark n-gram overlap flag
+    """Benchmark set = every 97th document; any doc sharing an 8-gram with
+    it is flagged with the distinct-overlap count."""
+    from wine_label_ocr_spark.operators.dedupe import flag_contaminated
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return (flag_contaminated(d, bench, n=8)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "contaminated_ngrams", "contaminated"))
+
+
 def q_simhash_pairs(spark, sf):  # dedupe: banded SimHash pairing, oracle-checked
     """Banded SimHash near-dup pairs (pigeonhole full recall) under the
     gate: plant near-duplicates (same text + a short tail) so the operator
@@ -775,6 +809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components": q_near_dup_components,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_pairs": q_simhash_pairs,
+        "paragraph_dedup": q_paragraph_dedup,
+        "decontamination": q_decontamination,
         "cosine_topk": q_cosine_topk,
         "rp_lsh_topk": q_rp_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -1423,6 +1459,72 @@ def oracle_sql() -> dict[str, str]:
         "rp_lsh_topk": _rp_lsh_oracle_sql(),
         "simhash_fingerprints": _simhash_oracle_sql(),
         "simhash_pairs": _simhash_pairs_oracle_sql(),
+        "paragraph_dedup": """
+            -- CCNet paragraph dedup twin: same planted boilerplate, same
+            -- md5 paragraph keys, >=2-distinct-doc boilerplate rule, docs
+            -- rebuilt in paragraph order (string_agg ORDER BY pos)
+            WITH corpus AS (
+              SELECT doc_id,
+                     text ||
+                     CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+                          'subscribe to our newsletter for daily updates'
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+                          'copyright example corp all rights reserved'
+                          ELSE '' END AS text
+              FROM documents),
+            sp AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM corpus),
+            paras AS (
+              SELECT doc_id, CAST(pos AS INT) AS pos,
+                     trim(ps[CAST(pos AS INT)]) AS para
+              FROM (SELECT doc_id, ps,
+                           unnest(generate_series(1, len(ps))) AS pos
+                    FROM sp)),
+            keyed AS (
+              SELECT doc_id, pos, para, md5(para) AS k
+              FROM paras WHERE para != ''),
+            boiler AS (
+              SELECT k FROM keyed GROUP BY k
+              HAVING COUNT(DISTINCT doc_id) >= 2),
+            kept AS (
+              SELECT * FROM keyed WHERE k NOT IN (SELECT k FROM boiler)),
+            reb AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+                     COUNT(*) AS n
+              FROM kept GROUP BY doc_id)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   md5(COALESCE(r.clean_text, '')) AS clean_fp,
+                   CAST(COALESCE(r.n, 0) AS BIGINT) AS n_paragraphs_kept
+            FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc_id
+        """,
+        "decontamination": """
+            -- benchmark-overlap twin: distinct word 8-grams per doc (docs
+            -- under 8 tokens contribute their whole text as one gram,
+            -- mirroring shingles()), benchmark = every 97th doc
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS tk
+              FROM documents),
+            dg AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       CASE WHEN len(tk) >= 8
+                            THEN array_to_string(
+                                 tk[CAST(i AS INT):CAST(i AS INT) + 7], ' ')
+                            ELSE array_to_string(tk, ' ') END AS g
+                FROM (SELECT doc_id, tk,
+                             unnest(generate_series(1, GREATEST(len(tk) - 7, 1))) AS i
+                      FROM toks))),
+            bg AS (SELECT DISTINCT g FROM dg WHERE doc_id % 97 = 0),
+            hits AS (
+              SELECT dg.doc_id, COUNT(*) AS nh
+              FROM dg JOIN bg USING (g) GROUP BY dg.doc_id)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(h.nh, 0) AS BIGINT) AS contaminated_ngrams,
+                   COALESCE(h.nh, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """,
         "embedding_near_dup": _near_dup_oracle_sql(),
         "embedding_quantized": """
             WITH base AS (

@@ -402,3 +402,42 @@ def test_ivf_recall_vs_exact(spark, emb):
                                     nprobe=4, iters=2).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall  # half the cells probed → decent recall
+
+
+def test_drop_common_paragraphs(spark):
+    """Boilerplate (>=min_docs distinct docs) stripped everywhere; unique
+    paragraphs kept in order; a repeated paragraph INSIDE one doc is not
+    boilerplate (distinct-doc count, not occurrence count); an
+    all-boilerplate doc survives with empty text and 0 kept."""
+    docs = spark.createDataFrame([
+        (1, "unique alpha\nsubscribe now\nunique beta"),
+        (2, "subscribe now\nonly twos content"),
+        (3, "repeat me\nrepeat me\nthree has this"),
+        (4, "subscribe now"),
+    ], "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           dedupe.drop_common_paragraphs(docs, min_docs=2).collect()}
+    assert out[1]["clean_text"] == "unique alpha\nunique beta"
+    assert out[2]["clean_text"] == "only twos content"
+    # within-doc repetition stays (one distinct doc < min_docs)
+    assert out[3]["clean_text"] == "repeat me\nrepeat me\nthree has this"
+    assert out[4]["clean_text"] == "" and out[4]["n_paragraphs_kept"] == 0
+    assert out[1]["n_paragraphs_kept"] == 2
+
+
+def test_flag_contaminated_ngram_overlap(spark):
+    """Docs sharing an 8-gram with the benchmark flag with the distinct
+    overlap count; short docs match only on whole-text equality."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id bigint, text string")
+    docs = spark.createDataFrame([
+        (1, "intro words then the quick brown fox jumps over the lazy dog appears"),
+        (2, "completely unrelated content about spark shuffles and big parquet scans"),
+        (3, "tiny doc"),
+    ], "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           dedupe.flag_contaminated(docs, bench, n=8).collect()}
+    assert out[1]["contaminated"] and out[1]["contaminated_ngrams"] >= 1
+    assert not out[2]["contaminated"] and out[2]["contaminated_ngrams"] == 0
+    assert not out[3]["contaminated"]  # "tiny doc" != any benchmark gram

@@ -216,6 +216,78 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          F.col("label").alias("component"))
 
 
+def drop_common_paragraphs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", min_docs: int = 2,
+                           sep: str = "\n") -> DataFrame:
+    """CCNet-style paragraph-level boilerplate removal: a paragraph whose
+    (trimmed) text appears in ≥ ``min_docs`` DISTINCT documents is
+    boilerplate (cookie banners, nav footers, "subscribe" blocks) and is
+    stripped from every document; each document is rebuilt from its kept
+    paragraphs in original order.
+
+    Plan: posexplode(split) → md5 paragraph key → distinct-doc count per
+    key (one shuffle, map-side partials) → the boilerplate KEY set is the
+    ≥min_docs tail, which is small by construction (it's the frequent
+    head of the distribution) → broadcast anti join → regroup by doc
+    (second shuffle). Returns every input doc: (id, clean_text,
+    n_paragraphs_kept) — a fully-boilerplate doc comes back with empty
+    text and 0 kept, so downstream length filters drop it explicitly.
+    """
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_p"))
+    paras = (paras.withColumn("_p", F.trim("_p"))
+             .filter(F.col("_p") != ""))
+    keyed = paras.withColumn("_k", F.md5(F.col("_p")))
+    boiler = (keyed.groupBy("_k")
+              .agg(F.count_distinct("_id").alias("_nd"))
+              .filter(F.col("_nd") >= min_docs)
+              .select("_k"))
+    kept = keyed.join(F.broadcast(boiler), "_k", "left_anti")
+    rebuilt = (kept.groupBy("_id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("_pos", "_p"))),
+                            lambda s: s["_p"]),
+                        sep).alias("clean_text"),
+                    F.count(F.lit(1)).alias("n_paragraphs_kept")))
+    base = df.select(F.col(id_col).alias("_id"))
+    return (base.join(rebuilt, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_paragraphs_kept", F.lit(0))
+                    .cast("bigint").alias("n_paragraphs_kept")))
+
+
+def flag_contaminated(df: DataFrame, benchmark: DataFrame, n: int = 8,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      b_text: str = "text") -> DataFrame:
+    """Benchmark decontamination (GPT-3/Lee-style n-gram overlap): flag
+    every document sharing at least one word n-gram with the benchmark
+    set, reporting the count of distinct shared n-grams.
+
+    Plan: benchmark → distinct n-grams (tiny by definition — eval sets
+    are ≪ corpus — so it BROADCASTS; the corpus side is a pure map +
+    explode, never shuffled against itself); per-doc hit counts come from
+    one groupBy on doc id. At 10^12 docs this is the only shape that
+    works: the corpus is touched once and nothing corpus-sized shuffles.
+    """
+    bgrams = (benchmark.select(F.explode(shingles(F.col(b_text), n)).alias("_g"))
+              .distinct())
+    dgrams = df.select(F.col(id_col).alias("_id"),
+                       F.explode(shingles(F.col(text_col), n)).alias("_g"))
+    # shingles() yields DISTINCT grams per doc, so join rows = distinct
+    # shared grams; count(*) after the join is the overlap cardinality.
+    hits = (dgrams.join(F.broadcast(bgrams), "_g")
+            .groupBy("_id").agg(F.count(F.lit(1)).alias("_nh")))
+    return (df.select(F.col(id_col).alias("_id"))
+            .join(hits, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("_nh", F.lit(0)).cast("bigint")
+                    .alias("contaminated_ngrams"),
+                    (F.coalesce("_nh", F.lit(0)) > 0).alias("contaminated")))
+
+
 def dedup_keep_one(df: DataFrame, pairs: DataFrame,
                    id_col: str = "doc_id") -> DataFrame:
     """Cluster-aware dedup: keep the min-id document of every near-dup
