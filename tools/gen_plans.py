@@ -104,6 +104,36 @@ def main() -> None:
          "Five observation branches over shared subtrees (gate form); the "
          "one-pass observe() form lives in plans/funnel.py.",
          E.q_training_funnel(spark, SF)),
+        ("rp_lsh_topk multi-probe — only the broadcast query side explodes",
+         "n_probes=3 expands QUERY signatures to hamming-1 neighbor "
+         "buckets (margin-ordered); the corpus is bucketed exactly once "
+         "and joins via BroadcastHashJoin — probe count never touches the "
+         "big side's plan.",
+         __import__("wine_label_ocr_spark.operators.ann",
+                    fromlist=["rp_lsh_topk"]).rp_lsh_topk(
+             q, emb, dim=64, k=3, n_planes=6, n_probes=3)),
+        ("embedding_near_dup — guarded bucket self-join",
+         "Window count over _bucket = the max_bucket hot-bucket guard "
+         "(quadratic-on-skew closed, r2 VERDICT #1) applied BEFORE the "
+         "self-join; same shape as minhash's band guard.",
+         __import__("wine_label_ocr_spark.operators.ann",
+                    fromlist=["embedding_near_dup"]).embedding_near_dup(
+             emb, dim=64, n_planes=6)),
+        ("decontamination — benchmark grams broadcast, corpus mapped once",
+         "The benchmark n-gram set is broadcast (eval sets ≪ corpus); the "
+         "corpus side is scan → explode → BroadcastHashJoin → one groupBy "
+         "on doc id. Nothing corpus-sized shuffles against itself.",
+         __import__("wine_label_ocr_spark.operators.dedupe",
+                    fromlist=["flag_contaminated"]).flag_contaminated(
+             docs, docs.limit(3), n=8)),
+        ("paragraph_dedup — boilerplate key set broadcast anti join",
+         "Paragraph keys count distinct docs (one shuffle, map-side "
+         "partials); the >=min_docs boilerplate set is small by "
+         "construction and broadcasts into the anti join; docs regroup "
+         "once to rebuild.",
+         __import__("wine_label_ocr_spark.operators.dedupe",
+                    fromlist=["drop_common_paragraphs"]).drop_common_paragraphs(
+             docs)),
     ]
 
     out = [HEADER]
