@@ -95,3 +95,45 @@ def test_cosine_topk_broadcasts_queries(spark):
     q = e.limit(3).select(F.col("vec_id").alias("q_id"), "embedding")
     plan = plan_of(cosine_topk(q, e, k=3))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_rp_lsh_multi_probe_explodes_query_side_only(spark):
+    """Multi-probe must never touch the corpus side: the corpus is
+    bucketed once (no Generate/explode over it) and joins the exploded
+    query buckets via broadcast."""
+    from pyspark.sql import functions as F
+    from wine_label_ocr_spark.operators.ann import rp_lsh_topk
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.limit(3).select(F.col("vec_id").alias("q_id"), "embedding")
+    plan = plan_of(rp_lsh_topk(q, e, dim=64, k=3, n_planes=6, n_probes=3))
+    assert "BroadcastHashJoin" in plan, plan
+    # the only Generate (explode) sits under the BroadcastExchange (query
+    # side); the corpus branch below the join has none
+    join_on = plan.index("BroadcastHashJoin")
+    bx = plan.index("BroadcastExchange", join_on)
+    assert "Generate" in plan[bx:], "probe explode must be on the query side"
+    assert "Generate" not in plan[join_on:bx], \
+        "corpus side must not explode with probe count"
+
+
+def test_embedding_near_dup_has_bucket_guard(spark):
+    """The hot-bucket cap must materialize as a Window count over _bucket
+    BEFORE the self-join (r2 VERDICT #1)."""
+    from wine_label_ocr_spark.operators.ann import embedding_near_dup
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(embedding_near_dup(e, dim=64, n_planes=6))
+    assert "Window" in plan, plan
+    assert "count(1)" in plan and "_bucket" in plan, plan
+
+
+def test_decontamination_broadcasts_benchmark_grams(spark):
+    """The corpus must never shuffle against itself: the benchmark gram
+    set broadcasts; corpus-side exchanges only hash on the doc id (hit
+    count + final left join), never on the gram column."""
+    from wine_label_ocr_spark.operators.dedupe import flag_contaminated
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(flag_contaminated(d, d.limit(3), n=8))
+    assert "BroadcastHashJoin" in plan, plan
+    for chunk in plan.split("Exchange hashpartitioning")[1:]:
+        header = chunk.splitlines()[0]
+        assert "_g#" not in header, header  # no corpus-sized gram shuffle
