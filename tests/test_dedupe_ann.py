@@ -441,3 +441,28 @@ def test_flag_contaminated_ngram_overlap(spark):
     assert out[1]["contaminated"] and out[1]["contaminated_ngrams"] >= 1
     assert not out[2]["contaminated"] and out[2]["contaminated_ngrams"] == 0
     assert not out[3]["contaminated"]  # "tiny doc" != any benchmark gram
+
+
+def test_ivf_quantized_index_recall_and_pruning(spark, emb, tmp_path):
+    """IVF + int8 storage: the quantized index reads 4x fewer probe bytes
+    yet keeps the neighborhood (recall>=0.8 vs the float index), keeps the
+    exact self-match at rank 1, and still prunes partitions."""
+    fpath, qpath = str(tmp_path / "ivf_f"), str(tmp_path / "ivf_q")
+    ann.ivf_index_write(emb, fpath, n_cells=4, iters=1)
+    ann.ivf_index_write(emb, qpath, n_cells=4, iters=1, quantize=True)
+    q = emb.limit(10).select(F.col("vec_id").alias("q_id"), "embedding")
+    top_f = ann.ivf_index_topk(spark, fpath, q, k=5, nprobe=2)
+    top_q = ann.ivf_index_topk(spark, qpath, q, k=5, nprobe=2)
+    fs = {(r["q_id"], r["c_id"]) for r in top_f.collect()}
+    qs_rows = top_q.collect()
+    qs = {(r["q_id"], r["c_id"]) for r in qs_rows}
+    assert len(fs & qs) / len(fs) >= 0.8
+    self_hits = [r for r in qs_rows if r["q_id"] == r["c_id"]]
+    assert len(self_hits) == 10 and all(r["rank"] == 1 for r in self_hits)
+    # pruning still applies on the quantized layout (files actually read,
+    # via input_file_name — DataFrame.inputFiles ignores partition filters)
+    full = spark.read.parquet(qpath)
+    pruned = full.filter(F.col("cell").isin([0, 1]))
+    files_read = lambda df: df.select(  # noqa: E731
+        F.input_file_name()).distinct().count()
+    assert files_read(pruned) < files_read(full)
