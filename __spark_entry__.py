@@ -502,6 +502,18 @@ def q_simhash_fingerprints(spark, sf):  # dedupe: SimHash, oracle-checked
                     simhash64(F.col("text"), oracle_safe=True).alias("simhash"))
 
 
+def q_stratified_sample(spark, sf):  # textops: deterministic corpus mixing
+    """Sample each language at its mix rate with a content-hash keep rule
+    (reproducible across cluster sizes, pure map); 'es' is absent from
+    the spec so it drops entirely — the explicit-mix semantics."""
+    from wine_label_ocr_spark.operators.textops import stratified_sample
+    d = _t(spark, sf, "documents")
+    out = stratified_sample(
+        d, {"en": 0.35, "de": 1.0, "fr": 0.5, "zh": 0.25},
+        oracle_safe=True)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang")
+
+
 def q_paragraph_dedup(spark, sf):  # dedupe: CCNet paragraph boilerplate strip
     """Plant two boilerplate lines (newsletter / copyright) on periodic
     docs; the operator must strip every paragraph shared by ≥2 distinct
@@ -810,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_pairs": q_simhash_pairs,
         "paragraph_dedup": q_paragraph_dedup,
+        "stratified_sample": q_stratified_sample,
         "decontamination": q_decontamination,
         "cosine_topk": q_cosine_topk,
         "rp_lsh_topk": q_rp_lsh_topk,
@@ -1459,6 +1472,20 @@ def oracle_sql() -> dict[str, str]:
         "rp_lsh_topk": _rp_lsh_oracle_sql(),
         "simhash_fingerprints": _simhash_oracle_sql(),
         "simhash_pairs": _simhash_pairs_oracle_sql(),
+        "stratified_sample": """
+            -- md5-bucket twin of stratified_sample(oracle_safe=True):
+            -- keep iff uint32(md5(lang:id)[0:8]) < frac * 2^32
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+            FROM documents
+            WHERE CAST(CAST(concat('0x', substr(md5(concat(lang, ':',
+                       CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT) AS BIGINT)
+                  < CASE lang  -- int(frac * 2^32), truncated like Python
+                      WHEN 'en' THEN 1503238553
+                      WHEN 'de' THEN 4294967296
+                      WHEN 'fr' THEN 2147483648
+                      WHEN 'zh' THEN 1073741824
+                      ELSE 0 END
+        """,
         "paragraph_dedup": """
             -- CCNet paragraph dedup twin: same planted boilerplate, same
             -- md5 paragraph keys, >=2-distinct-doc boilerplate rule, docs

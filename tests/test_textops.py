@@ -182,3 +182,31 @@ def test_funnel_one_pass_matches_branch_counts(spark):
     assert got == {"corpus": want["0_corpus"], "quality": want["1_quality"],
                    "lang": want["2_lang_en"], "deduped": want["3_deduped"],
                    "chunks": want["4_chunks"]}
+
+
+def test_stratified_sample_deterministic_mixing(spark):
+    """Corpus mixing: per-stratum keep rates land near spec, results are
+    bit-stable across runs (hash rule, no RNG), absent strata drop, and
+    the op is a pure map (zero Exchange)."""
+    from wine_label_ocr_spark.operators.textops import stratified_sample
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    frac = {"en": 0.5, "de": 1.0, "fr": 0.25}
+    for oracle_safe in (False, True):
+        out = stratified_sample(d, frac, oracle_safe=oracle_safe)
+        a = sorted(r["doc_id"] for r in out.collect())
+        b = sorted(r["doc_id"] for r in
+                   stratified_sample(d, frac, oracle_safe=oracle_safe).collect())
+        assert a == b  # deterministic
+        by_lang = {r["lang"]: r["n"] for r in
+                   out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        totals = {r["lang"]: r["n"] for r in
+                  d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert set(by_lang) <= set(frac)  # es/zh dropped (not in spec)
+        assert by_lang["de"] == totals["de"]  # frac 1.0 keeps everything
+        for lang, f in frac.items():
+            if f < 1.0 and totals.get(lang, 0) >= 20:
+                rate = by_lang.get(lang, 0) / totals[lang]
+                assert abs(rate - f) < 0.25, (lang, rate, f)
+    plan = stratified_sample(d, frac)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan

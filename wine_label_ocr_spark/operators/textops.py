@@ -272,6 +272,35 @@ def pack_sequences(df: DataFrame, budget_tokens: int = 512,
         .cast("bigint").alias("bin_id"))
 
 
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      stratum_col: str = "lang", id_col: str = "doc_id",
+                      oracle_safe: bool = False) -> DataFrame:
+    """Deterministic stratified sampling — the corpus-mixing primitive
+    (sample each source/language at its target rate when composing a
+    training mix). Keep a row iff ``hash(stratum:id) < frac[stratum] ·
+    2^32``: reproducible across runs, partitionings, and cluster sizes
+    (no RNG state, unlike ``df.sample``), a pure map (zero shuffle), and
+    stable under re-runs so resumes don't resample. Strata absent from
+    ``fractions`` are DROPPED — the mix spec is explicit.
+
+    ``oracle_safe=True`` swaps xxhash64 for the md5-derived bucket the
+    DuckDB oracle can reproduce bit-for-bit (same dual-flavor pattern as
+    operators.dedupe).
+    """
+    key = F.concat_ws(":", F.col(stratum_col), F.col(id_col).cast("string"))
+    if oracle_safe:
+        bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    else:
+        bucket = F.pmod(F.xxhash64(key), F.lit(1 << 32).cast("bigint"))
+    thr = None
+    for s, frac in fractions.items():
+        c = F.col(stratum_col) == s
+        t = F.lit(int(frac * (1 << 32))).cast("bigint")
+        thr = F.when(c, t) if thr is None else thr.when(c, t)
+    thr = thr.otherwise(F.lit(0).cast("bigint"))
+    return df.filter(bucket < thr)
+
+
 # RE2-compatible PII patterns (shared verbatim with the DuckDB oracle)
 PII_PATTERNS = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
