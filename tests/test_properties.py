@@ -74,3 +74,32 @@ def test_extract_total_on_arbitrary_bytes(payload):
 def test_year_extraction_in_range(s):
     y = oracle.extract_year(s)
     assert y is None or 1900 <= y <= 2030
+
+
+@given(st.lists(st.binary(min_size=0, max_size=300), max_size=8))
+@settings(max_examples=120, deadline=None)
+def test_gzip_members_roundtrip_and_tolerance(payloads):
+    """Concatenated per-record gzip members (the .warc.gz layout) inflate
+    back to the exact concatenation; truncating the stream anywhere never
+    raises and yields a prefix of the original bytes."""
+    from wine_label_ocr_spark.sources.warc import gunzip_members, gzip_member
+    blob = b"".join(gzip_member(p) for p in payloads)
+    whole = b"".join(payloads)
+    assert gunzip_members(blob) == whole
+    if blob:
+        cut = gunzip_members(blob[:len(blob) // 2])
+        assert whole.startswith(cut)
+
+
+@given(st.integers(1, 4), st.integers(1, 12), st.integers(1, 12),
+       st.integers(0, 2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_png_codec_roundtrip_property(c, h, w, seed):
+    """encode→decode is the identity for arbitrary shapes/content under
+    the default filter cycle (exercises all five unfilter paths)."""
+    import numpy as np
+    from wine_label_ocr_spark.operators.multimodal import decode_png, encode_png
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    back = decode_png(encode_png(arr))
+    assert back is not None and (back == arr).all()
