@@ -502,6 +502,12 @@ def q_simhash_fingerprints(spark, sf):  # dedupe: SimHash, oracle-checked
                     simhash64(F.col("text"), oracle_safe=True).alias("simhash"))
 
 
+def q_lexical_diversity(spark, sf):  # textops: TTR + hapax quality features
+    from wine_label_ocr_spark.operators.textops import lexical_diversity
+    return lexical_diversity(_t(spark, sf, "documents")) \
+        .withColumn("doc_id", F.col("doc_id").cast("bigint"))
+
+
 def q_stratified_sample(spark, sf):  # textops: deterministic corpus mixing
     """Sample each language at its mix rate with a content-hash keep rule
     (reproducible across cluster sizes, pure map); 'es' is absent from
@@ -823,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "paragraph_dedup": q_paragraph_dedup,
         "stratified_sample": q_stratified_sample,
+        "lexical_diversity": q_lexical_diversity,
         "decontamination": q_decontamination,
         "cosine_topk": q_cosine_topk,
         "rp_lsh_topk": q_rp_lsh_topk,
@@ -1472,6 +1479,30 @@ def oracle_sql() -> dict[str, str]:
         "rp_lsh_topk": _rp_lsh_oracle_sql(),
         "simhash_fingerprints": _simhash_oracle_sql(),
         "simhash_pairs": _simhash_pairs_oracle_sql(),
+        "lexical_diversity": """
+            -- grouped-count twin of the sorted-array boundary walk; ratios
+            -- as exact integer ppm (floor division, no float seams)
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS tk
+              FROM documents),
+            grp AS (
+              SELECT doc_id, tok, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+              GROUP BY doc_id, tok),
+            agg AS (
+              SELECT doc_id, SUM(c) AS n, COUNT(*) AS d,
+                     SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS h
+              FROM grp GROUP BY doc_id)
+            SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(a.d, 0) AS BIGINT) AS n_distinct,
+                   CASE WHEN COALESCE(a.n, 0) > 0
+                        THEN CAST((a.d * 1000000) // a.n AS BIGINT) END AS ttr_ppm,
+                   CASE WHEN COALESCE(a.d, 0) > 0
+                        THEN CAST((a.h * 1000000) // a.d AS BIGINT) END AS hapax_ppm
+            FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        """,
         "stratified_sample": """
             -- md5-bucket twin of stratified_sample(oracle_safe=True):
             -- keep iff uint32(md5(lang:id)[0:8]) < frac * 2^32

@@ -210,3 +210,17 @@ def test_stratified_sample_deterministic_mixing(spark):
     plan = stratified_sample(d, frac)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_lexical_diversity_known_values(spark):
+    from wine_label_ocr_spark.operators.textops import lexical_diversity
+    d = spark.createDataFrame(
+        [(1, "a b a c c c"), (2, ""), (3, "x"), (4, "w w w w")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: tuple(r)[1:] for r in lexical_diversity(d).collect()}
+    assert out[1] == (6, 3, 500000, 333333)   # {a:2,b:1,c:3} -> hapax {b}
+    assert out[2] == (0, 0, None, None)       # empty doc
+    assert out[3] == (1, 1, 1000000, 1000000)
+    assert out[4] == (4, 1, 250000, 0)        # all repeats -> hapax 0
+    plan = lexical_diversity(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # shuffle-free column algebra

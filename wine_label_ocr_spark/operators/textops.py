@@ -272,6 +272,58 @@ def pack_sequences(df: DataFrame, budget_tokens: int = 512,
         .cast("bigint").alias("bin_id"))
 
 
+def lexical_diversity(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Lexical-diversity quality features: token count, distinct tokens,
+    type-token ratio, and hapax ratio (share of distinct tokens occurring
+    exactly once) — low TTR/hapax flags template spam and keyword
+    stuffing; both are standard corpus-quality signals.
+
+    Shuffle-free column algebra: sort the token array once (``let`` — the
+    sorted array is referenced 2n times), count group boundaries for
+    distinct, and isolated positions (differs from BOTH neighbors) for
+    hapax. Ratios ship as exact integer parts-per-million (floor of
+    integer division) so the DuckDB oracle matches bit-for-bit with no
+    float-rounding seams. Per-doc cost is O(n log n) on the token count —
+    fine for web documents; a corpus-wide explode+groupBy is the shape
+    for book-length texts.
+    """
+    from ..functions import let
+
+    def stats(s: Column) -> Column:
+        n = F.size(s)
+        idx = F.sequence(F.lit(0), n - 1)
+        new_grp = F.transform(
+            idx, lambda i: F.when(i == 0, F.lit(1)).otherwise(
+                (F.get(s, i) != F.get(s, i - 1)).cast("int")))
+        # hapax position: differs from both neighbors (edges count as differ)
+        hapax = F.transform(
+            idx, lambda i: (F.coalesce(F.get(s, i) != F.get(s, i - 1), F.lit(True))
+                            & F.coalesce(F.get(s, i) != F.get(s, i + 1), F.lit(True))
+                            ).cast("int"))
+        add = lambda a, b: a + b  # noqa: E731
+        return F.struct(
+            n.cast("bigint").alias("n_tokens"),
+            F.aggregate(new_grp, F.lit(0).cast("bigint"), add).alias("n_distinct"),
+            F.aggregate(hapax, F.lit(0).cast("bigint"), add).alias("n_hapax"))
+
+    st = F.when(F.size(tokens_col(F.col(text_col))) > 0,
+                let(F.array_sort(tokens_col(F.col(text_col))), stats)) \
+         .otherwise(F.struct(F.lit(0).cast("bigint").alias("n_tokens"),
+                             F.lit(0).cast("bigint").alias("n_distinct"),
+                             F.lit(0).cast("bigint").alias("n_hapax")))
+    out = df.select(F.col(id_col).alias(id_col), st.alias("_s"))
+    n, d, h = F.col("_s.n_tokens"), F.col("_s.n_distinct"), F.col("_s.n_hapax")
+    return out.select(
+        id_col, n.alias("n_tokens"), d.alias("n_distinct"),
+        F.when(n > 0, F.try_divide((d * 1_000_000).cast("bigint"), n)
+               .cast("bigint"))
+         .otherwise(F.lit(None)).alias("ttr_ppm"),
+        F.when(d > 0, F.try_divide((h * 1_000_000).cast("bigint"), d)
+               .cast("bigint"))
+         .otherwise(F.lit(None)).alias("hapax_ppm"))
+
+
 def stratified_sample(df: DataFrame, fractions: dict[str, float],
                       stratum_col: str = "lang", id_col: str = "doc_id",
                       oracle_safe: bool = False) -> DataFrame:
