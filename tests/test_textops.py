@@ -224,3 +224,21 @@ def test_lexical_diversity_known_values(spark):
     assert out[4] == (4, 1, 250000, 0)        # all repeats -> hapax 0
     plan = lexical_diversity(d)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # shuffle-free column algebra
+
+
+def test_compression_ratio_flags_repetition(spark):
+    """Template spam compresses far better than varied prose; empty text
+    is NULL; ratios are positive and bounded sanely."""
+    from wine_label_ocr_spark.operators.textops import compression_ratio
+    spam = "buy cheap now " * 80
+    prose = ("the quarterly report outlines divergent regional trends in "
+             "manufacturing output employment figures and consumer prices "
+             "while highlighting several unresolved supply questions and "
+             "unusual seasonal variations across distinct coastal markets")
+    d = spark.createDataFrame(
+        [(1, spam), (2, prose), (3, "")], "doc_id bigint, text string")
+    out = {r["doc_id"]: r["z"] for r in
+           d.select("doc_id", compression_ratio(F.col("text")).alias("z")).collect()}
+    assert out[3] is None
+    assert 0 < out[1] < out[2] <= 1.2
+    assert out[1] < 0.1  # 80x repetition collapses

@@ -272,6 +272,33 @@ def pack_sequences(df: DataFrame, budget_tokens: int = 512,
         .cast("bigint").alias("bin_id"))
 
 
+_UDF_CACHE: dict = {}
+
+
+def compression_ratio(text: Column) -> Column:
+    """zlib-compressed-size / raw-size — the classic repetitiveness
+    signal (template spam and keyword stuffing compress far better than
+    natural prose; very high ratios flag random/binary junk). Needs
+    Python zlib, so it ships as an Arrow-batched pandas UDF — the ONE
+    sanctioned slow-path op in this module; everything else stays
+    JVM-side. NULL for empty text. No DuckDB oracle (zlib output is
+    library-defined); semantics pinned by pytest on planted inputs."""
+    from pyspark.sql.functions import pandas_udf
+
+    if "zratio" not in _UDF_CACHE:
+        def _batch(s):
+            import zlib
+
+            import pandas as pd
+            out = []
+            for t in s:
+                b = (t or "").encode("utf-8")
+                out.append(len(zlib.compress(b, 6)) / len(b) if b else None)
+            return pd.Series(out, dtype="float64")
+        _UDF_CACHE["zratio"] = pandas_udf(_batch, "double")
+    return _UDF_CACHE["zratio"](text)
+
+
 def lexical_diversity(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """Lexical-diversity quality features: token count, distinct tokens,
