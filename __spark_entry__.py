@@ -554,6 +554,25 @@ def q_decontamination(spark, sf):  # dedupe: benchmark n-gram overlap flag
                     "contaminated_ngrams", "contaminated"))
 
 
+def q_duplicate_passages(spark, sf):  # dedupe: winnowing passage-level pairs
+    """Docs sharing a copied SPAN (winnowing/MOSS fingerprints) — plant a
+    12-token syndicated passage on every 40th doc; the guarantee (any
+    duplicated run ≥ window+k−1 tokens anchors at least one identical
+    fingerprint regardless of phase) makes all planted pairs appear."""
+    from wine_label_ocr_spark.operators.dedupe import duplicate_passages
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    corpus = d.select("doc_id", F.concat(
+        "text",
+        F.when(F.col("doc_id") % 40 == 0,
+               F.lit(" syndicated boilerplate passage tokens appear "
+                     "verbatim across many documents tonight"))
+        .otherwise(F.lit(""))).alias("text"))
+    return (duplicate_passages(corpus, min_shared=1, oracle_safe=True)
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                    F.col("shared_fps").cast("bigint").alias("shared_fps")))
+
+
 def q_simhash_pairs(spark, sf):  # dedupe: banded SimHash pairing, oracle-checked
     """Banded SimHash near-dup pairs (pigeonhole full recall) under the
     gate: plant near-duplicates (same text + a short tail) so the operator
@@ -827,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components": q_near_dup_components,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_pairs": q_simhash_pairs,
+        "duplicate_passages": q_duplicate_passages,
         "paragraph_dedup": q_paragraph_dedup,
         "stratified_sample": q_stratified_sample,
         "lexical_diversity": q_lexical_diversity,
@@ -980,6 +1000,61 @@ def _simhash_pairs_oracle_sql(max_hamming=4, max_bucket=2000) -> str:
         SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
                CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+def _winnow_oracle_sql(k=5, window=4, min_shared=1, max_bucket=200) -> str:
+    """DuckDB twin of duplicate_passages(oracle_safe=True): same md5
+    60-bit gram hashes, same window minima (the selected fp VALUE is the
+    window min — the rightmost tie-break only affects positions, which
+    the pair count never sees), same hot-fp guard."""
+    km1, wm1 = k - 1, window - 1
+    h = ("CAST(CAST(concat('0x', substr(md5(concat(array_to_string("
+         f"tk[CAST(i AS INT):CAST(i AS INT)+{km1}], ' '), '#0')), 1, 15)) "
+         "AS UBIGINT) AS BIGINT)")
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, text ||
+                 CASE WHEN doc_id % 40 = 0
+                      THEN ' syndicated boilerplate passage tokens appear verbatim across many documents tonight'
+                      ELSE '' END AS text
+          FROM documents),
+        toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS tk
+          FROM corpus),
+        grams AS (
+          SELECT doc_id,
+                 CASE WHEN len(tk) >= {k}
+                      THEN list_transform(generate_series(1, len(tk) - {km1}),
+                                          i -> {h})
+                      WHEN len(tk) >= 1
+                      THEN [CAST(CAST(concat('0x', substr(md5(concat(
+                            array_to_string(tk, ' '), '#0')), 1, 15))
+                            AS UBIGINT) AS BIGINT)]
+                      ELSE CAST([] AS BIGINT[]) END AS gs
+          FROM toks),
+        sel AS (
+          SELECT DISTINCT doc_id, fp FROM (
+            SELECT doc_id,
+                   list_min(gs[CAST(j AS INT):CAST(j AS INT)+{wm1}]) AS fp
+            FROM (SELECT doc_id, gs,
+                         unnest(generate_series(1, len(gs) - {wm1})) AS j
+                  FROM grams WHERE len(gs) >= {window}))
+          UNION
+          SELECT doc_id, list_min(gs) AS fp
+          FROM grams WHERE len(gs) BETWEEN 1 AND {wm1}),
+        guarded AS (
+          SELECT doc_id, fp FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY fp) AS bn FROM sel)
+          WHERE bn <= {max_bucket})
+        SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+               CAST(b.doc_id AS BIGINT) AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_fps
+        FROM guarded a JOIN guarded b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= {min_shared}
     """
 
 
@@ -1479,6 +1554,7 @@ def oracle_sql() -> dict[str, str]:
         "rp_lsh_topk": _rp_lsh_oracle_sql(),
         "simhash_fingerprints": _simhash_oracle_sql(),
         "simhash_pairs": _simhash_pairs_oracle_sql(),
+        "duplicate_passages": _winnow_oracle_sql(),
         "lexical_diversity": """
             -- grouped-count twin of the sorted-array boundary walk; ratios
             -- as exact integer ppm (floor division, no float seams)

@@ -466,3 +466,42 @@ def test_ivf_quantized_index_recall_and_pruning(spark, emb, tmp_path):
     files_read = lambda df: df.select(  # noqa: E731
         F.input_file_name()).distinct().count()
     assert files_read(pruned) < files_read(full)
+
+
+def test_winnowing_guarantee_phase_invariant(spark):
+    """The Schleimer guarantee: a duplicated run of >= window+k-1 tokens
+    anchors at least one identical fingerprint in both copies REGARDLESS
+    of where the run sits in each document (fixed-stride chunking fails
+    exactly this)."""
+    passage = "one two three four five six seven eight nine ten"  # 10 >= 4+5-1
+    prefixes = ["", "x ", "aa bb ", "p q r s t u v ",
+                "lead tokens of very different lengths here now today "]
+    docs = spark.createDataFrame(
+        [(i, pre + passage + " tail" + str(i)) for i, pre in enumerate(prefixes)],
+        "doc_id bigint, text string")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedupe.duplicate_passages(docs, min_shared=1).collect()}
+    # every pair of the 5 docs shares the passage -> all C(5,2) pairs
+    assert pairs == {(a, b) for a in range(5) for b in range(a + 1, 5)}
+
+
+def test_winnow_fingerprints_shuffle_free_and_positions(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "short doc"), (3, "")],
+        "doc_id bigint, text string")
+    out = dedupe.winnow_fingerprints(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # pure map
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc1: 10 tokens -> 6 grams -> 3 windows -> 1..3 selected, positions in range
+    assert 1 <= len(by_doc[1]) <= 3
+    assert all(1 <= r["pos"] <= 6 for r in by_doc[1])
+    # short doc (< k tokens -> 1 whole-text gram): exactly one fingerprint
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["pos"] == 1
+    assert 3 not in by_doc  # empty doc -> no fingerprints
+    # deterministic across runs
+    again = sorted((r["doc_id"], r["pos"], r["fp"]) for r in out.collect())
+    assert again == sorted((r["doc_id"], r["pos"], r["fp"]) for r in rows)

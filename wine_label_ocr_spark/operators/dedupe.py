@@ -288,6 +288,94 @@ def flag_contaminated(df: DataFrame, benchmark: DataFrame, n: int = 8,
                     (F.coalesce("_nh", F.lit(0)) > 0).alias("contaminated")))
 
 
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        window: int = 4,
+                        oracle_safe: bool = False) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every token k-gram, slide a
+    window of ``window`` consecutive hashes, select the minimum of each
+    window (RIGHTMOST on ties). Guarantee: any duplicated token run of
+    length ≥ window + k − 1 produces at least one IDENTICAL selected
+    fingerprint in both copies regardless of phase — the content-defined
+    anchoring that fixed-stride chunk hashing lacks.
+
+    Pure map (zero shuffle): grams, windows, and the per-window argmin
+    are all column algebra; cost O(n·window) per doc. Returns one row per
+    selected (doc, pos, fp) — per-doc duplicates removed in the array
+    (overlapping windows reselect the same gram), no shuffle needed.
+    """
+    from ..functions import let
+
+    toks = tokens_col(F.col(text_col))
+
+    def fps_of(t: Column) -> Column:
+        n = F.size(t)
+        # beware: F.sequence(1, g) with g <= 0 DESCENDS (default step -1),
+        # so gram construction must be gated on n >= k first; docs shorter
+        # than k tokens contribute one whole-text gram (shingles semantics)
+        grams = F.when(n >= k, F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: _hash64(F.array_join(F.slice(t, i, k), " "),
+                              0, oracle_safe))) \
+            .otherwise(F.when(n >= 1, F.array(
+                _hash64(F.array_join(t, " "), 0, oracle_safe)))
+                .otherwise(F.array().cast("array<bigint>")))
+
+        def rightmost_min(h: Column, j: Column, width: Column) -> Column:
+            # min over struct(hash, -pos) = rightmost minimum of the window
+            return let(
+                F.array_min(F.transform(
+                    F.sequence(j, j + width - 1),
+                    lambda p: F.struct(F.get(h, p - 1).alias("fp"),
+                                       (-p).alias("negpos")))),
+                lambda m: F.struct(m["fp"].alias("fp"),
+                                   (-m["negpos"]).alias("pos")))
+
+        def sel_of(h: Column) -> Column:
+            g = F.size(h)
+            return F.when(g >= window, F.transform(
+                F.sequence(F.lit(1), g - F.lit(window - 1)),
+                lambda j: rightmost_min(h, j, F.lit(window)))) \
+                .otherwise(F.when(g >= 1, F.array(
+                    rightmost_min(h, F.lit(1), g)))
+                    .otherwise(F.array().cast(
+                        "array<struct<fp:bigint,pos:int>>")))
+
+        return let(grams, sel_of)
+
+    sel = df.select(F.col(id_col).alias(id_col),
+                    F.explode(F.array_distinct(let(toks, fps_of))).alias("_s"))
+    return sel.select(id_col, F.col("_s.pos").alias("pos"),
+                      F.col("_s.fp").alias("fp"))
+
+
+def duplicate_passages(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 5, window: int = 4,
+                       min_shared: int = 2, max_bucket: int = 200,
+                       oracle_safe: bool = False) -> DataFrame:
+    """Passage-level near-dup pairs: documents sharing ≥ ``min_shared``
+    winnowing fingerprints — catches COPIED SPANS inside otherwise
+    different documents (syndicated paragraphs, quoted chunks), which
+    whole-document MinHash misses when the rest of the text diverges.
+
+    One shuffle on fp (with the standard ``max_bucket`` hot-fingerprint
+    guard — a boilerplate fp shared by m docs would cost m²), pair join
+    inside fp buckets, per-pair shared-fp count.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, window, oracle_safe) \
+        .select(F.col(id_col).alias("_id"), "fp").distinct()
+    sized = fps.withColumn("_bn", F.count("*").over(W.partitionBy("fp")))
+    fps = sized.filter(F.col("_bn") <= max_bucket).drop("_bn")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a._id") < F.col("b._id")))
+            .groupBy(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("shared_fps"))
+            .filter(F.col("shared_fps") >= min_shared))
+
+
 def dedup_keep_one(df: DataFrame, pairs: DataFrame,
                    id_col: str = "doc_id") -> DataFrame:
     """Cluster-aware dedup: keep the min-id document of every near-dup
