@@ -137,3 +137,34 @@ def test_decontamination_broadcasts_benchmark_grams(spark):
     for chunk in plan.split("Exchange hashpartitioning")[1:]:
         header = chunk.splitlines()[0]
         assert "_g#" not in header, header  # no corpus-sized gram shuffle
+
+
+def test_zorder_layout_tightens_stats_on_both_dims(spark, tmp_path):
+    """Z-ordered files must cover small hypercubes: per-file [min,max]
+    spans (read from the parquet FOOTERS) shrink on BOTH columns, where a
+    single-column sort leaves the other column's spans at full width."""
+    from pyspark.sql import functions as F
+    from wine_label_ocr_spark.plans.layout import zorder_write
+    from wine_label_ocr_spark.sources.table import ManifestTable
+    import os
+
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("bigint").alias("y"))
+    zpath, xpath = str(tmp_path / "zorder"), str(tmp_path / "xsort")
+    zorder_write(grid, zpath, [("x", 0, 63), ("y", 0, 63)], n_files=16, bits=6)
+    (grid.repartitionByRange(16, "x").sortWithinPartitions("x")
+         .write.mode("overwrite").parquet(xpath))
+
+    def spans(path, col):
+        files = [os.path.join(path, f) for f in os.listdir(path)
+                 if f.endswith(".parquet")]
+        st = ManifestTable._file_stats(files, col)
+        assert len(st) == len(files)
+        return sum(hi - lo for lo, hi in st.values()) / len(st)
+
+    # x-sorted layout: x spans tiny, y spans full width (63)
+    assert spans(xpath, "x") <= 8 and spans(xpath, "y") >= 55
+    # z-ordered: BOTH dims well under full width (16 files -> ~16x16 cells)
+    assert spans(zpath, "x") <= 32 and spans(zpath, "y") <= 32
+    # and the data survives intact
+    assert spark.read.parquet(zpath).count() == 4096
