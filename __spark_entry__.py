@@ -502,6 +502,32 @@ def q_simhash_fingerprints(spark, sf):  # dedupe: SimHash, oracle-checked
                     simhash64(F.col("text"), oracle_safe=True).alias("simhash"))
 
 
+def q_host_stats(spark, sf):  # textops: host-level skew profile
+    """The pre-salting step at crawl scale: per-host doc counts + token
+    mass + mean quality — the profile that tells you WHICH hosts need
+    salting (hot hosts = the skew the north rule calls out). Urls are a
+    deterministic function of doc_id (a Zipf-ish %7 %41 split so hosts
+    are genuinely skewed)."""
+    from wine_label_ocr_spark.operators.textops import (
+        host_of, quality_score, token_count)
+    d = _t(spark, sf, "documents")
+    pages = d.select(
+        F.concat(F.lit("https://"),
+                 F.when(F.col("doc_id") % 7 < 4, F.lit("bighost.example"))
+                  .otherwise(F.concat(F.lit("host"),
+                                      (F.col("doc_id") % 41).cast("string"),
+                                      F.lit(".example"))),
+                 F.lit("/doc/"), F.col("doc_id").cast("string")).alias("url"),
+        "text")
+    # quality folded to integer micro-units BEFORE the sum — float sums
+    # are order-dependent across engines, integer sums are not
+    q_e6 = F.round(quality_score(F.col("text")) * 1_000_000).cast("bigint")
+    return (pages.groupBy(host_of(F.col("url")).alias("host"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(token_count(F.col("text")).cast("bigint")).alias("n_tokens"),
+                 F.sum(q_e6).alias("sum_quality_e6")))
+
+
 def q_lexical_diversity(spark, sf):  # textops: TTR + hapax quality features
     from wine_label_ocr_spark.operators.textops import lexical_diversity
     return lexical_diversity(_t(spark, sf, "documents")) \
@@ -850,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "stratified_sample": q_stratified_sample,
         "lexical_diversity": q_lexical_diversity,
+        "host_stats": q_host_stats,
         "decontamination": q_decontamination,
         "cosine_topk": q_cosine_topk,
         "rp_lsh_topk": q_rp_lsh_topk,
@@ -1344,6 +1371,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang,
                    CAST(SUM(CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT)) AS BIGINT) AS sum_bpe_tokens
             FROM documents GROUP BY lang
+        """,
+        "host_stats": f"""
+            -- host skew profile twin: same url rule, same quality
+            -- expression as quality_scores (bit-identical double fold),
+            -- folded to integer micro-units BEFORE the sum
+            WITH f AS (
+              SELECT doc_id, length(text) AS n,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, n, alpha, len(toks) AS ntok,
+                     len(list_intersect(list_transform(toks, t -> lower(t)),
+                                        [{qstop_sql}])) AS stop
+              FROM f),
+            q AS (
+              SELECT doc_id, ntok,
+                     CAST(ROUND((CAST(0.4 AS DOUBLE) * LEAST(n / CAST(500.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                          + CAST(0.3 AS DOUBLE) * (alpha / GREATEST(n, 1))
+                          + CAST(0.3 AS DOUBLE) * LEAST((stop / GREATEST(ntok, 1)) * CAST(3.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+                          * 1000000) AS BIGINT) AS q_e6
+              FROM g),
+            h AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 < 4 THEN 'bighost.example'
+                          ELSE concat('host', CAST(doc_id % 41 AS VARCHAR),
+                                      '.example') END AS host
+              FROM documents)
+            SELECT h.host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(q.ntok) AS BIGINT) AS n_tokens,
+                   CAST(SUM(q.q_e6) AS BIGINT) AS sum_quality_e6
+            FROM h JOIN q USING (doc_id) GROUP BY h.host
         """,
         "quality_scores": f"""
             WITH f AS (

@@ -242,3 +242,14 @@ def test_compression_ratio_flags_repetition(spark):
     assert out[3] is None
     assert 0 < out[1] < out[2] <= 1.2
     assert out[1] < 0.1  # 80x repetition collapses
+
+
+def test_host_of(spark):
+    from wine_label_ocr_spark.operators.textops import host_of
+    d = spark.createDataFrame(
+        [(1, "https://a.example.com/x/y"), (2, "http://b.org"),
+         (3, "ftp://c.net/z"), (4, "not a url"), (5, None)],
+        "i bigint, url string")
+    got = [r["h"] for r in d.orderBy("i")
+           .select(host_of(F.col("url")).alias("h")).collect()]
+    assert got == ["a.example.com", "b.org", None, None, None]

@@ -8,10 +8,12 @@ Usage (the north-rule launch shape):
         --output /path/to/records_table \
         --buckets 64 --run-id run1
 
-Reads a pages table ``(url, warc_ts, html, text?, lang)`` (or synthesizes
-N deterministic pages with ``SYNTH:N``), runs the two-stage extraction,
-and writes the records table through the resumable bucket-checkpointed
-path (re-running after a kill resumes at the first uncommitted bucket).
+Reads a pages table ``(url, warc_ts, html, text?, lang)`` from parquet, a
+WARC crawl directly (``--input '/crawl/*.warc.gz'`` — any glob ending in
+.warc or .warc.gz, plain or per-record-gzip shards), or synthesizes N
+deterministic pages with ``SYNTH:N``; runs the two-stage extraction, and
+writes the records table through the resumable bucket-checkpointed path
+(re-running after a kill resumes at the first uncommitted bucket).
 Prints one JSON summary line.
 """
 
@@ -26,7 +28,8 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True,
-                    help="pages parquet dir, or SYNTH:<n_pages>")
+                    help="pages parquet dir, a *.warc/*.warc.gz glob, "
+                         "or SYNTH:<n_pages>")
     ap.add_argument("--output", required=True, help="records table root")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--run-id", default="run1")
@@ -43,6 +46,9 @@ def main() -> None:
 
     if args.input.startswith("SYNTH:"):
         pages = pages_spark(spark, int(args.input.split(":", 1)[1]))
+    elif args.input.endswith((".warc", ".warc.gz")):
+        from wine_label_ocr_spark.sources.warc import read_warc
+        pages = read_warc(spark, args.input)
     else:
         pages = spark.read.parquet(args.input)
 

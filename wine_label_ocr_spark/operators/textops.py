@@ -272,6 +272,14 @@ def pack_sequences(df: DataFrame, budget_tokens: int = 512,
         .cast("bigint").alias("bin_id"))
 
 
+def host_of(url: Column) -> Column:
+    """Host component of an http(s) URL (RE2-safe regexp, shared with the
+    DuckDB oracle) — the grouping key for host-level skew analysis, crawl
+    politeness budgets, and per-site quality aggregates. NULL when the
+    value is not an http(s) URL."""
+    return F.nullif(F.regexp_extract(url, r"^https?://([^/]+)", 1), F.lit(""))
+
+
 _UDF_CACHE: dict = {}
 
 
