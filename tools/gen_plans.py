@@ -126,6 +126,17 @@ def main() -> None:
          __import__("wine_label_ocr_spark.operators.dedupe",
                     fromlist=["flag_contaminated"]).flag_contaminated(
              docs, docs.limit(3), n=8)),
+        ("winnow_fingerprints — content-defined passage fingerprints, pure map",
+         "Grams, windows, and the rightmost-min selection are all column "
+         "algebra: zero Exchange — fingerprinting inherits the scan's "
+         "partitioning; only the pairing step shuffles (on fp, guarded).",
+         __import__("wine_label_ocr_spark.operators.dedupe",
+                    fromlist=["winnow_fingerprints"]).winnow_fingerprints(docs)),
+        ("host_stats — host-level skew profile",
+         "One hash aggregate on the extracted host (map-side partials); "
+         "quality folds to integer micro-units before the sum so the "
+         "result is order-free (and oracle-exact).",
+         E.q_host_stats(spark, SF)),
         ("paragraph_dedup — boilerplate key set broadcast anti join",
          "Paragraph keys count distinct docs (one shuffle, map-side "
          "partials); the >=min_docs boilerplate set is small by "
