@@ -278,19 +278,22 @@ def q_warc_extract(spark, sf):
     from wine_label_ocr_spark.operators.segmentation import segment
     from wine_label_ocr_spark.sources.warc import read_warc, write_warc_shards
 
-    # cache key covers the renderer's source AND the parquet fixture's
-    # file identity (sizes + mtimes), so neither a renderer change nor a
-    # regenerated fixture at the same path can serve stale shards
+    # cache key covers the renderer's source, the WARC writer/reader
+    # module source (a format_warc_record/gzip_member change must not
+    # serve stale shards to the gate that certifies the writer), AND the
+    # parquet fixture's file identity (sizes + mtimes)
     import inspect
 
     from wine_label_ocr_spark import fixtures as _fx
+    from wine_label_ocr_spark.sources import warc as _warc_mod
     doc_dir = os.path.join(sf, "documents.parquet")
     stat = "" if not os.path.isdir(doc_dir) else ";".join(
         f"{f}:{s.st_size}:{s.st_mtime_ns}" for f, s in sorted(
             (f, os.stat(os.path.join(doc_dir, f)))
             for f in os.listdir(doc_dir) if not f.startswith(".")))
     tag = _h.md5((sf + stat + inspect.getsource(_fx.render_doc_page)
-                  + inspect.getsource(_fx.documents_as_pages))
+                  + inspect.getsource(_fx.documents_as_pages)
+                  + inspect.getsource(_warc_mod))
                  .encode()).hexdigest()[:10]
     shard_dir = os.path.join(tempfile.gettempdir(), f"wlos_warc_{tag}")
     if not os.path.isdir(shard_dir):
@@ -307,7 +310,10 @@ def q_warc_extract(spark, sf):
         try:
             os.rename(staging, shard_dir)
         except OSError:
-            shutil.rmtree(staging, ignore_errors=True)  # lost the race
+            if os.path.isdir(shard_dir):
+                shutil.rmtree(staging, ignore_errors=True)  # lost the race
+            else:
+                raise  # a real failure (EXDEV/EACCES/ENOSPC), not the race
     pages = read_warc(spark, os.path.join(shard_dir, "*.warc.gz"))
     rec = extract_fields(segment(pages))
     return rec.select(

@@ -505,3 +505,28 @@ def test_winnow_fingerprints_shuffle_free_and_positions(spark):
     # deterministic across runs
     again = sorted((r["doc_id"], r["pos"], r["fp"]) for r in out.collect())
     assert again == sorted((r["doc_id"], r["pos"], r["fp"]) for r in rows)
+
+
+def test_connected_components_converges_at_exactly_max_iters(spark):
+    """A chain needing exactly max_iters productive rounds must return the
+    correct components (the +1 verification round detects convergence);
+    one round short must raise, not return split components."""
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a bigint, id_b bigint")
+    comp = {r["doc_id"]: r["component"]
+            for r in dedupe.connected_components(chain, max_iters=3).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1}
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedupe.connected_components(chain, max_iters=1).collect()
+
+
+def test_drop_common_paragraphs_literal_separator(spark):
+    """sep is a literal, not a regex — '.' must split on dots only."""
+    docs = spark.createDataFrame(
+        [(1, "keep me.shared boiler.also mine"), (2, "shared boiler.other")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r["clean_text"] for r in
+           dedupe.drop_common_paragraphs(docs, min_docs=2, sep=".").collect()}
+    assert out[1] == "keep me.also mine"
+    assert out[2] == "other"

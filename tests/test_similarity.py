@@ -250,3 +250,20 @@ def test_fuzzy_null_vintage_paths(spark):
     blocked = S.fuzzy_match_decisions(new, store,
                                       block_null_vintage=True).collect()[0]
     assert blocked["decision"] == "seen-fuzzy"  # same first token "opus"
+
+
+def test_block_null_vintage_bounds_all_tiers_no_size_limit(spark):
+    """The scale path must never hit the store-size guard: with
+    block_null_vintage=True every tier is an equi join, so a tiny
+    fallback_store_limit is irrelevant — and the first-token-blocked
+    fallback still finds an identical maker at another vintage."""
+    store = spark.createDataFrame(
+        [(f"MAKER {i:04d}|2018", f"MAKER {i:04d}", 2018) for i in range(12)],
+        "custom_id string, maker_name string, vintage int")
+    new = spark.createDataFrame(
+        [("MAKER 0003|2019", "MAKER 0003", 2019)],
+        "custom_id string, maker_name string, vintage int")
+    out = S.fuzzy_match_decisions(new, store, block_null_vintage=True,
+                                  fallback_store_limit=1).collect()[0]
+    assert (out["decision"], out["matched_key"], out["match_score"]) == \
+           ("seen-fuzzy", "MAKER 0003|2018", 100.0)

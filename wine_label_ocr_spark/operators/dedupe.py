@@ -191,7 +191,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")))
     changed = 0
-    for _ in range(max_iters):
+    # max_iters productive rounds + 1 extra verification round: a graph
+    # whose propagation needs exactly max_iters rounds is CONVERGED after
+    # them, but detecting that takes one more (changed == 0) pass.
+    for _ in range(max_iters + 1):
         neigh = (edges.join(labels, edges.dst == labels.id)
                  .groupBy("src").agg(F.min("label").alias("nlabel")))
         stepped = (labels.join(neigh, labels.id == neigh.src, "left")
@@ -233,9 +236,12 @@ def drop_common_paragraphs(df: DataFrame, id_col: str = "doc_id",
     n_paragraphs_kept) — a fully-boilerplate doc comes back with empty
     text and 0 kept, so downstream length filters drop it explicitly.
     """
+    import re as _re
     paras = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_p"))
+        # sep is a LITERAL separator — escape it, F.split takes a regex
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
+        .alias("_pos", "_p"))
     paras = (paras.withColumn("_p", F.trim("_p"))
              .filter(F.col("_p") != ""))
     keyed = paras.withColumn("_k", F.md5(F.col("_p")))

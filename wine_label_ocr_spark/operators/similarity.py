@@ -219,9 +219,10 @@ def fuzzy_match_decisions(new: DataFrame, store: DataFrame,
     reference holds the whole store in one process's memory). Above the
     limit this raises instead of silently going quadratic; the caller
     then chooses the scale path (``block_null_vintage=True`` — blocks
-    vintage-less rows on the first normalized maker token, a
-    recall-for-cost trade) or explicitly accepts the reference's
-    unbounded scan (``unbounded_fallback=True``).
+    BOTH full-store tiers, vintage-less rows and the zero-candidate
+    fallback, on the first normalized maker token: pure equi joins with
+    no size limit needed, a recall-for-cost trade) or explicitly accepts
+    the reference's unbounded scan (``unbounded_fallback=True``).
     """
     n = new.select(
         F.col("custom_id").alias("n_key"),
@@ -250,27 +251,37 @@ def fuzzy_match_decisions(new: DataFrame, store: DataFrame,
         cond = (rest.n_vintage.isNull()) | (rest.n_vintage == s.s_vintage)
     blocked = rest.join(s, cond, "inner")
     # tier 2b: zero-candidate rows (vintage-bearing, no same-vintage store
-    # rows) fall back to the full store — mirrors the reference's
-    # `cands = db` when same_vintage is empty. Bounded by default: the
-    # store must be broadcast-sized (limited count ≤ fallback_store_limit,
-    # then an explicit broadcast nested-loop join — |fallback|·|store|
-    # with a size-asserted small side). unbounded_fallback=True is the
-    # only way to reach the unguarded full-store cross join.
-    s_fb = s
-    if not unbounded_fallback:
-        n_store = s.limit(fallback_store_limit + 1).count()
-        if n_store > fallback_store_limit:
-            raise ValueError(
-                f"fuzzy_match_decisions: store exceeds fallback_store_limit="
-                f"{fallback_store_limit} keys, so the full-store fuzzy "
-                "fallback tier would be quadratic at this scale. Use "
-                "block_null_vintage=True (blocked scale path), raise "
-                "fallback_store_limit if the store is genuinely broadcastable, "
-                "or opt into the reference's unbounded scan with "
-                "unbounded_fallback=True.")
-        s_fb = F.broadcast(s)
-    fallback = (rest.join(blocked.select("n_key").distinct(), "n_key", "left_anti")
-                .join(s_fb, F.lit(True), "inner"))
+    # rows) fall back — mirrors the reference's `cands = db` when
+    # same_vintage is empty. Three cost regimes:
+    #   * block_null_vintage=True (the scale path): the fallback is ALSO
+    #     first-token-blocked — an equi join, never quadratic, no size
+    #     guard needed (the same recall-for-cost trade as the null-vintage
+    #     tier above);
+    #   * default: full-store scan, bounded — the store must be
+    #     broadcast-sized (limited count ≤ fallback_store_limit, then an
+    #     explicit broadcast nested-loop join with a size-asserted small
+    #     side), else this raises;
+    #   * unbounded_fallback=True: the reference's unguarded full scan.
+    no_cand_rest = rest.join(blocked.select("n_key").distinct(),
+                             "n_key", "left_anti")
+    if block_null_vintage:
+        fallback = no_cand_rest.join(
+            s, tok(no_cand_rest.n_maker) == tok(s.s_maker), "inner")
+    else:
+        s_fb = s
+        if not unbounded_fallback:
+            n_store = s.limit(fallback_store_limit + 1).count()
+            if n_store > fallback_store_limit:
+                raise ValueError(
+                    f"fuzzy_match_decisions: store exceeds fallback_store_limit="
+                    f"{fallback_store_limit} keys, so the full-store fuzzy "
+                    "fallback tier would be quadratic at this scale. Use "
+                    "block_null_vintage=True (fully-blocked scale path), raise "
+                    "fallback_store_limit if the store is genuinely "
+                    "broadcastable, or opt into the reference's unbounded scan "
+                    "with unbounded_fallback=True.")
+            s_fb = F.broadcast(s)
+        fallback = no_cand_rest.join(s_fb, F.lit(True), "inner")
     cands = blocked.unionByName(fallback)
     scored = cands.withColumn(
         "raw_score", fuzzy_score_udf(F.col("n_maker"), F.col("s_maker")))

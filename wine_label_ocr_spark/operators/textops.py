@@ -277,7 +277,9 @@ def host_of(url: Column) -> Column:
     DuckDB oracle) — the grouping key for host-level skew analysis, crawl
     politeness budgets, and per-site quality aggregates. NULL when the
     value is not an http(s) URL."""
-    return F.nullif(F.regexp_extract(url, r"^https?://([^/]+)", 1), F.lit(""))
+    # scheme is case-insensitive per RFC 3986 (HTTP:// is valid)
+    return F.nullif(F.regexp_extract(url, r"^(?i:https?)://([^/]+)", 1),
+                    F.lit(""))
 
 
 _UDF_CACHE: dict = {}
@@ -374,6 +376,8 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     DuckDB oracle can reproduce bit-for-bit (same dual-flavor pattern as
     operators.dedupe).
     """
+    if not fractions:
+        return df.filter(F.lit(False))  # empty mix spec drops everything
     key = F.concat_ws(":", F.col(stratum_col), F.col(id_col).cast("string"))
     if oracle_safe:
         bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
