@@ -248,8 +248,10 @@ def test_host_of(spark):
     from wine_label_ocr_spark.operators.textops import host_of
     d = spark.createDataFrame(
         [(1, "https://a.example.com/x/y"), (2, "http://b.org"),
-         (3, "ftp://c.net/z"), (4, "not a url"), (5, None)],
+         (3, "ftp://c.net/z"), (4, "not a url"), (5, None),
+         (6, "HTTP://Upper.example/x")],  # scheme is case-insensitive
         "i bigint, url string")
     got = [r["h"] for r in d.orderBy("i")
            .select(host_of(F.col("url")).alias("h")).collect()]
-    assert got == ["a.example.com", "b.org", None, None, None]
+    assert got == ["a.example.com", "b.org", None, None, None,
+                   "Upper.example"]
