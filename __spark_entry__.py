@@ -508,6 +508,24 @@ def q_simhash_fingerprints(spark, sf):  # dedupe: SimHash, oracle-checked
                     simhash64(F.col("text"), oracle_safe=True).alias("simhash"))
 
 
+def q_interval_join(spark, sf):  # rangejoin: equi-ized |Δt|<=bound join
+    """Same-user event pairs within 300 s via the bucketed interval join
+    (equi join on (user, time-cell), never a nested loop); the oracle is
+    the plain theta join — proving the equi-ized plan computes the exact
+    range-join semantics."""
+    from wine_label_ocr_spark.operators.rangejoin import bucketed_interval_join
+    e = _t(spark, sf, "events").select("user_id", "event_id", "ts")
+    out = bucketed_interval_join(e, e, keys=["user_id"], ts_col="ts",
+                                 bound_sec=300.0)
+    dt_ms = F.abs(F.unix_millis(F.col("ts").cast("timestamp"))
+                  - F.unix_millis(F.col("ts_r").cast("timestamp")))
+    return (out.filter(F.col("event_id") < F.col("event_id_r"))
+            .select(F.col("user_id").cast("bigint").alias("user_id"),
+                    F.col("event_id").cast("bigint").alias("id_a"),
+                    F.col("event_id_r").cast("bigint").alias("id_b"),
+                    dt_ms.cast("bigint").alias("dt_ms")))
+
+
 def q_host_stats(spark, sf):  # textops: host-level skew profile
     """The pre-salting step at crawl scale: per-host doc counts + token
     mass + mean quality — the profile that tells you WHICH hosts need
@@ -883,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "lexical_diversity": q_lexical_diversity,
         "host_stats": q_host_stats,
+        "interval_join": q_interval_join,
         "decontamination": q_decontamination,
         "cosine_topk": q_cosine_topk,
         "rp_lsh_topk": q_rp_lsh_topk,
@@ -1377,6 +1396,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang,
                    CAST(SUM(CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT)) AS BIGINT) AS sum_bpe_tokens
             FROM documents GROUP BY lang
+        """,
+        "interval_join": """
+            -- the truth is the naive theta join; the Spark side must
+            -- compute the identical pair set via the equi-ized plan
+            SELECT CAST(a.user_id AS BIGINT) AS user_id,
+                   CAST(a.event_id AS BIGINT) AS id_a,
+                   CAST(b.event_id AS BIGINT) AS id_b,
+                   CAST(ABS(epoch_ms(a.ts) - epoch_ms(b.ts)) AS BIGINT) AS dt_ms
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND ABS(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 300000
         """,
         "host_stats": f"""
             -- host skew profile twin: same url rule, same quality

@@ -168,3 +168,33 @@ def test_zorder_layout_tightens_stats_on_both_dims(spark, tmp_path):
     assert spans(zpath, "x") <= 32 and spans(zpath, "y") <= 32
     # and the data survives intact
     assert spark.read.parquet(zpath).count() == 4096
+
+
+def test_bucketed_interval_join_is_equi_not_nested_loop(spark):
+    """The range join must plan as a hash/sort-merge EQUI join on
+    (keys, cell) — never BroadcastNestedLoop/Cartesian — and compute the
+    exact |dt|<=bound pair set (edge-inclusive, cell-boundary-crossing)."""
+    from datetime import datetime, timedelta
+    from pyspark.sql import functions as F
+    from wine_label_ocr_spark.operators.rangejoin import bucketed_interval_join
+    t0 = datetime(2024, 1, 1)
+    rows = [(1, i, t0 + timedelta(seconds=s))
+            for i, s in enumerate([0, 4.0, 5.0, 9.99, 10.0, 30.0])]
+    rows += [(2, 100, t0), (2, 101, t0 + timedelta(seconds=5.0))]
+    e = spark.createDataFrame(rows, "user_id bigint, event_id bigint, ts timestamp")
+    out = bucketed_interval_join(e, e, keys=["user_id"], bound_sec=5.0)
+    got = {(r["user_id"], r["event_id"], r["event_id_r"]) for r in out.collect()
+           if r["event_id"] < r["event_id_r"]}
+    # brute force truth
+    a, b = e.alias("a"), e.alias("b")
+    brute = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                    & (F.col("a.event_id") < F.col("b.event_id"))
+                    & (F.abs(F.unix_millis(F.col("a.ts"))
+                             - F.unix_millis(F.col("b.ts"))) <= 5000)))
+    want = {(r[0], r[1], r[2]) for r in brute.select(
+        "a.user_id", "a.event_id", "b.event_id").collect()}
+    assert got == want and (1, 0, 1) in got and (1, 0, 2) in got  # 5.0 inclusive
+    assert (2, 100, 101) in got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan, plan
