@@ -123,3 +123,45 @@ def test_dedup_ingest_round_trip(spark, records, tmp_path):
         F.col("decision") != "not seen").collect()]
     t.merge_insert(spark, second.filter(F.col("custom_id").isin(seen_keys)), "custom_id")
     assert t.read(spark).count() == n_store
+
+
+def test_curate_crawl_end_to_end(spark, tmp_path):
+    """Capstone: gz WARC crawl in -> curated gz WARC corpus out.
+    Duplicates collapse to one survivor, every surviving text is
+    byte-identical to its source page, and the export re-reads clean."""
+    from wine_label_ocr_spark.fixtures import pages_pandas
+    from wine_label_ocr_spark.plans.curate import curate_crawl
+    from wine_label_ocr_spark.sources.warc import read_warc, write_warc
+    from wine_label_ocr_spark.plans.pipeline import extract_records
+
+    pdf = pages_pandas(120)
+    rows = pdf.to_dict("records")
+    # plant exact duplicates: pages 100-109 re-shipped under new urls
+    dups = [{**rows[i], "url": rows[i]["url"] + "?mirror=1"}
+            for i in range(100, 110)]
+    src = tmp_path / "crawl"
+    src.mkdir()
+    write_warc(str(src / "a.warc.gz"), rows[:60] + dups[:5], compress=True)
+    write_warc(str(src / "b.warc.gz"), rows[60:] + dups[5:], compress=True)
+
+    out = str(tmp_path / "curated")
+    manifest = curate_crawl(spark, str(src / "*.warc.gz"), out,
+                            n_shards=2, min_quality=0.0, min_tokens=1)
+    n_out = sum(r["n_records"] for r in manifest)
+    # exactly one survivor per duplicate pair -> 120 canonical docs
+    # (minus any natural near-dups the synthesizer planted)
+    assert 100 <= n_out <= 120
+
+    back = read_warc(spark, out + "/*.warc.gz")
+    assert back.count() == n_out
+    # WET-style payloads: byte-identical to the source pages' EXTRACTED
+    # text (the whole point of the byte-identity contract)
+    src_pages = read_warc(spark, str(src / "*.warc.gz"))
+    truth = {r["url"]: r["text"]
+             for r in extract_records(src_pages).collect()}
+    survived = [(r["url"], bytes(r["html"]).decode("utf-8"))
+                for r in back.collect()]
+    assert all(truth[u] == t for u, t in survived)
+    # no mirror url AND its original both survive (exact dedup worked)
+    urls = {u for u, _ in survived}
+    assert not any(u + "?mirror=1" in urls for u in urls)

@@ -1,0 +1,64 @@
+"""End-to-end corpus curation: crawl in → training corpus out.
+
+The capstone composition — every stage is an existing operator, chained
+as ONE lazy DataFrame program (the only materialization barriers are the
+two dedup stages, which need corpus-wide state by definition):
+
+    .warc/.warc.gz shards ──read_warc──▶ pages
+      ──extract_records──▶ records (byte-identical text per url)
+      ──quality / lang / length gates──▶ candidates      (pure map)
+      ──exact_dedup──▶ unique documents                  (1 shuffle)
+      ──minhash_lsh_pairs + dedup_keep_one──▶ canonical  (LSH + CC)
+      ──write_warc_shards(compress=True)──▶ curated .warc.gz shards
+
+This is the "point the engine at a crawl, get a training corpus back"
+path the north rule describes; every stage's scale shape is documented
+and plan-pinned at its definition site.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dedupe import dedup_keep_one, exact_dedup, minhash_lsh_pairs
+from ..operators.textops import lang_id, quality_score, token_count
+from ..sources.warc import read_warc, write_warc_shards
+from .pipeline import extract_records
+
+
+def curate_pages(pages: DataFrame, min_quality: float = 0.3,
+                 min_tokens: int = 10, langs: tuple[str, ...] = (),
+                 near_dup_jaccard: float = 0.85) -> DataFrame:
+    """pages → curated records. Filters are pure maps over the extract
+    output; dedup keeps the minimum-url-hash survivor per duplicate
+    cluster (deterministic across runs and partitionings)."""
+    rec = extract_records(pages)
+    cand = (rec.withColumn("_q", quality_score(F.col("text")))
+            .withColumn("_nt", token_count(F.col("text")))
+            .filter((F.col("_q") >= min_quality) & (F.col("_nt") >= min_tokens)))
+    if langs:
+        cand = cand.filter(lang_id(F.col("text")).isin(*langs))
+    cand = cand.drop("_q", "_nt")
+    # dedup ids must be stable & orderable: hash the url
+    keyed = cand.withColumn("_did", F.xxhash64("url"))
+    uniq = exact_dedup(keyed, text_col="text", id_col="_did")
+    pairs = minhash_lsh_pairs(uniq, id_col="_did", text_col="text",
+                              min_jaccard=near_dup_jaccard)
+    return dedup_keep_one(uniq, pairs, id_col="_did").drop("_did")
+
+
+def curate_crawl(spark: SparkSession, in_glob: str, out_dir: str,
+                 compress: bool = True, n_shards: int | None = None,
+                 **kwargs) -> list:
+    """The whole arc: WARC shards in, curated gzip WARC shards out.
+
+    Output records are WET-style (Common Crawl's extracted-text sibling
+    of WARC): the payload is the curated document's EXTRACTED text,
+    utf-8, under the source url/timestamp/lang. Returns the collected
+    export manifest (path, n_records, n_bytes per shard) — collecting it
+    is what commits the export."""
+    curated = curate_pages(read_warc(spark, in_glob), **kwargs)
+    wet = curated.select("url", "warc_ts",
+                         F.encode("text", "utf-8").alias("html"), "lang")
+    return write_warc_shards(wet, out_dir, n_shards=n_shards,
+                             compress=compress).collect()
