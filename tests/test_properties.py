@@ -103,3 +103,35 @@ def test_png_codec_roundtrip_property(c, h, w, seed):
     arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
     back = decode_png(encode_png(arr))
     assert back is not None and (back == arr).all()
+
+
+_TAGS = ["div", "p", "a", "nav", "script", "style", "footer", "h1", "li",
+         "span", "table", "aside", "header", "noscript"]
+_soup_piece = st.one_of(
+    st.sampled_from([f"<{t}>" for t in _TAGS]
+                    + [f"</{t}>" for t in _TAGS]
+                    + [f"<{t}/>" for t in _TAGS]
+                    + ["<!-- c -->", "<!DOCTYPE html>", "<a href='#'>", "&amp;",
+                       "&#65;", "<", ">", "</", "<a", "\r\n", "\t"]),
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",),
+                                   max_codepoint=0x2FF), max_size=20))
+
+
+@given(st.lists(_soup_piece, max_size=60))
+@settings(max_examples=150, deadline=None)
+def test_lexer_total_and_consistent_on_tag_soup(pieces):
+    """Structured adversarial HTML (unbalanced tags, comments, entities,
+    half-open brackets): the lexer must never raise, and every block must
+    satisfy its own invariants (non-empty text, link_chars <= n_chars,
+    n_chars == len(text))."""
+    doc = "".join(pieces)
+    blocks = oracle.lex_blocks(doc)
+    for b in blocks:
+        assert b["text"] and b["n_chars"] == len(b["text"])
+        assert 0 <= b["link_chars"] <= b["n_chars"]
+        assert isinstance(b["boiler"], bool)
+    # full extraction is total on the same soup (bytes path)
+    out = oracle.extract(doc.encode("utf-8", "replace"), "https://x/y")
+    assert out["text"] is not None
+    for s in out["spans"]:
+        assert 0 <= s["start"] <= s["end"] <= len(out["text"])
