@@ -306,7 +306,12 @@ def q_warc_extract(spark, sf):
         staging = f"{shard_dir}.stage-{uuid.uuid4().hex}"
         pages = documents_as_pages(spark, sf).repartition(
             4, F.abs(F.xxhash64("url")) % 4)
-        write_warc_shards(pages, staging, compress=True).collect()
+        # http_envelope=True: response records carry a real HTTP status
+        # line + headers (the Common-Crawl layout) — the reader must strip
+        # the envelope and honor the HTTP Content-Type charset for the
+        # hash to stay green against the envelope-free oracle
+        write_warc_shards(pages, staging, compress=True,
+                          http_envelope=True).collect()
         try:
             os.rename(staging, shard_dir)
         except OSError:
@@ -737,6 +742,22 @@ def q_media_pixels(spark, sf):  # multimodal: REAL PNG raster decode, oracle-che
         F.round(F.get("feature", 12) * 100000).cast("int").alias("grad_row_e5"))
 
 
+def q_compression_ratio(spark, sf):  # textops: zlib repetitiveness signal
+    """Rows-only gate (zlib output is library-defined, so no value oracle —
+    like ivf_topk): per-lang histogram of compressed/raw size ratio
+    deciles. Shape-certifies the one sanctioned pandas-UDF slow-path op
+    in textops under the driver's eye (r3 VERDICT #4); semantics are
+    pinned by pytest on planted repetitive/random inputs."""
+    from wine_label_ocr_spark.operators.textops import compression_ratio
+    d = _t(spark, sf, "documents")
+    return (d.select("lang",
+                     F.floor(compression_ratio(F.col("text")) * 10)
+                      .cast("int").alias("decile"))
+            .groupBy("lang", "decile")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("lang", "decile"))
+
+
 def q_dedup_decisions(spark, sf):  # J2/J3 fuzzy ingest decisions (rows-only)
     from wine_label_ocr_spark.operators.similarity import fuzzy_match_decisions
     d = _t(spark, sf, "documents")
@@ -860,7 +881,21 @@ def q_phase_trace(spark, sf):  # ST4/ST5/ST7 — phase machine (rows-only)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Order = driver certification priority: the r3 driver artifact capped
+    # at ~50 of 58 entries, so the least-recently-certified queries (the 8
+    # r02-green tail) and this round's NEW gates run first; the r3-green
+    # remainder keeps its relative order and absorbs any cap at the end
+    # (union-across-rounds keeps those certified).
     return {
+        "ema_final": q_ema_final,
+        "sessionize": q_sessionize,
+        "phase_trace": q_phase_trace,
+        "salted_agg": q_salted_agg,
+        "best_variant": q_best_variant,
+        "vintage_fallback_grid": q_vintage_fallback_grid,
+        "median_by_type": q_median_by_type,
+        "union_names": q_union_names,
+        "compression_ratio": q_compression_ratio,
         "lineitem_agg": q_lineitem_agg,
         "top_customer_per_nation": q_top_customer_per_nation,
         "orders_by_segment": q_orders_by_segment,
@@ -911,14 +946,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_pixels": q_media_pixels,
         "dedup_decisions": q_dedup_decisions,
-        "ema_final": q_ema_final,
-        "sessionize": q_sessionize,
-        "phase_trace": q_phase_trace,
-        "salted_agg": q_salted_agg,
-        "best_variant": q_best_variant,
-        "vintage_fallback_grid": q_vintage_fallback_grid,
-        "median_by_type": q_median_by_type,
-        "union_names": q_union_names,
     }
 
 

@@ -198,3 +198,33 @@ def test_bucketed_interval_join_is_equi_not_nested_loop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_zorder_rejects_sign_bit_overflow(spark):
+    """4 cols × 16 bits would interleave into bigint's sign bit — loud
+    error instead of silently inverted layout (ADVICE r3)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from wine_label_ocr_spark.plans.layout import zorder_value
+    specs = [(F.lit(i), 0, 63) for i in range(4)]
+    with pytest.raises(ValueError, match="sign bit"):
+        zorder_value(specs, bits=16)
+    zorder_value(specs, bits=15)  # 60 bits: fine
+
+
+def test_interval_join_rejects_outer_and_bad_bounds(spark):
+    """Outer joins and degenerate bounds raise instead of silently
+    degenerating (ADVICE r3)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from wine_label_ocr_spark.operators.rangejoin import bucketed_interval_join
+    df = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.col("id") * 10).alias("ts"))
+    with pytest.raises(ValueError, match="inner"):
+        bucketed_interval_join(df, df, ["k"], how="left")
+    with pytest.raises(ValueError, match="0.001"):
+        bucketed_interval_join(df, df, ["k"], bound_sec=0.0005)
+    with pytest.raises(ValueError, match="millisecond"):
+        bucketed_interval_join(df, df, ["k"], bound_sec=5.0005)
+    assert bucketed_interval_join(df, df, ["k"], bound_sec=5.0).count() == 3

@@ -183,3 +183,22 @@ def test_vacuum_removes_orphans(spark, tmp_path):
     assert removed >= 1
     assert t.read(spark).count() == 3
     assert len(t.snapshots()) == 1
+
+
+def test_merge_upsert_rejects_schema_drift(spark, tmp_path):
+    """Incoming columns must match the snapshot exactly — drift raises a
+    named error instead of silently dropping columns (ADVICE r3)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from wine_label_ocr_spark.sources.table import ManifestTable
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.range(3).select(F.col("id").alias("k"),
+                                   F.lit("a").alias("v")))
+    extra = spark.range(2).select(F.col("id").alias("k"),
+                                  F.lit("b").alias("v"),
+                                  F.lit(1).alias("extra_col"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.merge_upsert(spark, extra, key="k")
+    missing = spark.range(2).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.merge_upsert(spark, missing, key="k")

@@ -255,3 +255,38 @@ def test_host_of(spark):
            .select(host_of(F.col("url")).alias("h")).collect()]
     assert got == ["a.example.com", "b.org", None, None, None,
                    "Upper.example"]
+
+
+def test_unigram_logprob_pruned_broadcast_plan_and_values(spark):
+    """min_count/top_n path: (a) the scoring join is a BroadcastHashJoin
+    and the token explosion never crosses a token-keyed Exchange (the
+    10^12-doc shape, r3 VERDICT #5); (b) values equal the exact form
+    restricted to surviving tokens, with the UNPRUNED total as normalizer."""
+    from pyspark.sql import functions as F
+    from wine_label_ocr_spark.operators.textops import unigram_logprob
+    rows = [(1, "aa aa aa bb"), (2, "aa bb cc"), (3, "cc dd")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    pruned = unigram_logprob(df, min_count=2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # exactly one token-keyed exchange: the (partial-aggregated) vocab
+    # build; the scoring side must have none
+    assert plan.count("hashpartitioning(tok") == 1
+
+    # exact twin for comparison: 9 tokens total; aa=4 bb=2 cc=2 dd=1
+    exact = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    got = {r["doc_id"]: r for r in pruned.collect()}
+    import math
+    t_aa = round(math.log(4 / 9) * 1e6)
+    t_bb = round(math.log(2 / 9) * 1e6)
+    t_cc = round(math.log(2 / 9) * 1e6)
+    assert got[1]["logprob_scaled"] == 3 * t_aa + t_bb and got[1]["n_toks"] == 4
+    assert got[2]["logprob_scaled"] == t_aa + t_bb + t_cc and got[2]["n_toks"] == 3
+    # doc 3: dd pruned (cnt=1) -> only cc scores
+    assert got[3]["logprob_scaled"] == t_cc and got[3]["n_toks"] == 1
+    # exact form unchanged (oracle parity): doc 1 has no OOV so equal
+    assert exact[1]["logprob_scaled"] == got[1]["logprob_scaled"]
+    # top_n=2 keeps aa + bb (bb beats cc on token tiebreak)
+    top = {r["doc_id"]: r for r in unigram_logprob(df, top_n=2).collect()}
+    assert 3 not in top or top[3]["n_toks"] == 0  # cc pruned for doc 3

@@ -131,3 +131,107 @@ def test_write_warc_shards_roundtrip(tmp_path, spark):
     assert all(bytes(r["html"]) == want[r["url"]] for r in back)
     import os
     assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+
+# ---- HTTP response envelope (the real Common-Crawl record layout) ----
+
+def _cc_record(html: bytes, url="http://example.com/page",
+               charset="UTF-8", chunked=False) -> bytes:
+    """A CC-faithful response record: WARC headers with
+    ``Content-Type: application/http; msgtype=response``, body = full HTTP
+    response message (status line + headers + CRLFCRLF + entity)."""
+    if chunked:
+        entity = (f"{len(html):x}\r\n".encode() + html + b"\r\n0\r\n\r\n")
+        te = b"Transfer-Encoding: chunked\r\n"
+    else:
+        entity = html
+        te = b"Content-Length: %d\r\n" % len(html)
+    http = (b"HTTP/1.1 200 OK\r\n"
+            b"Server: Apache\r\n"
+            b"Content-Type: text/html; charset=" + charset.encode() + b"\r\n"
+            + te + b"\r\n" + entity)
+    head = (b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:uuid:3b1a6f7e-0000-4000-8000-000000000001>\r\n"
+            b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            b"WARC-Date: 2025-03-01T00:00:00.000000Z\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n")
+    return head + http + b"\r\n\r\n"
+
+
+def test_warc_http_envelope_stripped():
+    """An enveloped record yields the HTML entity, not the HTTP message."""
+    html = b"<html><body><p>Grand Cru 2015 vintage notes</p></body></html>"
+    got = list(parse_warc_bytes(_cc_record(html)))
+    assert len(got) == 1
+    url, ts, payload, lang, http_charset = got[0]
+    assert payload == html              # no "HTTP/1.1 200 OK" prefix
+    assert http_charset == "utf-8"      # surfaced from the HTTP header
+    assert url == "http://example.com/page"
+
+
+def test_warc_http_envelope_chunked():
+    html = b"<html><body>" + b"x" * 300 + b"</body></html>"
+    got = list(parse_warc_bytes(_cc_record(html, chunked=True)))
+    assert len(got) == 1
+    assert got[0][2] == html
+
+
+def test_warc_http_charset_beats_meta(spark, tmp_path):
+    """RFC 9110: the transport charset outranks the in-document meta tag.
+    A cp1252 body whose meta claims utf-8 decodes correctly only via the
+    HTTP header charset."""
+    from wine_label_ocr_spark.oracle import extract
+    body_txt = ('<html><head><meta charset="utf-8"></head><body><p>'
+                'Ch\u00e2teau P\u00e9trus \u2014 caf\u00e9. '
+                + 'A long tasting note keeps this block past the '
+                  'main-content gate. ' * 6
+                + '</p></body></html>')
+    payload = body_txt.encode("cp1252")
+    # without the HTTP charset: meta wins, mojibake
+    assert extract(payload, "u")["charset"] == "utf-8"
+    # with it: cp1252, clean decode
+    r = extract(payload, "u", http_charset="windows-1252")
+    assert r["charset"] == "cp1252"
+    assert "Ch\u00e2teau P\u00e9trus \u2014 caf\u00e9" in r["text"]
+    # and end-to-end through the Spark reader + segmenter
+    import pandas as pd
+    rec = _cc_record(payload, charset="windows-1252")
+    p = tmp_path / "cp1252.warc"
+    p.write_bytes(rec)
+    from wine_label_ocr_spark.operators.segmentation import segment
+    pages = read_warc(spark, str(p))
+    row = segment(pages).select("charset", "text").collect()[0]
+    assert row["charset"] == "cp1252"
+    assert "Ch\u00e2teau P\u00e9trus" in row["text"]
+
+
+def test_warc_envelope_roundtrip_byte_identity(tmp_path, spark):
+    """write(http_envelope=True) → read strips the envelope back to the
+    original payload; the extraction gate path stays byte-identical."""
+    pdf = pages_pandas(40)
+    write_warc(str(tmp_path / "env.warc.gz"), pdf.to_dict("records"),
+               compress=True, http_envelope=True)
+    blob = open(tmp_path / "env.warc.gz", "rb").read()
+    import gzip
+    assert b"HTTP/1.1 200 OK\r\n" in gzip.decompress(blob)  # envelope on disk
+    got = read_warc(spark, str(tmp_path / "*.warc.gz")).collect()
+    want = {r["url"]: bytes(r["html"]) for r in pdf.to_dict("records")}
+    assert len(got) == 40
+    assert all(bytes(r["html"]) == want[r["url"]] for r in got)
+    assert all(r["http_charset"] is not None for r in got)
+
+
+def test_warc_malformed_envelope_degrades_to_raw():
+    """A record labelled application/http whose body is not an HTTP message
+    passes through unchanged (ST8), as does broken chunk framing."""
+    from wine_label_ocr_spark.sources.warc import strip_http_envelope
+    assert strip_http_envelope(b"<html>no status line</html>") == \
+        (b"<html>no status line</html>", None)
+    assert strip_http_envelope(b"HTTP/1.1 200 OK\r\nno terminator") == \
+        (b"HTTP/1.1 200 OK\r\nno terminator", None)
+    # chunked declared but garbage framing -> raw body kept
+    bad = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+           b"NOTHEX\r\nbody")
+    assert strip_http_envelope(bad)[0] == b"NOTHEX\r\nbody"

@@ -66,13 +66,16 @@ def _segment_batches(batches: Iterable) -> Iterator:
             "raw_chars", "fingerprint", "spans"]
     for pdf in batches:
         rows = []
-        for url, ts, payload, lang in zip(pdf["url"], pdf["warc_ts"],
-                                          pdf["html"], pdf["lang"]):
+        http_charsets = (pdf["http_charset"] if "http_charset" in pdf.columns
+                         else [None] * len(pdf))
+        for url, ts, payload, lang, hcs in zip(pdf["url"], pdf["warc_ts"],
+                                               pdf["html"], pdf["lang"],
+                                               http_charsets):
             if payload is None:
                 payload = b""
             elif not isinstance(payload, bytes):
                 payload = bytes(payload)  # bytearray/memoryview only — no copy for bytes
-            r = extract(payload, url)
+            r = extract(payload, url, None if hcs is None else str(hcs))
             m = _CANONICAL_RE.search(r["head_raw"]) if r["head_raw"] else None
             rows.append((
                 url, ts, lang, r["text"], r["title"], r["year"],
@@ -91,5 +94,6 @@ def segment(pages: DataFrame) -> DataFrame:
     The ground-truth ``text`` column (if present) is dropped first — the
     pipeline must *recover* it, never read it.
     """
-    cols = [c for c in ("url", "warc_ts", "html", "lang") if c in pages.columns]
+    cols = [c for c in ("url", "warc_ts", "html", "lang", "http_charset")
+            if c in pages.columns]
     return pages.select(*cols).mapInPandas(_segment_batches, schema=SEGMENT_DDL)

@@ -223,6 +223,13 @@ def fuzzy_match_decisions(new: DataFrame, store: DataFrame,
     fallback, on the first normalized maker token: pure equi joins with
     no size limit needed, a recall-for-cost trade) or explicitly accepts
     the reference's unbounded scan (``unbounded_fallback=True``).
+
+    NOT fully lazy on the default path: the size guard needs up to two
+    eager Spark jobs while the plan is being built — a ``limit(1)`` probe
+    on the zero-candidate tier (skipped entirely when it's empty, the
+    common case) and, only if non-empty, a ``limit(N+1).count()`` on the
+    store. Per-batch callers on the hot path should pass
+    ``block_null_vintage=True``, which builds a fully lazy plan.
     """
     n = new.select(
         F.col("custom_id").alias("n_key"),
@@ -269,7 +276,13 @@ def fuzzy_match_decisions(new: DataFrame, store: DataFrame,
             s, tok(no_cand_rest.n_maker) == tok(s.s_maker), "inner")
     else:
         s_fb = s
-        if not unbounded_fallback:
+        # guard jobs run only when the fallback tier is non-empty: the
+        # limit(1) probe is cheap (stops at the first surviving row) and
+        # skips the store count entirely in the common all-rows-blocked
+        # case (ADVICE r3: no surprise store scan on every call)
+        if not unbounded_fallback and no_cand_rest.limit(1).count() == 0:
+            s_fb = F.broadcast(s.limit(0))  # tier empty: trivial join side
+        elif not unbounded_fallback:
             n_store = s.limit(fallback_store_limit + 1).count()
             if n_store > fallback_store_limit:
                 raise ValueError(

@@ -134,16 +134,33 @@ def doc_fingerprint(text: Column, n_tokens: int = 64) -> Column:
 
 
 def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    min_count: int | None = None,
+                    top_n: int | None = None) -> DataFrame:
     """Corpus-level unigram LM quality score — the classic training-data
     filter ("drop documents whose tokens are improbable under the corpus
     LM"), as two aggregations:
 
     1. vocab: one shuffle on token → (token, count), plus the scalar total
-       (broadcast back — a few bytes);
-    2. score: tokens joined to vocab (shuffle on token; at 10^12 docs the
-       vocab side is the broadcast candidate after frequency pruning),
-       per-doc SUM of log-probabilities.
+       (broadcast back — a few bytes). Map-side partial aggregation means
+       only (token, partial count) pairs cross this exchange, never the
+       raw explosion;
+    2. score: tokens joined to vocab, per-doc SUM of log-probabilities.
+
+    Two scoring shapes:
+
+    * exact (default, the oracle's twin): sort-merge/hash join on token —
+      the full token explosion crosses an exchange. Fine to ~10^9 docs;
+    * pruned-broadcast (``min_count`` and/or ``top_n`` set — the 10^12-doc
+      shape): the vocab is frequency-pruned (count >= min_count, then the
+      ``top_n`` most frequent, ties broken on token), its log-prob terms
+      are precomputed against the UNPRUNED total token mass, and the
+      small table is broadcast — the scoring join is map-side
+      (BroadcastHashJoin), so the token explosion never shuffles; the
+      only token-keyed exchange left is the partial-aggregated vocab
+      build. Pruned (OOV) tokens are excluded from both
+      ``logprob_scaled`` and ``n_toks`` — callers wanting an OOV penalty
+      compare ``n_toks`` against ``token_count``.
 
     The per-token term is scaled to an integer (round(log(p)·1e6)) so the
     per-doc sum is exact and order-free — a raw double sum would hash
@@ -156,10 +173,28 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
     total = vocab.agg(F.sum("cnt").alias("total"))
     term = F.round(F.log(F.col("cnt").cast("double")
                          / F.col("total").cast("double")) * 1e6).cast("bigint")
-    return (toks.join(vocab, "tok")
-            .crossJoin(F.broadcast(total))
+    if min_count is None and top_n is None:
+        return (toks.join(vocab, "tok")
+                .crossJoin(F.broadcast(total))
+                .groupBy("doc_id")
+                .agg(F.sum(term).alias("logprob_scaled"),
+                     F.count(F.lit(1)).alias("n_toks")))
+    pruned = vocab
+    if min_count is not None:
+        pruned = pruned.filter(F.col("cnt") >= min_count)
+    if top_n is not None:
+        pruned = pruned.orderBy(F.col("cnt").desc(), "tok").limit(top_n)
+    # total re-derived as a global agg over the explosion (identical value,
+    # no second token-keyed exchange in the plan); terms precomputed once
+    # on the tiny pruned side; broadcast makes the scoring join map-side —
+    # the explosion stays in its scan partitions
+    total_direct = toks.agg(F.count(F.lit(1)).alias("total"))
+    scoring = F.broadcast(
+        pruned.crossJoin(F.broadcast(total_direct))
+              .select("tok", term.alias("term")))
+    return (toks.join(scoring, "tok")
             .groupBy("doc_id")
-            .agg(F.sum(term).alias("logprob_scaled"),
+            .agg(F.sum("term").alias("logprob_scaled"),
                  F.count(F.lit(1)).alias("n_toks")))
 
 

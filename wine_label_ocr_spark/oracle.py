@@ -140,25 +140,34 @@ def extract_year(text: str) -> int | None:
     return None
 
 
-def detect_charset(payload: bytes) -> str:
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "iso-8859-1": "latin-1", "latin-1": "latin-1", "latin1": "latin-1",
+    "windows-1252": "cp1252", "cp1252": "cp1252",
+    "ascii": "ascii", "us-ascii": "ascii",
+}
+
+
+def detect_charset(payload: bytes, http_charset: str | None = None) -> str:
     """D7 analog — pick the best decode variant of the binary payload.
 
-    Honors an explicit ``charset=`` declaration in the first 2048 bytes;
-    otherwise tries strict utf-8 and falls back to latin-1 (which never
-    fails). Mirrors the try-variants-keep-best-score structure of
-    ``align_vertically`` (hybrid.py:148-170).
+    Priority order per RFC 9110 §8.3 / HTML spec §8.2.2.2: an HTTP
+    ``Content-Type`` charset (``http_charset``, surfaced by the WARC
+    reader's envelope strip) wins over an in-document ``charset=``
+    declaration in the first 2048 bytes; absent both, tries strict utf-8
+    and falls back to latin-1 (which never fails). Mirrors the
+    try-variants-keep-best-score structure of ``align_vertically``
+    (hybrid.py:148-170).
     """
+    if http_charset:
+        got = _CHARSET_ALIASES.get(http_charset.strip().lower())
+        if got:
+            return got
     m = _CHARSET_RE.search(payload[:2048])
     if m:
         name = m.group(1).decode("ascii", "replace").lower()
-        aliases = {
-            "utf-8": "utf-8", "utf8": "utf-8",
-            "iso-8859-1": "latin-1", "latin-1": "latin-1", "latin1": "latin-1",
-            "windows-1252": "cp1252", "cp1252": "cp1252",
-            "ascii": "ascii", "us-ascii": "ascii",
-        }
-        if name in aliases:
-            return aliases[name]
+        if name in _CHARSET_ALIASES:
+            return _CHARSET_ALIASES[name]
     try:
         payload.decode("utf-8")
         return "utf-8"
@@ -372,13 +381,16 @@ def _spans_from_kept(kept: list[dict[str, Any]], n_blocks_total: int,
     return spans
 
 
-def extract(payload: bytes, url: str) -> dict[str, Any]:
+def extract(payload: bytes, url: str,
+            http_charset: str | None = None) -> dict[str, Any]:
     """The oracle: one document in, the canonical record out.
 
     Returns ``{text, title, maker_name, year, spans, fingerprint, method,
     charset, n_blocks, kept_blocks, raw_text}``. ``text`` is the
     byte-identity target; ``raw_text`` is the full visible text (used by the
-    year fallback cascade, E5 analog).
+    year fallback cascade, E5 analog). ``http_charset`` is the transport's
+    charset claim (WARC HTTP envelope), which outranks in-document
+    declarations — see ``detect_charset``.
     """
     if payload[:5] == b"%PDF-":
         paras = [_pdf_unescape(m.group(1)) for m in _PDF_TEXT_RE.finditer(payload)]
@@ -396,7 +408,7 @@ def extract(payload: bytes, url: str) -> dict[str, Any]:
         head_raw = ""
         method, charset, n_blocks = "pdf", "binary", len(paras)
     else:
-        charset = detect_charset(payload)
+        charset = detect_charset(payload, http_charset)
         decoded = payload.decode(charset, "replace")
         blocks = lex_blocks(decoded)
         for i, b in enumerate(blocks):

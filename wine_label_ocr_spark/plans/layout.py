@@ -25,8 +25,18 @@ def zorder_value(specs: list[tuple[Column, float, float]],
     into [0, 2^bits) by its (lo, hi) range (clamped outside). Ranges come
     from the caller — at scale they're table-level stats you already
     track; an exact-rank variant would need a global sort, which defeats
-    the point."""
+    the point.
+
+    ``len(specs) * bits`` must stay below 64: bit 63 is the bigint sign
+    bit (high keys would sort negative/first and silently invert the
+    layout benefit), and 65+ wraps the shift entirely. Raises instead —
+    shrink ``bits`` (e.g. 4 columns → bits<=15)."""
     n = len(specs)
+    if n * bits >= 64:
+        raise ValueError(
+            f"len(specs)*bits = {n}*{bits} = {n * bits} >= 64 would "
+            f"interleave into the bigint sign bit (or wrap); use bits <= "
+            f"{63 // n} for {n} columns")
     scaled = []
     for c, lo, hi in specs:
         span = float(hi) - float(lo) or 1.0

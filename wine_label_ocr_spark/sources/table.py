@@ -249,11 +249,24 @@ class ManifestTable:
         duplicates on ``key`` collapse to one arbitrary-but-deterministic
         row (max_by on the key itself is meaningless, so dropDuplicates —
         callers needing a specific winner pre-aggregate).
+
+        The incoming column set must equal the snapshot's exactly —
+        schema drift raises a named error up front instead of silently
+        dropping extra incoming columns or failing with an opaque
+        analysis error on a missing one (schema evolution is an explicit
+        non-feature: evolve by writing a new table).
         """
         cur = self.read(spark)
         new = df.dropDuplicates([key])
         if cur is None:
             return self.append(new, meta=meta)
+        cur_cols, new_cols = set(cur.columns), set(new.columns)
+        if cur_cols != new_cols:
+            raise ValueError(
+                f"merge_upsert schema mismatch: incoming is missing "
+                f"{sorted(cur_cols - new_cols)} and adds "
+                f"{sorted(new_cols - cur_cols)} vs the current snapshot "
+                f"{sorted(cur_cols)}")
         kept = cur.join(new.select(key), key, "left_anti")
         merged = kept.unionByName(new.select(*kept.columns))
         return self.overwrite(merged, meta=meta, op="merge_upsert")

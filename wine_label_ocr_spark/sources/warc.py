@@ -16,9 +16,24 @@ Format handled (public WARC/1.0 subset): records of
     <Content-Length bytes of payload>
     \\r\\n\\r\\n                        (record separator)
 
-``response`` records carry the page bytes as the payload (no embedded
-HTTP envelope — the WARC-Identified-Payload-Type style of storage);
-other record types (warcinfo, request, metadata) are skipped. Truncated
+``response`` records come in two real-world layouts, both handled:
+
+* bare payload — the record body IS the page bytes
+  (WARC-Identified-Payload-Type style of storage; what this module's
+  own writers emit by default);
+* HTTP-enveloped — the Common-Crawl layout: the WARC header carries
+  ``Content-Type: application/http; msgtype=response`` and the body is
+  a full captured HTTP response (status line + headers + CRLFCRLF +
+  entity). The envelope is stripped, a chunked transfer-encoding is
+  de-chunked (tolerantly), and the HTTP ``Content-Type`` charset — the
+  highest-priority charset source per RFC 9110 §8.3, above any
+  ``<meta charset>`` in the markup — is surfaced as the
+  ``http_charset`` column and fed to the extractor's charset pick
+  (``oracle.detect_charset``). Reference analog: the tolerant
+  polymorphic scan S2 (scan_and_store.py:58-106) that accepts both the
+  raw and the wrapped form of its inputs.
+
+Other record types (warcinfo, request, metadata) are skipped. Truncated
 trailing records are dropped, not fatal (ST8 tolerant-parse policy).
 
 Gzip: real Common-Crawl shards are ``.warc.gz`` — a CONCATENATION of
@@ -37,32 +52,121 @@ fixtures/tests writes one shard per call).
 from __future__ import annotations
 
 import gzip as _gzip
+import re as _re
 import zlib as _zlib
 from collections.abc import Iterable, Iterator
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 
-WARC_PAGES_DDL = "url string, warc_ts timestamp, html binary, lang string"
+WARC_PAGES_DDL = ("url string, warc_ts timestamp, html binary, lang string, "
+                  "http_charset string")
 
 _DATE_FMT = "%Y-%m-%dT%H:%M:%S.%fZ"
+
+# charset token inside an HTTP Content-Type header value
+_HTTP_CHARSET_RE = _re.compile(rb"charset\s*=\s*\"?([A-Za-z0-9_-]+)",
+                               _re.IGNORECASE)
 
 
 def format_warc_record(url: str, warc_ts: datetime, payload: bytes,
                        lang: str | None = None,
-                       record_type: str = "response") -> bytes:
-    """One WARC/1.0 record (deterministic byte layout for golden tests)."""
+                       record_type: str = "response",
+                       http_envelope: bool = False,
+                       http_content_type: str | None = None) -> bytes:
+    """One WARC/1.0 record (deterministic byte layout for golden tests).
+
+    ``http_envelope=True`` writes the Common-Crawl layout: the WARC header
+    gains ``Content-Type: application/http; msgtype=response`` and the body
+    becomes a full HTTP/1.1 response (status line, ``Content-Type`` from
+    ``http_content_type`` — default ``text/html`` with the charset the
+    extractor would detect from the payload — then the entity bytes).
+    """
+    body = payload
+    extra: list[tuple[str, str]] = []
+    if http_envelope and record_type == "response":
+        if http_content_type is None:
+            from ..oracle import detect_charset
+            http_content_type = f"text/html; charset={detect_charset(payload)}"
+        body = (b"HTTP/1.1 200 OK\r\n"
+                + f"Content-Type: {http_content_type}\r\n".encode("utf-8")
+                + f"Content-Length: {len(payload)}\r\n\r\n".encode("utf-8")
+                + payload)
+        extra = [("Content-Type", "application/http; msgtype=response")]
     headers = [
         ("WARC-Type", record_type),
         ("WARC-Target-URI", url),
         ("WARC-Date", warc_ts.strftime(_DATE_FMT)),
+        *extra,
     ]
     if lang is not None:
         headers.append(("WARC-Identified-Content-Language", lang))
-    headers.append(("Content-Length", str(len(payload))))
+    headers.append(("Content-Length", str(len(body))))
     head = b"WARC/1.0\r\n" + b"".join(
         f"{k}: {v}\r\n".encode("utf-8") for k, v in headers) + b"\r\n"
-    return head + payload + b"\r\n\r\n"
+    return head + body + b"\r\n\r\n"
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer-encoding body.
+
+    Tolerant (ST8): any malformed chunk framing returns the body as-is
+    rather than raising — a wrongly-labelled record degrades to the raw
+    capture instead of killing the shard.
+    """
+    out = []
+    pos = 0
+    n = len(body)
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            return body
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return body
+        if size == 0:
+            break  # terminal chunk; trailers (if any) are discarded
+        start = eol + 2
+        if start + size > n:
+            return body
+        out.append(body[start:start + size])
+        pos = start + size + 2  # skip the chunk's trailing CRLF
+    return b"".join(out)
+
+
+def strip_http_envelope(body: bytes) -> tuple[bytes, str | None]:
+    """Split a captured HTTP response message into (entity bytes, charset).
+
+    Returns the bytes after the header block, de-chunked when the headers
+    declare ``Transfer-Encoding: chunked``, plus the ``charset=`` token of
+    the HTTP ``Content-Type`` header (or None). Tolerant: anything that
+    does not look like an HTTP message comes back unchanged with charset
+    None, so bare-payload records flow through untouched.
+    """
+    if not body.startswith(b"HTTP/"):
+        return body, None
+    head_end = body.find(b"\r\n\r\n")
+    if head_end < 0:
+        return body, None
+    charset = None
+    chunked = False
+    for line in body[:head_end].split(b"\r\n")[1:]:
+        k, sep, v = line.partition(b":")
+        if not sep:
+            continue
+        key = k.strip().lower()
+        if key == b"content-type":
+            m = _HTTP_CHARSET_RE.search(v)
+            if m:
+                charset = m.group(1).decode("ascii", "replace").lower()
+        elif key == b"transfer-encoding" and b"chunked" in v.lower():
+            chunked = True
+    entity = body[head_end + 4:]
+    if chunked:
+        entity = _dechunk(entity)
+    return entity, charset
 
 
 def gzip_member(record: bytes) -> bytes:
@@ -92,12 +196,15 @@ def gunzip_members(blob: bytes) -> bytes:
     return b"".join(out)
 
 
-def write_warc(path: str, rows: Iterable[dict], compress: bool = False) -> int:
+def write_warc(path: str, rows: Iterable[dict], compress: bool = False,
+               http_envelope: bool = False) -> int:
     """Write one WARC shard from dicts with (url, warc_ts, html[, lang]).
 
     Fixture/test helper (driver-side by design: a shard is a single
     sequential file). ``compress=True`` writes per-record gzip members
-    (the ``.warc.gz`` layout). Returns the number of records written.
+    (the ``.warc.gz`` layout); ``http_envelope=True`` wraps each response
+    body in a real HTTP envelope (the Common-Crawl layout). Returns the
+    number of records written.
     """
     pack = gzip_member if compress else (lambda b: b)
     n = 0
@@ -107,17 +214,25 @@ def write_warc(path: str, rows: Iterable[dict], compress: bool = False) -> int:
             b"software: wine_label_ocr_spark\r\n", record_type="warcinfo")))
         for r in rows:
             f.write(pack(format_warc_record(r["url"], r["warc_ts"], r["html"],
-                                            r.get("lang"))))
+                                            r.get("lang"),
+                                            http_envelope=http_envelope)))
             n += 1
     return n
 
 
-def parse_warc_bytes(blob: bytes) -> Iterator[tuple[str, datetime, bytes, str | None]]:
-    """Split one shard's bytes into (url, ts, payload, lang) tuples.
+def parse_warc_bytes(
+        blob: bytes,
+) -> Iterator[tuple[str, datetime, bytes, str | None, str | None]]:
+    """Split one shard's bytes into (url, ts, payload, lang, http_charset).
 
     Pure function (stdlib only) shared by the Spark reader and tests.
     Gzipped shards (``.warc.gz`` — concatenated per-record members) are
-    detected by magic and inflated first. Tolerant: malformed/truncated
+    detected by magic and inflated first. Response records whose WARC
+    ``Content-Type`` is ``application/http`` (or whose body plainly starts
+    with an HTTP status line — some writers omit the header) have the HTTP
+    envelope stripped: ``payload`` is the entity bytes and ``http_charset``
+    the HTTP ``Content-Type`` charset token (None when absent). Bare
+    payloads pass through with charset None. Tolerant: malformed/truncated
     records end the shard instead of raising.
     """
     if blob[:2] == b"\x1f\x8b":
@@ -155,13 +270,19 @@ def parse_warc_bytes(blob: bytes) -> Iterator[tuple[str, datetime, bytes, str | 
             ts = datetime.strptime(headers.get("warc-date", ""), _DATE_FMT)
         except ValueError:
             ts = None
-        yield url, ts, blob[body_start:pos], \
-            headers.get("warc-identified-content-language")
+        body = blob[body_start:pos]
+        http_charset = None
+        if (headers.get("content-type", "").startswith("application/http")
+                or body.startswith(b"HTTP/")):
+            body, http_charset = strip_http_envelope(body)
+        yield url, ts, body, \
+            headers.get("warc-identified-content-language"), http_charset
 
 
 def write_warc_shards(pages: DataFrame, out_dir: str,
                       n_shards: int | None = None,
-                      compress: bool = False) -> DataFrame:
+                      compress: bool = False,
+                      http_envelope: bool = False) -> DataFrame:
     """Distributed WARC export: one shard file per partition, written
     task-side with a write-tmp-then-atomic-rename protocol (a crashed task
     leaves only a .tmp orphan, never a half shard with a final name).
@@ -193,7 +314,8 @@ def write_warc_shards(pages: DataFrame, out_dir: str,
             for r in pdf.itertuples(index=False):
                 rec = pack(format_warc_record(
                     r.url, pd.Timestamp(r.ts).to_pydatetime(),
-                    bytes(r.html), getattr(r, "lang", None)))
+                    bytes(r.html), getattr(r, "lang", None),
+                    http_envelope=http_envelope))
                 f.write(rec)
                 n += 1
                 n_bytes += len(rec)
@@ -225,7 +347,9 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
             for blob in pdf["content"]:
                 b = bytes(blob) if not isinstance(blob, bytes) else blob
                 rows.extend(parse_warc_bytes(b))
-            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "lang"])
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "warc_ts", "html", "lang", "http_charset"])
 
     return (spark.read.format("binaryFile").load(path_glob)
             .select("content")
