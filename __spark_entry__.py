@@ -758,6 +758,25 @@ def q_compression_ratio(spark, sf):  # textops: zlib repetitiveness signal
             .orderBy("lang", "decile"))
 
 
+def q_curation_funnel(spark, sf):  # plans/curate: capstone survivor counts
+    """The curation capstone under the correctness gate: documents →
+    rendered pages → extract → quality/length gates → exact dedup →
+    MinHash near-dup dedup, reported as per-stage survivor counts.
+    Counts are representative-independent (WHICH duplicate survives is a
+    tie-break; HOW MANY survive is not), so the whole funnel — both
+    dedup stages included — has an exact DuckDB twin: the extraction is
+    byte-faithful (certified by extract_fields_pipeline), so the oracle
+    re-derives every gate from documents.text directly."""
+    from wine_label_ocr_spark.fixtures import documents_as_pages
+    from wine_label_ocr_spark.plans.curate import curation_funnel
+    pages = documents_as_pages(spark, sf)
+    return curation_funnel(pages, min_quality=0.3, min_tokens=10,
+                           near_dup_jaccard=0.85, oracle_safe=True).select(
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "stage",
+        F.col("n_docs").cast("bigint").alias("n_docs"))
+
+
 def q_dedup_decisions(spark, sf):  # J2/J3 fuzzy ingest decisions (rows-only)
     from wine_label_ocr_spark.operators.similarity import fuzzy_match_decisions
     d = _t(spark, sf, "documents")
@@ -881,12 +900,13 @@ def q_phase_trace(spark, sf):  # ST4/ST5/ST7 — phase machine (rows-only)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Order = driver certification priority: the r3 driver artifact capped
-    # at ~50 of 58 entries, so the least-recently-certified queries (the 8
-    # r02-green tail) and this round's NEW gates run first; the r3-green
-    # remainder keeps its relative order and absorbs any cap at the end
-    # (union-across-rounds keeps those certified).
+    # Order = driver certification priority: the driver artifact caps at
+    # ~50 entries, so (a) the 8 queries last certified in r02 and (b) every
+    # query whose code/fixture changed THIS round run first; the tail that
+    # absorbs any cap is exclusively r3-certified queries with untouched
+    # code (union-across-rounds keeps those certified).
     return {
+        # (a) least-recently-certified (r02-green, untouched since)
         "ema_final": q_ema_final,
         "sessionize": q_sessionize,
         "phase_trace": q_phase_trace,
@@ -895,12 +915,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vintage_fallback_grid": q_vintage_fallback_grid,
         "median_by_type": q_median_by_type,
         "union_names": q_union_names,
+        # (b) new or code-touched this round
         "compression_ratio": q_compression_ratio,
+        "curation_funnel": q_curation_funnel,
+        "media_pixels": q_media_pixels,
+        "interval_join": q_interval_join,
+        "warc_extract": q_warc_extract,
+        "unigram_logprob": q_unigram_logprob,
+        "minhash_lsh": q_minhash_lsh,
+        "media_features": q_media_features,
+        # r3-certified remainder (relative order preserved)
         "lineitem_agg": q_lineitem_agg,
         "top_customer_per_nation": q_top_customer_per_nation,
         "orders_by_segment": q_orders_by_segment,
-        "customers_with_orders": q_customers_with_orders,
-        "customers_without_orders": q_customers_without_orders,
         "year_extract": q_year_extract,
         "normalize_maker": q_normalize_maker,
         "custom_id": q_custom_id,
@@ -913,12 +940,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_blocked_join": q_fuzzy_blocked_join,
         "extract_fields_pipeline": q_extract_fields_pipeline,
         "extract_pdf_pipeline": q_extract_pdf_pipeline,
-        "warc_extract": q_warc_extract,
         "bpe_token_counts": q_bpe_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "content_fingerprint": q_content_fingerprint,
-        "unigram_logprob": q_unigram_logprob,
         "tfidf_top_terms": q_tfidf_top_terms,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
@@ -927,7 +952,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_funnel": q_training_funnel,
         "latest_capture": q_latest_capture,
         "exact_dedup": q_exact_dedup,
-        "minhash_lsh": q_minhash_lsh,
         "near_dup_components": q_near_dup_components,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_pairs": q_simhash_pairs,
@@ -935,21 +959,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "stratified_sample": q_stratified_sample,
         "lexical_diversity": q_lexical_diversity,
+        # cap-absorbing tail: r3 hash-green, code untouched this round
         "host_stats": q_host_stats,
-        "interval_join": q_interval_join,
         "decontamination": q_decontamination,
         "cosine_topk": q_cosine_topk,
         "rp_lsh_topk": q_rp_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_quantized": q_embedding_quantized,
-        "media_features": q_media_features,
-        "media_pixels": q_media_pixels,
         "dedup_decisions": q_dedup_decisions,
+        "customers_with_orders": q_customers_with_orders,
+        "customers_without_orders": q_customers_without_orders,
     }
 
 
-def _minhash_oracle_sql(n_perm=16, n_bands=4, k=3, min_j=0.4, max_bucket=200) -> str:
+def _minhash_oracle_sql(n_perm=16, n_bands=4, k=3, min_j=0.4, max_bucket=200,
+                        src="documents") -> str:
     rpb = n_perm // n_bands
     hashv = lambda p: (f"list_min(list_transform(sh, s -> CAST(CAST(concat('0x', "
                        f"substr(md5(concat(s, '#{p}')), 1, 15)) AS UBIGINT) AS BIGINT)))")  # noqa: E731
@@ -962,7 +987,7 @@ def _minhash_oracle_sql(n_perm=16, n_bands=4, k=3, min_j=0.4, max_bucket=200) ->
         WITH base AS (
           SELECT doc_id,
                  list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
-          FROM documents),
+          FROM {src}),
         shing AS (
           SELECT doc_id,
                  CASE WHEN len(toks) >= {k}
@@ -1672,6 +1697,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(id AS BIGINT) AS doc_id,
                    CAST(MIN(label) AS BIGINT) AS component
             FROM reach GROUP BY id
+        """,
+        "curation_funnel": f"""
+            -- the capstone's per-stage survivor counts re-derived from
+            -- documents.text (extraction is byte-faithful, so the rendered
+            -- pages' extracted text IS documents.text). Counts are
+            -- representative-independent: duplicates share one token
+            -- sequence (whitespace-normalized equality), so WHICH member
+            -- survives exact dedup cannot change the MinHash pair set or
+            -- the component count.
+            WITH RECURSIVE
+            cf_feat AS (
+              SELECT doc_id, text, length(text) AS n,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+              FROM documents),
+            cf_q AS (
+              SELECT doc_id, text, len(toks) AS ntok,
+                     CAST(0.4 AS DOUBLE) * LEAST(n / CAST(500.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                     + CAST(0.3 AS DOUBLE) * (alpha / GREATEST(n, 1))
+                     + CAST(0.3 AS DOUBLE) * LEAST(
+                         (len(list_intersect(list_transform(toks, t -> lower(t)),
+                                             [{qstop_sql}])) / GREATEST(len(toks), 1))
+                         * CAST(3.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS quality
+              FROM cf_feat),
+            cf_cand AS (
+              SELECT doc_id, text FROM cf_q
+              WHERE quality >= CAST(0.3 AS DOUBLE) AND ntok >= 10),
+            cf_uniq AS (
+              SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+              FROM cf_cand
+              GROUP BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))),
+            cf_mh AS (
+              SELECT id_a, id_b
+              FROM ({_minhash_oracle_sql(32, 8, 3, 0.85, src="cf_uniq")}) t),
+            cf_edges AS (SELECT id_a AS src, id_b AS dst FROM cf_mh
+                         UNION SELECT id_b, id_a FROM cf_mh),
+            cf_reach(id, label) AS (
+              SELECT DISTINCT src AS id, src AS label FROM cf_edges
+              UNION
+              SELECT e.src, r.label FROM cf_edges e JOIN cf_reach r ON e.dst = r.id),
+            cf_losers AS (SELECT id FROM cf_reach GROUP BY id HAVING MIN(label) != id)
+            SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+                   CAST(n_docs AS BIGINT) AS n_docs
+            FROM (
+              SELECT 0 AS stage_idx, 'pages' AS stage,
+                     (SELECT COUNT(*) FROM documents) AS n_docs
+              UNION ALL SELECT 1, 'candidates', (SELECT COUNT(*) FROM cf_cand)
+              UNION ALL SELECT 2, 'unique', (SELECT COUNT(*) FROM cf_uniq)
+              UNION ALL SELECT 3, 'canonical',
+                     (SELECT COUNT(*) FROM cf_uniq) - (SELECT COUNT(*) FROM cf_losers)
+            )
         """,
         "rp_lsh_topk": _rp_lsh_oracle_sql(),
         "simhash_fingerprints": _simhash_oracle_sql(),

@@ -530,3 +530,34 @@ def test_drop_common_paragraphs_literal_separator(spark):
            dedupe.drop_common_paragraphs(docs, min_docs=2, sep=".").collect()}
     assert out[1] == "keep me.also mine"
     assert out[2] == "other"
+
+
+def test_png_palette_roundtrip_and_guards():
+    """Indexed-color PNG (color type 3): encode->decode maps the index
+    plane through PLTE back to the exact RGB raster; malformed palettes
+    degrade to None (header fallback), never raise."""
+    import numpy as np
+    from wine_label_ocr_spark.operators.multimodal import decode_png, encode_png
+
+    pal = np.array([[10, 20, 30], [200, 100, 0], [0, 0, 0], [255, 255, 255]],
+                   dtype=np.uint8)
+    idx = (np.add.outer(np.arange(11), np.arange(7)) % 4).astype(np.uint8)
+    png = encode_png(idx, palette=pal)
+    back = decode_png(png)
+    assert back is not None and back.shape == (11, 7, 3)
+    assert (back == pal[idx]).all()
+    # filters still cycle 0..4 on the index plane
+    png2 = encode_png(idx, filters=[4, 3, 2, 1, 0], palette=pal)
+    assert (decode_png(png2) == pal[idx]).all()
+
+    # guard: an index pointing past the palette is not decodable
+    short_pal = pal[:2]
+    import pytest
+    with pytest.raises(ValueError):
+        encode_png(idx, palette=short_pal)  # encoder refuses up front
+    # decoder side: corrupt the PLTE length of a valid file -> None
+    bad = bytearray(png)
+    plte_at = bytes(bad).find(b"PLTE")
+    # shrink declared PLTE length to one entry (3 bytes), keep stream valid
+    bad[plte_at - 4:plte_at] = (3).to_bytes(4, "big")
+    assert decode_png(bytes(bad)) is None  # index 3 > 1-entry palette

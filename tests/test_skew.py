@@ -47,3 +47,37 @@ def test_top_hosts(spark):
     assert len(rows) == 3
     assert {r["host"] for r in rows} <= set(HOT_HOSTS)
     assert rows[0]["n_pages"] >= rows[1]["n_pages"] >= rows[2]["n_pages"]
+
+
+def test_host_profile_salted_plan_and_values(spark):
+    """The curation host rollup (r3 VERDICT #9): (a) plan pin — TWO
+    aggregation exchanges, the first keyed on (host, salt) so a hot host
+    spreads over 16 reducers, the second merging |hosts|x16 partials;
+    (b) values bit-identical to the direct groupBy."""
+    from wine_label_ocr_spark.operators.textops import host_of, token_count
+    from wine_label_ocr_spark.plans.curate import host_profile
+    from wine_label_ocr_spark.plans.pipeline import extract_records
+
+    pages = pages_spark(spark, 300, partitions=4)
+    rec = extract_records(pages).cache()
+    prof = host_profile(rec)
+
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert plan.count("Exchange hashpartitioning") == 2
+    # phase 1 shuffles on (host, salt) — the hot-host spreader
+    assert re.search(r"hashpartitioning\(_h#\d+, _salt", plan)
+    # phase 2 merges partials keyed on host alone
+    assert re.search(r"hashpartitioning\(_key#\d+,", plan)
+
+    direct = (rec.groupBy(host_of(F.col("url")).alias("host"))
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum(F.length("text").cast("bigint")).alias("total_chars"),
+                   F.sum(token_count(F.col("text")).cast("bigint")).alias("total_tokens")))
+    got = {r["host"]: r for r in prof.collect()}
+    want = {r["host"]: r for r in direct.collect()}
+    assert set(got) == set(want)
+    for h in want:
+        assert (got[h]["n_docs"], got[h]["total_chars"], got[h]["total_tokens"]) == \
+               (want[h]["n_docs"], want[h]["total_chars"], want[h]["total_tokens"])
+    rec.unpersist()

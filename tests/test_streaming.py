@@ -335,3 +335,89 @@ def test_extract_stream_equals_batch_with_checkpoint_restart(spark, tmp_path):
     wd = {r["url"]: (r["custom_id"], r["text"]) for r in want}
     assert len(got) == len(want) == 240  # no dupes (exactly-once resume)
     assert gd == wd  # stream ≡ batch, byte-identical text per url
+
+
+def test_interval_join_stream_watermark_evicts_state_symmetrically(spark, tmp_path):
+    """Watermark-lateness property (ST8, r3 VERDICT #10): once the
+    watermark passes, state older than (watermark - bound) is evicted on
+    BOTH sides identically — a very-late row in a later micro-batch can
+    no longer match it, even though the same pair matches on event time
+    alone (proved by the batch twin over ALL rows). On-time results stay
+    exactly the batch twin over the on-time subset."""
+    import glob
+    import os
+    import shutil
+
+    t0 = datetime(2024, 1, 1)
+
+    def rows_df(rows):
+        return spark.createDataFrame(
+            [(1, e, t0 + timedelta(seconds=s)) for e, s in rows],
+            "user_id int, event_id int, ts timestamp")
+
+    # batch A: pairs (100,200) |Δ|=2 and (101,201) |Δ|=1 match; 120/220
+    # (ts 980/987, |Δ|=7) match nothing yet — they are the state the
+    # watermark must evict
+    a_left = [(100, 1000), (101, 1008), (120, 980)]
+    a_right = [(200, 1002), (201, 1009), (220, 987)]
+    # batch B: on-time rows; end-of-batch watermark ~999 evicts state
+    # with ts < 994 on both sides (120 and 220)
+    b_left = [(111, 1007)]
+    b_right = [(211, 1006)]
+    # batch C: very late rows whose ONLY event-time matches are the
+    # now-evicted 220 (|990-987|=3) and 120 (|983-980|=3)
+    c_left = [(130, 990)]
+    c_right = [(230, 983)]
+
+    src = tmp_path / "ivj_late"
+    for side in ("left", "right"):
+        (src / side).mkdir(parents=True)
+
+    def ship(rows, side, name, mtime):
+        stage = str(tmp_path / f"stage_{side}_{name}")
+        rows_df(rows).coalesce(1).write.parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        dest = str(src / side / f"{name}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    base = 1_700_000_000
+    for name, mt, lrows, rrows in (("a", base, a_left, a_right),
+                                   ("b", base + 100, b_left, b_right),
+                                   ("c", base + 200, c_left, c_right)):
+        ship(lrows, "left", name, mt)
+        ship(rrows, "right", name, mt)
+
+    schema = "user_id int, event_id int, ts timestamp"
+    ls = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(str(src / "left")))
+    rs = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(str(src / "right")))
+    q = (ST.interval_join_stream(ls, rs, bound_sec=5.0,
+                                 watermark="10 seconds")
+         .writeStream.format("memory").queryName("ivj_late")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_late"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 3  # really three micro-batches
+    got = {(r["left_id"], r["right_id"])
+           for r in spark.sql("select * from ivj_late").collect()}
+
+    # on-time twin: batches A+B only (the C rows match nothing on time)
+    want = {(r["left_id"], r["right_id"])
+            for r in ST.interval_join_stream(
+                rows_df(a_left + b_left), rows_df(a_right + b_right),
+                bound_sec=5.0, watermark="10 seconds").collect()}
+    assert len(want) > 0
+    assert got == want
+    # eviction was symmetric: neither the late-left x evicted-right pair
+    # nor the evicted-left x late-right pair appears...
+    assert (130, 220) not in got and (120, 230) not in got
+    # ...even though both match on event time alone (batch twin, ALL rows)
+    all_pairs = {(r["left_id"], r["right_id"])
+                 for r in ST.interval_join_stream(
+                     rows_df(a_left + b_left + c_left),
+                     rows_df(a_right + b_right + c_right),
+                     bound_sec=5.0, watermark="10 seconds").collect()}
+    assert (130, 220) in all_pairs and (120, 230) in all_pairs

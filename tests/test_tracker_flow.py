@@ -165,3 +165,21 @@ def test_curate_crawl_end_to_end(spark, tmp_path):
     # no mirror url AND its original both survive (exact dedup worked)
     urls = {u for u, _ in survived}
     assert not any(u + "?mirror=1" in urls for u in urls)
+
+
+def test_curation_funnel_counts_consistent(spark):
+    """curation_funnel's stage counts are internally consistent, monotone
+    non-increasing, and 'canonical' equals curate_pages' actual output
+    row count (the funnel reports the REAL stages, not a twin)."""
+    from wine_label_ocr_spark.fixtures import pages_spark
+    from wine_label_ocr_spark.plans.curate import curate_pages, curation_funnel
+
+    pages = pages_spark(spark, 80, partitions=4)
+    rows = {r["stage"]: r["n_docs"]
+            for r in curation_funnel(pages, min_quality=0.0,
+                                     min_tokens=1).collect()}
+    assert rows["pages"] == 80
+    assert (rows["pages"] >= rows["candidates"] >= rows["unique"]
+            >= rows["canonical"] > 0)
+    assert curate_pages(pages, min_quality=0.0,
+                        min_tokens=1).count() == rows["canonical"]

@@ -295,6 +295,11 @@ def documents_as_media_pixels(spark, sf_dir: str):
     filter CYCLING 0..4, so decoding exercises every PNG unfilter path
     while the expected pixel statistics stay a closed-form function of
     doc_id that a DuckDB oracle can recompute without touching bytes.
+    Every 5th doc ships as an INDEXED-color PNG (color type 3: PLTE
+    [(0,0,0), rgb], index plane of ones) that decodes to the SAME solid
+    raster — the oracle needs no per-row case, yet a decoder that skips
+    or mishandles the palette path falls back to header features
+    (channels=1, wrong means) and breaks the hash.
     """
     from collections.abc import Iterable, Iterator
 
@@ -309,8 +314,14 @@ def documents_as_media_pixels(spark, sf_dir: str):
                 i = int(i)
                 w, h = 8 + i % 24, 8 + (i * 7) % 24
                 rgb = (i % 256, (i * 3) % 256, (i * 7) % 256)
-                arr = np.tile(np.array(rgb, dtype=np.uint8), (h, w, 1))
-                rows.append((f"mediapx:{i}", encode_png(arr), "png"))
+                if i % 5 == 0:
+                    pal = np.array([[0, 0, 0], list(rgb)], dtype=np.uint8)
+                    idx = np.ones((h, w), dtype=np.uint8)
+                    png = encode_png(idx, palette=pal)
+                else:
+                    arr = np.tile(np.array(rgb, dtype=np.uint8), (h, w, 1))
+                    png = encode_png(arr)
+                rows.append((f"mediapx:{i}", png, "png"))
             yield pd.DataFrame(rows, columns=["url", "payload", "media_type"])
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")

@@ -145,12 +145,15 @@ def _paeth(left: int, up: int, ul: int) -> int:
     return up if pb <= pc else ul
 
 
-def encode_png(arr, filters=None) -> bytes:
+def encode_png(arr, filters=None, palette=None) -> bytes:
     """Minimal REAL PNG encoder (stdlib zlib/struct): 8-bit gray / gray+A /
-    RGB / RGBA, no interlace, one IDAT, valid CRCs. ``filters`` picks the
-    per-row filter type (default cycles 0..4 so a decode exercises every
-    unfilter path). Fixture/test-scale tool — the point is byte-real PNGs
-    whose raster is a known function, not encoding throughput."""
+    RGB / RGBA — or indexed color (PNG color type 3) when ``palette`` is
+    given: ``arr`` is then an (h, w) palette-index array and ``palette``
+    an (n<=256, 3) RGB table emitted as a PLTE chunk. No interlace, one
+    IDAT, valid CRCs. ``filters`` picks the per-row filter type (default
+    cycles 0..4 so a decode exercises every unfilter path).
+    Fixture/test-scale tool — the point is byte-real PNGs whose raster is
+    a known function, not encoding throughput."""
     import struct
     import zlib as _zlib
 
@@ -159,7 +162,18 @@ def encode_png(arr, filters=None) -> bytes:
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, c = a.shape
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    plte = b""
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+        if c != 1:
+            raise ValueError("palette PNG needs an (h, w) index array")
+        if len(pal) > 256 or int(a.max()) >= len(pal):
+            raise ValueError("palette must hold <=256 entries covering "
+                             "every index used")
+        ctype = 3
+        plte = pal.tobytes()
+    else:
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
 
     def chunk(cid: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + cid + data
@@ -190,6 +204,7 @@ def encode_png(arr, filters=None) -> bytes:
         prev = cur
     ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + (chunk(b"PLTE", plte) if plte else b"")
             + chunk(b"IDAT", _zlib.compress(bytes(raw), 6))
             + chunk(b"IEND", b""))
 
@@ -197,11 +212,14 @@ def encode_png(arr, filters=None) -> bytes:
 def decode_png(payload: bytes):
     """REAL stdlib PNG raster decode: chunk walk → zlib-inflate the IDAT
     stream → per-row unfilter (None/Sub/Up/Average/Paeth). Supports 8-bit
-    depth, color types 0/2/4/6 (not palette), no interlace. Returns an
-    (h, w, channels) numpy uint8 array, or None when the payload carries
-    no decodable raster (e.g. the header-only fixtures) — callers fall
-    back to header-derived features. Sub rows unfilter via a vectorized
-    per-lane cumsum; Average/Paeth are inherently sequential in x."""
+    depth, color types 0/2/4/6 and 3 (indexed: the unfiltered index plane
+    is mapped through the PLTE table to an RGB raster), no interlace
+    (Adam7 stays out of scope — the fixtures and the documented seam cover
+    it). Returns an (h, w, channels) numpy uint8 array, or None when the
+    payload carries no decodable raster (e.g. the header-only fixtures) —
+    callers fall back to header-derived features. Sub rows unfilter via a
+    vectorized per-lane cumsum; Average/Paeth are inherently sequential
+    in x."""
     import zlib as _zlib
 
     import numpy as np
@@ -210,6 +228,7 @@ def decode_png(payload: bytes):
         return None
     i, w, h, depth, ctype, interlace = 8, None, None, None, None, None
     idat = []
+    plte = None
     while i + 8 <= len(p):
         clen = int.from_bytes(p[i:i + 4], "big")
         cid = p[i + 4:i + 8]
@@ -218,13 +237,19 @@ def decode_png(payload: bytes):
             w = int.from_bytes(data[0:4], "big")
             h = int.from_bytes(data[4:8], "big")
             depth, ctype, interlace = data[8], data[9], data[12]
+        elif cid == b"PLTE":
+            plte = data
         elif cid == b"IDAT":
             idat.append(data)
         elif cid == b"IEND":
             break
         i += 12 + clen
-    c = _PNG_CHANNELS.get(ctype) if ctype != 3 else None
+    # indexed color carries ONE index byte per pixel through the filter
+    # stage; the palette lookup happens after unfiltering
+    c = 1 if ctype == 3 else _PNG_CHANNELS.get(ctype)
     if not idat or not w or not h or depth != 8 or interlace != 0 or c is None:
+        return None
+    if ctype == 3 and (not plte or len(plte) % 3 or len(plte) > 768):
         return None
     try:
         raw = _zlib.decompress(b"".join(idat))
@@ -258,6 +283,12 @@ def decode_png(payload: bytes):
         row &= 0xFF
         out[y] = row
         prev = row
+    if ctype == 3:
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if int(idx.max()) >= len(pal):
+            return None  # index past the palette: not decodable
+        return pal[idx]
     return out.reshape(h, w, c)
 
 

@@ -67,6 +67,15 @@ BLOCK_TAGS = frozenset({
     "tr", "br", "hr", "title", "body", "html", "figcaption", "dd", "dt",
 })
 
+# one-probe dispatch table for the lexer hot loop; insertion order gives
+# the original precedence skip > a > boiler > block (later writes win)
+_ACT_BLOCK, _ACT_LINK, _ACT_SKIP, _ACT_BOILER = 1, 2, 3, 4
+_TAG_ACTION: dict[str, int] = {}
+_TAG_ACTION.update(dict.fromkeys(BLOCK_TAGS, _ACT_BLOCK))
+_TAG_ACTION.update(dict.fromkeys(BOILER_CONTAINERS, _ACT_BOILER))
+_TAG_ACTION["a"] = _ACT_LINK
+_TAG_ACTION.update(dict.fromkeys(SKIP_CONTAINERS, _ACT_SKIP))
+
 # Ordered year patterns — the analog of the 4 ordered regex patterns in
 # _extract_year_from_text (final_run_ocr.py:153-185): labeled contexts first,
 # bare 4-digit fallback last. Keep these expressible in BOTH Python `re` and
@@ -81,9 +90,14 @@ _MAKER_STRIP_RE = re.compile(r"[^A-Z0-9 &'-]")
 _WS_RE = re.compile(r"\s+")
 _ALNUM_RE = re.compile(r"[A-Za-z0-9]")
 
+# Attribute section: plain-char RUNS are consumed atomically
+# ([^>"'/]+, with a lone / allowed when not closing the tag) instead of
+# one char per lazy iteration — same match set (the tag still ends at the
+# first unquoted > or />; fuzz + 3000-doc corpus verified span+group
+# equality), ~1.24x faster on attribute-heavy markup.
 _TAG_RE = re.compile(
     r"<!--.*?-->|<!\[CDATA\[.*?\]\]>|<!DOCTYPE[^>]*>"
-    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>",
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"'/]+|/(?!>)|\"[^\"]*\"|'[^']*')*?)(/?)>",
     re.DOTALL,
 )
 _CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_-]+)")
@@ -126,14 +140,17 @@ def normalize_maker(s: str | None) -> str | None:
     return s or None
 
 
+_YEAR_RES = tuple(re.compile(p) for p in YEAR_PATTERNS)
+
+
 def extract_year(text: str) -> int | None:
     """E4 — ordered-pattern year extraction with range check.
 
     Mirrors ``_extract_year_from_text`` (final_run_ocr.py:153-185): try each
     pattern in priority order; the first in-range hit wins.
     """
-    for pat in YEAR_PATTERNS:
-        for m in re.finditer(pat, text):
+    for pat in _YEAR_RES:
+        for m in pat.finditer(text):
             y = int(m.group(1))
             if YEAR_MIN <= y <= YEAR_MAX:
                 return y
@@ -206,78 +223,103 @@ def lex_blocks(decoded: str) -> list[dict[str, Any]]:
     skip_depth = 0
     link_depth = 0
     seg_boiler = False  # whether any seg in current block was under boiler
+    seg_link = False    # whether any seg in current block is link text
 
+    # call sites guard on `segs` so the ~3x-more-common empty flush is a
+    # plain cur_tag assignment, not a function call (profiled: flush was
+    # 25% of kernel time at ~78 calls/doc, most with nothing to flush)
     def flush(next_tag: str) -> None:
-        nonlocal segs, seg_boiler, cur_tag
-        if segs:
-            raw = "".join(t for t, _ in segs)
-            text = normalize_ws(_htmlmod.unescape(raw))
-            if text:
-                link_chars = 0
+        nonlocal seg_boiler, seg_link, cur_tag
+        raw = "".join([t for t, _ in segs])
+        text = normalize_ws(_htmlmod.unescape(raw))
+        if text:
+            link_chars = 0
+            if seg_link:
                 for t, is_link in segs:
                     if is_link:
                         link_chars += len(normalize_ws(_htmlmod.unescape(t)))
-                blocks.append({
-                    "text": text,
-                    "n_chars": len(text),
-                    "link_chars": min(link_chars, len(text)),
-                    "boiler": seg_boiler,
-                    "tag": cur_tag,
-                })
-        segs = []
+                link_chars = min(link_chars, len(text))
+            blocks.append({
+                "text": text,
+                "n_chars": len(text),
+                "link_chars": link_chars,
+                "boiler": seg_boiler,
+                "tag": cur_tag,
+            })
+        segs.clear()
         seg_boiler = False
+        seg_link = False
         cur_tag = next_tag
 
     pos = 0
-    # local bindings — the loop runs once per tag over every document
-    skip_set, boiler_set, block_set = SKIP_CONTAINERS, BOILER_CONTAINERS, BLOCK_TAGS
+    # local bindings — the loop runs once per tag over every document;
+    # a single action-dict lookup replaces the 3 set probes + 'a' compare
+    # (boring tags — the majority — now cost ONE dict miss)
+    act_get = _TAG_ACTION.get
+    segs_append = segs.append  # one list object for the whole document
     for m in _TAG_RE.finditer(decoded):
-        pre = decoded[pos:m.start()]
-        if pre and skip_depth == 0:
+        start, end = m.span()
+        if pos != start and skip_depth == 0:
+            pre = decoded[pos:start]
             # not-isspace() ≡ strip() truthiness for non-empty strings,
             # without allocating the stripped copy
             if not pre.isspace():
-                segs.append((pre, link_depth > 0))
+                segs_append((pre, link_depth > 0))
                 if boiler_depth > 0:
                     seg_boiler = True
+                if link_depth > 0:
+                    seg_link = True
             elif segs:
-                segs.append((pre, link_depth > 0))
-        pos = m.end()
+                segs_append((pre, link_depth > 0))
+                if link_depth > 0:
+                    seg_link = True
+        pos = end
         g1, g2, _g3, g4 = m.groups()
         if g2 is None:
             continue  # comment / doctype / CDATA
-        closing, tag, selfclosed = g1 == "/", g2.lower(), g4 == "/"
-        if tag in skip_set:
+        tag = g2.lower()
+        action = act_get(tag)
+        if action is None:
+            continue  # transparent tag (span/b/em/...)
+        closing, selfclosed = g1 == "/", g4 == "/"
+        if action == _ACT_BLOCK:
+            if segs:
+                flush(tag if not closing else cur_tag)
+            elif not closing:
+                cur_tag = tag
+        elif action == _ACT_LINK:
+            if closing:
+                link_depth = max(0, link_depth - 1)
+            elif not selfclosed:
+                link_depth += 1
+        elif action == _ACT_SKIP:
             if selfclosed:
                 pass
             elif closing:
                 skip_depth = max(0, skip_depth - 1)
             else:
                 skip_depth += 1
-            flush(cur_tag)
-            continue
-        if tag == "a":
-            if closing:
-                link_depth = max(0, link_depth - 1)
-            elif not selfclosed:
-                link_depth += 1
-            continue
-        if tag in boiler_set:
+            if segs:
+                flush(cur_tag)
+        else:  # _ACT_BOILER
             if closing:
                 boiler_depth = max(0, boiler_depth - 1)
             elif not selfclosed:
                 boiler_depth += 1
-            flush(tag if not closing else cur_tag)
-            continue
-        if tag in block_set:
-            flush(tag if not closing else cur_tag)
+            if segs:
+                flush(tag if not closing else cur_tag)
+            elif not closing:
+                cur_tag = tag
     # trailing text after the last tag (degraded/truncated documents)
     tail = decoded[pos:]
     if tail and not tail.isspace() and skip_depth == 0:
-        segs.append((tail, link_depth > 0))
+        segs_append((tail, link_depth > 0))
         if boiler_depth > 0:
             seg_boiler = True
-    flush(cur_tag)
+        if link_depth > 0:
+            seg_link = True
+    if segs:
+        flush(cur_tag)
     return blocks
 
 

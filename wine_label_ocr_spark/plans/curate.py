@@ -21,17 +21,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.dedupe import dedup_keep_one, exact_dedup, minhash_lsh_pairs
-from ..operators.textops import lang_id, quality_score, token_count
+from ..operators.textops import host_of, lang_id, quality_score, token_count
 from ..sources.warc import read_warc, write_warc_shards
 from .pipeline import extract_records
+from .skew import salted_agg
 
 
-def curate_pages(pages: DataFrame, min_quality: float = 0.3,
-                 min_tokens: int = 10, langs: tuple[str, ...] = (),
-                 near_dup_jaccard: float = 0.85) -> DataFrame:
-    """pages → curated records. Filters are pure maps over the extract
-    output; dedup keeps the minimum-url-hash survivor per duplicate
-    cluster (deterministic across runs and partitionings)."""
+def _curation_stages(pages: DataFrame, min_quality: float, min_tokens: int,
+                     langs: tuple[str, ...], near_dup_jaccard: float,
+                     oracle_safe: bool = False):
+    """The shared stage DAG: (records, candidates, unique, canonical).
+
+    One construction used by both ``curate_pages`` (the product) and
+    ``curation_funnel`` (its per-stage survivor counts, the driver gate)
+    so the gate certifies the capstone's real stages, not a twin."""
     rec = extract_records(pages)
     cand = (rec.withColumn("_q", quality_score(F.col("text")))
             .withColumn("_nt", token_count(F.col("text")))
@@ -43,8 +46,66 @@ def curate_pages(pages: DataFrame, min_quality: float = 0.3,
     keyed = cand.withColumn("_did", F.xxhash64("url"))
     uniq = exact_dedup(keyed, text_col="text", id_col="_did")
     pairs = minhash_lsh_pairs(uniq, id_col="_did", text_col="text",
-                              min_jaccard=near_dup_jaccard)
-    return dedup_keep_one(uniq, pairs, id_col="_did").drop("_did")
+                              min_jaccard=near_dup_jaccard,
+                              oracle_safe=oracle_safe)
+    canonical = dedup_keep_one(uniq, pairs, id_col="_did")
+    return rec, cand, uniq, canonical
+
+
+def curate_pages(pages: DataFrame, min_quality: float = 0.3,
+                 min_tokens: int = 10, langs: tuple[str, ...] = (),
+                 near_dup_jaccard: float = 0.85) -> DataFrame:
+    """pages → curated records. Filters are pure maps over the extract
+    output; dedup keeps the minimum-url-hash survivor per duplicate
+    cluster (deterministic across runs and partitionings)."""
+    _, _, _, canonical = _curation_stages(
+        pages, min_quality, min_tokens, langs, near_dup_jaccard)
+    return canonical.drop("_did")
+
+
+def curation_funnel(pages: DataFrame, min_quality: float = 0.3,
+                    min_tokens: int = 10, langs: tuple[str, ...] = (),
+                    near_dup_jaccard: float = 0.85,
+                    oracle_safe: bool = False) -> DataFrame:
+    """Per-stage survivor counts of the curation capstone:
+    ``(stage_idx, stage, n_docs)`` for pages → candidates → unique →
+    canonical. Counts are representative-independent (which duplicate
+    survives doesn't change how many do), which is what makes the whole
+    funnel — including both dedup stages — SQL-oracle-expressible.
+    ``oracle_safe`` selects the md5 MinHash flavor for DuckDB bit-parity
+    (bench the default xxhash64 flavor)."""
+    rec, cand, uniq, canonical = _curation_stages(
+        pages, min_quality, min_tokens, langs, near_dup_jaccard,
+        oracle_safe=oracle_safe)
+    stages = [("pages", rec), ("candidates", cand),
+              ("unique", uniq), ("canonical", canonical)]
+    out = None
+    for i, (name, df) in enumerate(stages):
+        c = df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(i).alias("stage_idx"), F.lit(name).alias("stage"), "n_docs")
+        out = c if out is None else out.unionAll(c)
+    return out
+
+
+def host_profile(records: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Per-host profile of a (curated) record set — doc count, character
+    mass, token mass — through the SALTED two-phase aggregation
+    (``plans.skew.salted_agg``). Real crawls are host-skewed (a handful
+    of hosts carry a double-digit share of pages; the fixtures plant hot
+    hosts deliberately), so the host rollup inside the curation flow is
+    exactly the aggregation shape a direct ``groupBy(host)`` would
+    bottleneck on at 10^12 docs: one reducer per hot host. Salting
+    spreads each hot host over ``n_salts`` partials first; results are
+    bit-identical to the direct groupBy (algebraic aggregates only)."""
+    withhost = records.withColumn("_h", host_of(F.col("url")))
+    out = salted_agg(
+        withhost, "_h",
+        {"n_docs": ("count", F.lit(1)),
+         "total_chars": ("sum", F.length("text").cast("bigint")),
+         "total_tokens": ("sum", token_count(F.col("text")).cast("bigint"))},
+        n_salts=n_salts)
+    return out.select(F.col("_key").alias("host"), "n_docs",
+                      "total_chars", "total_tokens")
 
 
 def curate_crawl(spark: SparkSession, in_glob: str, out_dir: str,
