@@ -777,6 +777,60 @@ def q_curation_funnel(spark, sf):  # plans/curate: capstone survivor counts
         F.col("n_docs").cast("bigint").alias("n_docs"))
 
 
+def q_url_canon(spark, sf):  # textops.canonical_url: crawl URL dedup key
+    """URL canonicalization over planted messy URLs (one of 6 deterministic
+    shapes per doc_id: uppercase scheme/host + default port + tracking
+    params + fragment / default-port root / non-default port + trailing
+    slash / no path / mixed-case host with kept params / non-http).
+    The Spark side runs the REAL operator; the oracle states the expected
+    canonical in closed form per shape — the solid-color-PNG pattern."""
+    from wine_label_ocr_spark.operators.textops import canonical_url
+    d = _t(spark, sf, "documents").select("doc_id")
+    v = F.pmod(F.col("doc_id"), F.lit(6))
+    s = F.pmod(F.col("doc_id"), F.lit(20)).cast("string")
+    did = F.col("doc_id").cast("string")
+    url = (F.when(v == 0, F.concat(
+                F.lit("HTTPS://WWW.Site"), s, F.lit(".COM:443/page/"), did,
+                F.lit("/?utm_source=feed&id="), did, F.lit("&fbclid=xyz#top")))
+           .when(v == 1, F.concat(F.lit("http://site"), s, F.lit(".com:80/")))
+           .when(v == 2, F.concat(F.lit("http://site"), s, F.lit(".com:8080/a/"),
+                                  did, F.lit("/")))
+           .when(v == 3, F.concat(F.lit("https://site"), s, F.lit(".com")))
+           .when(v == 4, F.concat(F.lit("https://Site"), s,
+                                  F.lit(".com/A/b?b=2&a=1&utm_campaign="), did))
+           .otherwise(F.concat(F.lit("notaurl:"), did)))
+    return (d.select("doc_id", url.alias("url"))
+            .select("doc_id", "url",
+                    canonical_url(F.col("url")).alias("canonical_url"))
+            .orderBy("doc_id"))
+
+
+def q_incremental_dedup(spark, sf):  # dedupe: crawl-over-crawl ingest
+    """Cross-snapshot dedup: even doc_ids play the PRIOR crawl (their
+    fingerprint store is all that survives), odd doc_ids the NEW crawl;
+    survivors are new docs with no exact content-key match and no shared
+    MinHash band against the store. md5 flavor for DuckDB bit-parity."""
+    from wine_label_ocr_spark.operators.dedupe import (
+        incremental_dedup, snapshot_fingerprints)
+    d = _t(spark, sf, "documents")
+    prior = d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    new = d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    fps = snapshot_fingerprints(prior, n_perm=16, n_bands=4, oracle_safe=True)
+    out = incremental_dedup(new, fps, n_perm=16, n_bands=4, oracle_safe=True)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id")) \
+              .orderBy("doc_id")
+
+
+def q_tfidf_pruned(spark, sf):  # textops: tf·idf, 10^12-doc broadcast shape
+    """The pruned-broadcast tf·idf flavor (within-row tf, df>=2 vocab
+    broadcast, narrow top-k regroup) — same integer-scaled scores as the
+    exact flavor, certified against a DuckDB twin that prunes the same
+    way. Exercises term_frequencies' run-length fold under the gate."""
+    from wine_label_ocr_spark.operators.textops import tfidf_top_terms
+    d = _t(spark, sf, "documents")
+    return tfidf_top_terms(d, k=3, min_df=2).orderBy("doc_id", "rank")
+
+
 def q_dedup_decisions(spark, sf):  # J2/J3 fuzzy ingest decisions (rows-only)
     from wine_label_ocr_spark.operators.similarity import fuzzy_match_decisions
     d = _t(spark, sf, "documents")
@@ -918,6 +972,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) new or code-touched this round
         "compression_ratio": q_compression_ratio,
         "curation_funnel": q_curation_funnel,
+        "url_canon": q_url_canon,
+        "incremental_dedup": q_incremental_dedup,
+        "tfidf_pruned": q_tfidf_pruned,
         "media_pixels": q_media_pixels,
         "interval_join": q_interval_join,
         "warc_extract": q_warc_extract,
@@ -1013,6 +1070,58 @@ def _minhash_oracle_sql(n_perm=16, n_bands=4, k=3, min_j=0.4, max_bucket=200,
         FROM pairs
         WHERE len(list_intersect(sh_a, sh_b)) /
               GREATEST(len(list_distinct(list_concat(sh_a, sh_b))), 1) >= {min_j}
+    """
+
+
+def _incremental_oracle_sql(n_perm=16, n_bands=4, k=3) -> str:
+    """DuckDB twin of q_incremental_dedup: even doc_ids = prior snapshot,
+    odd = new crawl; a new doc survives iff its content key matches no
+    prior doc AND none of its MinHash band hashes (md5 flavor, same
+    construction as _minhash_oracle_sql) appears in the prior store."""
+    rpb = n_perm // n_bands
+    hashv = lambda p: (f"list_min(list_transform(sh, s -> CAST(CAST(concat('0x', "
+                       f"substr(md5(concat(s, '#{p}')), 1, 15)) AS UBIGINT) AS BIGINT)))")  # noqa: E731
+    sig = ", ".join(hashv(p) for p in range(n_perm))
+    band_structs = ", ".join(
+        f"{{'band': {b}, 'h': md5(array_to_string("
+        f"list_transform(sig[{b*rpb+1}:{(b+1)*rpb}], v -> CAST(v AS VARCHAR)), ','))}}"
+        for b in range(n_bands))
+
+    def bands_of(src: str) -> str:
+        return f"""(
+          WITH b0 AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+            FROM {src}),
+          s0 AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= {k}
+                        THEN list_distinct(list_transform(
+                             generate_series(1, len(toks) - {k-1}),
+                             i -> array_to_string(toks[i:i+{k-1}], ' ')))
+                        ELSE [array_to_string(toks, ' ')] END AS sh
+            FROM b0),
+          g0 AS (SELECT doc_id, [{sig}] AS sig FROM s0)
+          SELECT doc_id, bh['band'] AS band, bh['h'] AS h
+          FROM (SELECT doc_id, unnest([{band_structs}]) AS bh FROM g0)
+        )"""
+
+    return f"""
+        WITH prior AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+        pck AS (SELECT DISTINCT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS ck
+                FROM prior),
+        fresh AS (
+          SELECT doc_id, text FROM newd
+          WHERE md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                NOT IN (SELECT ck FROM pck)),
+        pbands AS (SELECT DISTINCT band, h FROM {bands_of("prior")} t),
+        nbands AS (SELECT * FROM {bands_of("fresh")} t),
+        dup AS (SELECT DISTINCT n.doc_id
+                FROM nbands n JOIN pbands p ON n.band = p.band AND n.h = p.h)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id FROM fresh
+        WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        ORDER BY doc_id
     """
 
 
@@ -1569,6 +1678,52 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             WHERE rank <= 3
         """,
+        "tfidf_pruned": """
+            WITH toks AS (
+              SELECT doc_id, lower(unnest(list_filter(
+                         string_split_regex(text, '\\s+'), x -> x != ''))) AS tok
+              FROM documents),
+            tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+            dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+                      HAVING COUNT(*) >= 2),
+            nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+                     CAST(ROUND(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+                                * 1e6) AS BIGINT) AS tfidf_scaled
+              FROM tf JOIN dfreq USING (tok), nd)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, tok, tf, df, tfidf_scaled,
+                   CAST(rank AS INT) AS rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf_scaled DESC, tok) AS rank
+                  FROM scored)
+            WHERE rank <= 3
+        """,
+        "url_canon": """
+            -- inputs are planted (same concat on both sides); the expected
+            -- canonical is stated in closed form per shape
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CASE doc_id % 6
+                WHEN 0 THEN 'HTTPS://WWW.Site' || (doc_id % 20) || '.COM:443/page/'
+                            || doc_id || '/?utm_source=feed&id=' || doc_id || '&fbclid=xyz#top'
+                WHEN 1 THEN 'http://site' || (doc_id % 20) || '.com:80/'
+                WHEN 2 THEN 'http://site' || (doc_id % 20) || '.com:8080/a/' || doc_id || '/'
+                WHEN 3 THEN 'https://site' || (doc_id % 20) || '.com'
+                WHEN 4 THEN 'https://Site' || (doc_id % 20) || '.com/A/b?b=2&a=1&utm_campaign=' || doc_id
+                ELSE 'notaurl:' || doc_id
+              END AS url,
+              CASE doc_id % 6
+                WHEN 0 THEN 'https://www.site' || (doc_id % 20) || '.com/page/'
+                            || doc_id || '?id=' || doc_id
+                WHEN 1 THEN 'http://site' || (doc_id % 20) || '.com/'
+                WHEN 2 THEN 'http://site' || (doc_id % 20) || '.com:8080/a/' || doc_id
+                WHEN 3 THEN 'https://site' || (doc_id % 20) || '.com/'
+                WHEN 4 THEN 'https://site' || (doc_id % 20) || '.com/A/b?b=2&a=1'
+                ELSE NULL
+              END AS canonical_url
+            FROM documents
+        """,
+        "incremental_dedup": _incremental_oracle_sql(16, 4, 3),
         "chunk_documents": """
             WITH t AS (
               SELECT doc_id,

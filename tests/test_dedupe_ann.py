@@ -561,3 +561,36 @@ def test_png_palette_roundtrip_and_guards():
     # shrink declared PLTE length to one entry (3 bytes), keep stream valid
     bad[plte_at - 4:plte_at] = (3).to_bytes(4, "big")
     assert decode_png(bytes(bad)) is None  # index 3 > 1-entry palette
+
+
+def test_incremental_dedup_cross_snapshot(spark):
+    """Crawl-over-crawl dedup: exact copies and near-dups of PRIOR-crawl
+    docs are dropped, genuinely new docs and near-dups that only exist
+    WITHIN the new crawl survive (within-crawl dedup is a separate pass)."""
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls on the quiet town every evening").split()
+    prior_rows = [(1, " ".join(base)),
+                  (2, "totally different content about trains and stations here")]
+    new_rows = [
+        (10, " ".join(base)),                       # exact copy of prior 1
+        (11, " ".join(base[:-1] + ["morning"])),    # near-dup of prior 1
+        (12, "completely fresh article on gardening tips and tomato soil"),
+        (13, "completely fresh article on gardening tips and tomato soil"),
+        # 12/13 duplicate EACH OTHER but nothing in prior: both survive
+    ]
+    prior = spark.createDataFrame(prior_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    fps = dedupe.snapshot_fingerprints(prior, n_perm=32, n_bands=16)
+    assert set(fps.select("kind").distinct().toPandas()["kind"]) == \
+        {"exact"} | {f"band:{i}" for i in range(16)}
+
+    out = dedupe.incremental_dedup(new, fps, n_perm=32, n_bands=16)
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert ids == [12, 13]
+
+    # plan: no broadcast assumption — both dedup joins are shuffle joins
+    # on hash keys (the store is corpus-sized at 10^12 docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -290,3 +290,93 @@ def test_unigram_logprob_pruned_broadcast_plan_and_values(spark):
     # top_n=2 keeps aa + bb (bb beats cc on token tiebreak)
     top = {r["doc_id"]: r for r in unigram_logprob(df, top_n=2).collect()}
     assert 3 not in top or top[3]["n_toks"] == 0  # cc pruned for doc 3
+
+
+def test_term_frequencies_matches_counter(spark, docs):
+    """Within-row tf (sorted run-length fold) == collections.Counter over
+    lowercased whitespace tokens, for real documents and edge rows."""
+    from collections import Counter
+
+    edge = spark.createDataFrame(
+        [(9001, ""), (9002, "   "), (9003, "a"), (9004, "B b A a b")],
+        "doc_id long, text string")
+    sample = docs.limit(40).select("doc_id", "text").unionByName(edge)
+    out = sample.select(
+        "doc_id", "text",
+        T.term_frequencies(F.col("text")).alias("tf")).collect()
+    for r in out:
+        want = Counter(t.lower() for t in r["text"].split())
+        got = {e["tok"]: e["tf"] for e in r["tf"]}
+        assert got == dict(want), r["doc_id"]
+        # entries are distinct and sorted by token
+        toks = [e["tok"] for e in r["tf"]]
+        assert toks == sorted(toks) and len(toks) == len(set(toks))
+
+
+def test_tfidf_pruned_broadcast_plan_and_parity(spark, docs):
+    """min_df/top_n_vocab path (the 10^12-doc shape): (a) with min_df=1
+    the rows are exactly the exact flavor's; (b) the plan has NO
+    (doc, tok) tf exchange — tf is within-row — only the narrow df agg
+    and the doc-keyed top-k regroup, and the scoring join is broadcast;
+    (c) real pruning drops below-threshold terms and out-of-vocab docs."""
+    d = docs.limit(60).select("doc_id", "text")
+
+    exact = T.tfidf_top_terms(d, k=3)
+    pruned = T.tfidf_top_terms(d, k=3, min_df=1)
+    want = {tuple(r) for r in exact.collect()}
+    got = {tuple(r) for r in pruned.collect()}
+    assert got == want and len(got) > 0
+
+    # plan shape on the multi-partition full table, BEFORE execution
+    # (a limit() input collapses exchanges to SinglePartition, and AQE's
+    # post-run final plan rewrites them) — the exact flavor shuffles the
+    # full (doc_id, tok) tf explosion; the pruned one never does
+    import re
+    full = docs.select("doc_id", "text").repartition(4)
+    exact_plan = T.tfidf_top_terms(full, k=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert re.search(r"hashpartitioning\(doc_id#\d+L?, tok#", exact_plan)
+    pruned_plan = T.tfidf_top_terms(full, k=3, min_df=1)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert not re.search(r"hashpartitioning\(doc_id#\d+L?, tok#", pruned_plan)
+    assert "BroadcastHashJoin" in pruned_plan
+    assert pruned_plan.count("hashpartitioning(tok") == 1   # df agg only
+    # top-k regroup is the only doc-keyed exchange
+    assert pruned_plan.count("hashpartitioning(doc_id") == 1
+
+    # (c) semantics of real pruning on a tiny controlled corpus
+    tiny = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "aa cc"), (3, "dd")],
+        "doc_id int, text string")
+    out = {(r["doc_id"], r["tok"]) for r in
+           T.tfidf_top_terms(tiny, k=5, min_df=2).collect()}
+    # df: aa=2, bb=1, cc=1, dd=1 -> only aa survives; doc 3 disappears
+    assert out == {(1, "aa"), (2, "aa")}
+    top1 = {(r["doc_id"], r["tok"]) for r in
+            T.tfidf_top_terms(tiny, k=5, top_n_vocab=1).collect()}
+    assert top1 == {(1, "aa"), (2, "aa")}
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule, plus non-http(s) -> NULL."""
+    cases = {
+        "HTTPS://WWW.Example.COM:443/Path/Sub/?utm_source=x&id=3&fbclid=z#f":
+            "https://www.example.com/Path/Sub?id=3",
+        "http://example.com:80/": "http://example.com/",
+        "http://example.com:8080/a/": "http://example.com:8080/a",
+        "https://example.com": "https://example.com/",
+        "https://example.com/?utm_campaign=a&gclid=1&msclkid=2&mc_eid=3&igshid=4":
+            "https://example.com/",
+        "https://example.com/a?b=2&a=1": "https://example.com/a?b=2&a=1",
+        "ftp://x/y": None,
+        "not a url": None,
+        "https://example.com/#frag": "https://example.com/",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "url string")
+    got = {r["url"]: r["c"] for r in
+           df.select("url", T.canonical_url(F.col("url")).alias("c")).collect()}
+    assert got == cases
+    # idempotent: canon(canon(u)) == canon(u)
+    df2 = df.select(T.canonical_url(F.col("url")).alias("c")).filter("c is not null")
+    twice = df2.select("c", T.canonical_url(F.col("c")).alias("cc")).collect()
+    assert all(r["c"] == r["cc"] for r in twice)

@@ -392,6 +392,77 @@ def dedup_keep_one(df: DataFrame, pairs: DataFrame,
     return df.join(losers, id_col, "left_anti")
 
 
+def snapshot_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 3,
+                          n_perm: int = 32, n_bands: int = 8,
+                          oracle_safe: bool = False) -> DataFrame:
+    """Fingerprint store for crawl-over-crawl dedup: ``(kind, fp)`` rows
+    where kind ``'exact'`` carries the content key and ``'band:<i>'`` the
+    MinHash LSH band hash of band i.
+
+    Written once per snapshot (a few dozen bytes per doc — NOT the text:
+    by the time the next crawl lands, the prior crawl's pages may be
+    archived away), then equi-joined against by the next snapshot's
+    ingest (``incremental_dedup``). ``distinct()`` is one narrow shuffle
+    on the fp itself; at 10^12 docs the store is written partitioned by
+    ``kind`` so each anti-join below prunes to its own slice.
+    """
+    rpb = n_perm // n_bands
+    exact = df.select(F.lit("exact").alias("kind"),
+                      content_key(F.col(text_col)).alias("fp"))
+    bands = (df.select(F.explode(lsh_bands(
+                minhash_signature(shingles(F.col(text_col), k),
+                                  n_perm, oracle_safe),
+                n_bands, rpb)).alias("_b"))
+             .select(F.concat(F.lit("band:"),
+                              F.col("_b.band").cast("string")).alias("kind"),
+                     F.col("_b.band_hash").alias("fp")))
+    return exact.unionByName(bands).distinct()
+
+
+def incremental_dedup(new_docs: DataFrame, prior_fps: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 3, n_perm: int = 32, n_bands: int = 8,
+                      oracle_safe: bool = False) -> DataFrame:
+    """Crawl-over-crawl dedup: keep only documents of ``new_docs`` that
+    are genuinely new versus the prior snapshot's fingerprint store —
+    no exact content-key match AND no shared MinHash band (the standard
+    LSH candidate test; recall is governed by the same n_perm/n_bands
+    knobs as ``minhash_lsh_pairs``). There is no Jaccard verify step
+    against prior text by design: the store holds fingerprints only, so
+    a band collision is treated as a duplicate (conservative for a
+    training corpus — prefer dropping a borrowed page over keeping a
+    near-copy).
+
+    Scale shape: two narrow equi-joins on hash keys — content keys
+    left-anti against the ``'exact'`` slice, then band hashes left-semi
+    against the band slice to collect duplicate ids, anti-joined back.
+    No broadcast assumption anywhere: at 10^12 docs the store is itself
+    corpus-sized, and every join here shuffles only (id, hash) pairs.
+    """
+    rpb = n_perm // n_bands
+    exact_fps = prior_fps.filter(F.col("kind") == "exact").select("fp")
+    keyed = new_docs.withColumn("_ck", content_key(F.col(text_col)))
+    fresh = keyed.join(exact_fps, keyed["_ck"] == exact_fps["fp"],
+                       "left_anti").drop("_ck")
+
+    band_fps = prior_fps.filter(F.col("kind") != "exact") \
+                        .select("kind", "fp")
+    new_bands = (fresh.select(
+        F.col(id_col).alias("_id"),
+        F.explode(lsh_bands(
+            minhash_signature(shingles(F.col(text_col), k), n_perm,
+                              oracle_safe),
+            n_bands, rpb)).alias("_b"))
+        .select("_id",
+                F.concat(F.lit("band:"),
+                         F.col("_b.band").cast("string")).alias("kind"),
+                F.col("_b.band_hash").alias("fp")))
+    dup_ids = (new_bands.join(band_fps, ["kind", "fp"], "left_semi")
+               .select(F.col("_id").alias(id_col)).distinct())
+    return fresh.join(dup_ids, id_col, "left_anti")
+
+
 def simhash64(text: Column, oracle_safe: bool = False) -> Column:
     """64-bit SimHash over whitespace tokens.
 

@@ -198,31 +198,112 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
                  F.count(F.lit(1)).alias("n_toks")))
 
 
+def term_frequencies(text: Column) -> Column:
+    """Within-row term frequencies: ``array<struct<tok, tf>>`` with one
+    entry per distinct (lowercased) whitespace token, no shuffle.
+
+    A document's tf table depends on nothing outside the row, so shipping
+    its tokens through a corpus-wide ``groupBy(doc, tok)`` exchange — the
+    widest shuffle in a naive tf·idf — is pure waste at 10^12 docs. Here
+    the token array is sorted once (``let`` — single eval), run starts
+    are the positions whose token differs from their left neighbor, and
+    each run's length is ``next_start − start`` (``zip_with`` against the
+    starts shifted left, padded with n). O(n log n) per row, all inside
+    whole-stage codegen."""
+    from ..functions import let
+
+    def runs(s: Column) -> Column:
+        n = F.size(s)
+        idx = F.sequence(F.lit(0), n - 1)
+        starts = F.filter(
+            idx, lambda i: (i == F.lit(0)) | (F.get(s, i) != F.get(s, i - 1)))
+        nxt = F.concat(F.slice(starts, 2, F.size(starts) - 1), F.array(n))
+        return F.zip_with(
+            starts, nxt,
+            lambda st, nx: F.struct(F.get(s, st).alias("tok"),
+                                    (nx - st).cast("bigint").alias("tf")))
+
+    toks = tokens_col(text)
+    # guard: sequence(0, -1) DESCENDS on empty arrays — never build idx there
+    return F.when(F.size(toks) > 0,
+                  let(F.array_sort(F.transform(toks, F.lower)), runs)) \
+            .otherwise(F.array().cast("array<struct<tok:string,tf:bigint>>"))
+
+
 def tfidf_top_terms(df: DataFrame, k: int = 5, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text", min_df: int | None = None,
+                    top_n_vocab: int | None = None) -> DataFrame:
     """Per-document top-k terms by tf·idf (keyword extraction for corpus
-    exploration/labeling). Shuffles: (doc, token) tf agg, token df agg,
-    then a per-doc ranking window. The score is integer-scaled
+    exploration/labeling). The score is integer-scaled
     (round(tf·ln(N/df)·1e6)) so ordering is exact and engine-independent;
-    ties break on the token."""
-    toks = (df.select(F.col(id_col).alias("doc_id"),
-                      F.explode(tokens_col(F.col(text_col))).alias("tok"))
-            .withColumn("tok", F.lower("tok")))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ties break on the token. Two shapes:
+
+    * exact (default, the oracle's twin): (doc, token) tf agg, token df
+      agg, per-doc ranking window — three exchanges, the first carrying
+      the full token explosion. Fine to ~10^9 docs;
+    * pruned-broadcast (``min_df`` and/or ``top_n_vocab`` set — the
+      10^12-doc shape): tf is computed WITHIN each row
+      (``term_frequencies`` — the explosion never shuffles), document
+      frequencies aggregate over per-doc-distinct tokens only (one
+      narrow, map-side-combined exchange), the vocab is pruned
+      (df >= min_df, then the ``top_n_vocab`` most frequent, ties on
+      token) and broadcast so the scoring join is map-side, and the
+      top-k pick is a narrow doc-keyed regroup over matched tokens only.
+      With ``min_df=1`` and no ``top_n_vocab`` the output is identical
+      to the exact shape; real pruning drops OOV terms (documents whose
+      every token is pruned disappear from the output — by design: they
+      have no in-vocab keywords).
+    """
+    if min_df is None and top_n_vocab is None:
+        toks = (df.select(F.col(id_col).alias("doc_id"),
+                          F.explode(tokens_col(F.col(text_col))).alias("tok"))
+                .withColumn("tok", F.lower("tok")))
+        tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+        dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+        scored = (tf.join(dfreq, "tok").crossJoin(F.broadcast(n_docs))
+                  .withColumn("tfidf_scaled",
+                              F.round(F.col("tf")
+                                      * F.log(F.col("n_docs").cast("double")
+                                              / F.col("df").cast("double"))
+                                      * 1e6).cast("bigint")))
+        from pyspark.sql import Window as W
+        w = W.partitionBy("doc_id").orderBy(F.col("tfidf_scaled").desc(), "tok")
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("doc_id", "tok", "tf", "df", "tfidf_scaled",
+                        F.col("rank").cast("int").alias("rank")))
+
+    tokdf = (df.select(F.col(id_col).alias("doc_id"),
+                       F.explode(term_frequencies(F.col(text_col))).alias("e"))
+             .select("doc_id", F.col("e.tok").alias("tok"),
+                     F.col("e.tf").alias("tf")))
+    # one row per distinct (doc, tok) already — df is a plain count
+    dfreq = tokdf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    pruned = dfreq
+    if min_df is not None:
+        pruned = pruned.filter(F.col("df") >= int(min_df))
+    if top_n_vocab is not None:
+        pruned = pruned.orderBy(F.col("df").desc(), "tok").limit(int(top_n_vocab))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
-    scored = (tf.join(dfreq, "tok").crossJoin(F.broadcast(n_docs))
+    scoring = F.broadcast(pruned.crossJoin(F.broadcast(n_docs)))
+    scored = (tokdf.join(scoring, "tok")
               .withColumn("tfidf_scaled",
                           F.round(F.col("tf")
                                   * F.log(F.col("n_docs").cast("double")
                                           / F.col("df").cast("double"))
                                   * 1e6).cast("bigint")))
-    from pyspark.sql import Window as W
-    w = W.partitionBy("doc_id").orderBy(F.col("tfidf_scaled").desc(), "tok")
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("doc_id", "tok", "tf", "df", "tfidf_scaled",
-                    F.col("rank").cast("int").alias("rank")))
+    top = (scored.groupBy("doc_id")
+           .agg(F.slice(F.array_sort(F.collect_list(F.struct(
+                    (-F.col("tfidf_scaled")).alias("neg"), F.col("tok"),
+                    F.col("tf"), F.col("df"),
+                    F.col("tfidf_scaled").alias("score")))),
+                1, k).alias("top")))
+    ex = top.select("doc_id", F.posexplode("top").alias("pos", "e"))
+    return ex.select("doc_id", F.col("e.tok").alias("tok"),
+                     F.col("e.tf").alias("tf"), F.col("e.df").alias("df"),
+                     F.col("e.score").alias("tfidf_scaled"),
+                     (F.col("pos") + 1).cast("int").alias("rank"))
 
 
 def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
@@ -315,6 +396,57 @@ def host_of(url: Column) -> Column:
     # scheme is case-insensitive per RFC 3986 (HTTP:// is valid)
     return F.nullif(F.regexp_extract(url, r"^(?i:https?)://([^/]+)", 1),
                     F.lit(""))
+
+
+# query params that never distinguish content: analytics/click trackers.
+# Kept as a tuple so the DuckDB oracle can inline the same list.
+TRACKING_PARAMS_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an http(s) URL for crawl dedup — the key under
+    which two captures count as "the same page":
+
+    * scheme and host lowercased (RFC 3986 §6.2.2.1);
+    * default ports stripped (``:80`` for http, ``:443`` for https);
+    * fragment dropped (never sent to the server);
+    * tracking query params dropped (``utm_*``, ``fbclid``, ``gclid``,
+      ``msclkid``, ``mc_eid``, ``igshid``) with the ``?`` removed when
+      nothing survives — surviving params keep their original order
+      (reordering would conflate genuinely different keys on sites where
+      order matters);
+    * trailing slash stripped from non-root paths; empty path → ``/``.
+
+    Pure JVM column algebra on RE2-compatible regexes (no lookarounds),
+    so the same expressions run in the DuckDB oracle. Non-http(s) values
+    return NULL — callers keep the raw url for those rows.
+    """
+    from ..functions import let
+
+    def canon(u: Column) -> Column:
+        scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+        auth = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+        auth = F.when(scheme == "http", F.regexp_replace(auth, r":80$", "")) \
+                .when(scheme == "https", F.regexp_replace(auth, r":443$", "")) \
+                .otherwise(auth)
+        rest = F.regexp_replace(  # path[?query] after dropping the fragment
+            F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1),
+            r"#.*$", "")
+        path = F.regexp_extract(rest, r"^([^?]*)", 1)
+        path = F.when(path == "", F.lit("/")) \
+                .otherwise(F.regexp_replace(path, r"(.)/$", "$1"))
+        query = F.regexp_replace(rest, r"^[^?]*\??", "")
+        kept = F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & (F.regexp_extract(
+                p, TRACKING_PARAMS_RE, 0) == ""))
+        q = F.array_join(kept, "&")
+        return F.concat(scheme, F.lit("://"), auth, path,
+                        F.when(q == "", F.lit("")).otherwise(
+                            F.concat(F.lit("?"), q)))
+
+    ok = F.regexp_extract(url, r"^(?i:https?)://[^/?#]+", 0) != ""
+    return F.when(ok, let(url, canon)).otherwise(F.lit(None).cast("string"))
 
 
 _UDF_CACHE: dict = {}
