@@ -594,3 +594,33 @@ def test_incremental_dedup_cross_snapshot(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7 encode->decode identity across channel counts, filters,
+    palette, and tiny images with empty passes; declared-interlace
+    mismatch degrades to None."""
+    import numpy as np
+    from wine_label_ocr_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for h, w, c in [(1, 1, 3), (1, 8, 1), (8, 1, 4), (2, 2, 2), (3, 5, 3),
+                    (16, 16, 3), (23, 17, 4), (40, 33, 1)]:
+        arr = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        a = arr[:, :, 0] if c == 1 else arr
+        png = encode_png(a, interlace=True)
+        back = decode_png(png)
+        assert back is not None and (back == arr.reshape(h, w, c)).all(), (h, w, c)
+    # every filter type through the interlaced path
+    arr = rng.integers(0, 256, (17, 11, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(arr, filters=[4, 3, 2, 1, 0],
+                                  interlace=True)) == arr).all()
+    # interlaced + palette compose
+    pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    idx = rng.integers(0, 7, (13, 9), dtype=np.uint8)
+    assert (decode_png(encode_png(idx, palette=pal, interlace=True))
+            == pal[idx]).all()
+    # truncated interlaced stream -> None, never raise
+    png = encode_png(arr, interlace=True)
+    iend = png.rfind(b"IEND")
+    assert decode_png(png[:iend - 30]) is None

@@ -299,7 +299,10 @@ def documents_as_media_pixels(spark, sf_dir: str):
     [(0,0,0), rgb], index plane of ones) that decodes to the SAME solid
     raster — the oracle needs no per-row case, yet a decoder that skips
     or mishandles the palette path falls back to header features
-    (channels=1, wrong means) and breaks the hash.
+    (channels=1, wrong means) and breaks the hash. Every 7th (non-5th)
+    doc ships Adam7-INTERLACED — again the same solid raster, so a
+    decoder that skips interlace (header fallback) breaks the hash while
+    the oracle stays closed-form.
     """
     from collections.abc import Iterable, Iterator
 
@@ -320,7 +323,7 @@ def documents_as_media_pixels(spark, sf_dir: str):
                     png = encode_png(idx, palette=pal)
                 else:
                     arr = np.tile(np.array(rgb, dtype=np.uint8), (h, w, 1))
-                    png = encode_png(arr)
+                    png = encode_png(arr, interlace=(i % 7 == 0))
                 rows.append((f"mediapx:{i}", png, "png"))
             yield pd.DataFrame(rows, columns=["url", "payload", "media_type"])
 

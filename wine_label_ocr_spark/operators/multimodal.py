@@ -145,15 +145,52 @@ def _paeth(left: int, up: int, ul: int) -> int:
     return up if pb <= pc else ul
 
 
-def encode_png(arr, filters=None, palette=None) -> bytes:
+# Adam7 pass grid: (x0, y0, dx, dy) per pass — public PNG spec §8.2
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _filter_image(a, filters) -> bytearray:
+    """Filter one (h, w, c) uint8 image into PNG scanline bytes (one
+    filter-type byte + filtered row, per row)."""
+    import numpy as np
+    h, w, c = a.shape
+    flat = a.reshape(h, w * c).astype(np.int16)
+    prev = np.zeros(w * c, dtype=np.int16)
+    raw = bytearray()
+    for y in range(h):
+        cur = flat[y]
+        f = (y % 5) if filters is None else filters[y % len(filters)]
+        left = np.concatenate([np.zeros(c, dtype=np.int16), cur[:-c]])
+        ul = np.concatenate([np.zeros(c, dtype=np.int16), prev[:-c]])
+        if f == 0:
+            delta = cur
+        elif f == 1:
+            delta = cur - left
+        elif f == 2:
+            delta = cur - prev
+        elif f == 3:
+            delta = cur - ((left + prev) >> 1)
+        else:
+            pred = np.array([_paeth(int(left[x]), int(prev[x]), int(ul[x]))
+                             for x in range(w * c)], dtype=np.int16)
+            delta = cur - pred
+        raw.append(f)
+        raw.extend((delta & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    return raw
+
+
+def encode_png(arr, filters=None, palette=None, interlace=False) -> bytes:
     """Minimal REAL PNG encoder (stdlib zlib/struct): 8-bit gray / gray+A /
     RGB / RGBA — or indexed color (PNG color type 3) when ``palette`` is
     given: ``arr`` is then an (h, w) palette-index array and ``palette``
-    an (n<=256, 3) RGB table emitted as a PLTE chunk. No interlace, one
-    IDAT, valid CRCs. ``filters`` picks the per-row filter type (default
-    cycles 0..4 so a decode exercises every unfilter path).
-    Fixture/test-scale tool — the point is byte-real PNGs whose raster is
-    a known function, not encoding throughput."""
+    an (n<=256, 3) RGB table emitted as a PLTE chunk. ``interlace=True``
+    writes Adam7 (each of the 7 passes filtered as its own sub-image, per
+    the public spec). One IDAT, valid CRCs. ``filters`` picks the per-row
+    filter type (default cycles 0..4 so a decode exercises every unfilter
+    path). Fixture/test-scale tool — the point is byte-real PNGs whose
+    raster is a known function, not encoding throughput."""
     import struct
     import zlib as _zlib
 
@@ -179,47 +216,68 @@ def encode_png(arr, filters=None, palette=None) -> bytes:
         return (struct.pack(">I", len(data)) + cid + data
                 + struct.pack(">I", _zlib.crc32(cid + data) & 0xFFFFFFFF))
 
-    flat = a.reshape(h, w * c).astype(np.int16)
-    prev = np.zeros(w * c, dtype=np.int16)
-    raw = bytearray()
-    for y in range(h):
-        cur = flat[y]
-        f = (y % 5) if filters is None else filters[y % len(filters)]
-        left = np.concatenate([np.zeros(c, dtype=np.int16), cur[:-c]])
-        ul = np.concatenate([np.zeros(c, dtype=np.int16), prev[:-c]])
-        if f == 0:
-            delta = cur
-        elif f == 1:
-            delta = cur - left
-        elif f == 2:
-            delta = cur - prev
-        elif f == 3:
-            delta = cur - ((left + prev) >> 1)
-        else:
-            pred = np.array([_paeth(int(left[x]), int(prev[x]), int(ul[x]))
-                             for x in range(w * c)], dtype=np.int16)
-            delta = cur - pred
-        raw.append(f)
-        raw.extend((delta & 0xFF).astype(np.uint8).tobytes())
-        prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += _filter_image(np.ascontiguousarray(sub), filters)
+    else:
+        raw = _filter_image(a, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, int(interlace))
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + (chunk(b"PLTE", plte) if plte else b"")
             + chunk(b"IDAT", _zlib.compress(bytes(raw), 6))
             + chunk(b"IEND", b""))
 
 
+def _unfilter_image(raw, pos: int, w: int, h: int, c: int):
+    """Unfilter one sub-image of ``h`` scanlines (filter byte + w·c
+    pixels each) starting at ``pos`` in the inflated stream. Returns
+    ``(rows, new_pos)`` where rows is (h, w·c) uint8, or None on a bad
+    filter type or truncated stream."""
+    import numpy as np
+    stride = w * c
+    if len(raw) - pos < h * (stride + 1):
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += 1 + stride
+        if f == 1:  # Sub: cumulative sum along x within each channel lane
+            row = np.cumsum(row.reshape(w, c), axis=0).reshape(stride)
+        elif f == 2:  # Up
+            row = row + prev
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = row[x - c] & 0xFF if x >= c else 0
+                row[x] += (left + (prev[x] & 0xFF)) >> 1
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                left = row[x - c] & 0xFF if x >= c else 0
+                ul = prev[x - c] & 0xFF if x >= c else 0
+                row[x] += _paeth(left, prev[x] & 0xFF, ul)
+        elif f != 0:
+            return None
+        row &= 0xFF
+        out[y] = row
+        prev = row
+    return out, pos
+
+
 def decode_png(payload: bytes):
     """REAL stdlib PNG raster decode: chunk walk → zlib-inflate the IDAT
     stream → per-row unfilter (None/Sub/Up/Average/Paeth). Supports 8-bit
     depth, color types 0/2/4/6 and 3 (indexed: the unfiltered index plane
-    is mapped through the PLTE table to an RGB raster), no interlace
-    (Adam7 stays out of scope — the fixtures and the documented seam cover
-    it). Returns an (h, w, channels) numpy uint8 array, or None when the
-    payload carries no decodable raster (e.g. the header-only fixtures) —
-    callers fall back to header-derived features. Sub rows unfilter via a
-    vectorized per-lane cumsum; Average/Paeth are inherently sequential
-    in x."""
+    is mapped through the PLTE table to an RGB raster), both interlace
+    methods (Adam7 passes are unfiltered as independent sub-images and
+    scattered onto the output grid, per the public spec). Returns an
+    (h, w, channels) numpy uint8 array, or None when the payload carries
+    no decodable raster (e.g. the header-only fixtures) — callers fall
+    back to header-derived features. Sub rows unfilter via a vectorized
+    per-lane cumsum; Average/Paeth are inherently sequential in x."""
     import zlib as _zlib
 
     import numpy as np
@@ -247,7 +305,8 @@ def decode_png(payload: bytes):
     # indexed color carries ONE index byte per pixel through the filter
     # stage; the palette lookup happens after unfiltering
     c = 1 if ctype == 3 else _PNG_CHANNELS.get(ctype)
-    if not idat or not w or not h or depth != 8 or interlace != 0 or c is None:
+    if not idat or not w or not h or depth != 8 or interlace not in (0, 1) \
+            or c is None:
         return None
     if ctype == 3 and (not plte or len(plte) % 3 or len(plte) > 768):
         return None
@@ -255,34 +314,25 @@ def decode_png(payload: bytes):
         raw = _zlib.decompress(b"".join(idat))
     except _zlib.error:
         return None
-    stride = w * c
-    if len(raw) < h * (stride + 1):
-        return None
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    pos = 0
-    for y in range(h):
-        f = raw[pos]
-        row = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
-        pos += 1 + stride
-        if f == 1:  # Sub: cumulative sum along x within each channel lane
-            row = np.cumsum(row.reshape(w, c), axis=0).reshape(stride)
-        elif f == 2:  # Up
-            row = row + prev
-        elif f == 3:  # Average
-            for x in range(stride):
-                left = row[x - c] & 0xFF if x >= c else 0
-                row[x] += (left + (prev[x] & 0xFF)) >> 1
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                left = row[x - c] & 0xFF if x >= c else 0
-                ul = prev[x - c] & 0xFF if x >= c else 0
-                row[x] += _paeth(left, prev[x] & 0xFF, ul)
-        elif f != 0:
+    if interlace == 0:
+        got = _unfilter_image(raw, 0, w, h, c)
+        if got is None:
             return None
-        row &= 0xFF
-        out[y] = row
-        prev = row
+        out = got[0]
+    else:  # Adam7: each non-empty pass is its own filtered sub-image
+        grid = np.empty((h, w, c), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            got = _unfilter_image(raw, pos, pw, ph, c)
+            if got is None:
+                return None
+            rows, pos = got
+            grid[y0::dy, x0::dx] = rows.reshape(ph, pw, c)
+        out = grid.reshape(h, w * c)
     if ctype == 3:
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
         idx = out.reshape(h, w)
