@@ -831,6 +831,48 @@ def q_tfidf_pruned(spark, sf):  # textops: tf·idf, 10^12-doc broadcast shape
     return tfidf_top_terms(d, k=3, min_df=2).orderBy("doc_id", "rank")
 
 
+def q_quality_classifier(spark, sf):  # classify: fasttext-style scoring
+    """Hashed uni+bi-gram linear classifier over documents with a
+    deterministic weight table (weight(b) = b % 2001 − 1000, built from
+    the corpus's own distinct buckets — 'trained on this corpus'), md5
+    bucket flavor for DuckDB parity. Certifies the whole scoring path:
+    within-row feature hashing/counting, broadcast weight join, exact
+    integer logits."""
+    from wine_label_ocr_spark.operators.classify import (
+        hashed_ngram_features, linear_text_classifier)
+    d = _t(spark, sf, "documents")
+    nb = 1 << 16
+    feats = d.select(F.explode(hashed_ngram_features(
+        F.col("text"), 2, nb, oracle_safe=True)).alias("e"))
+    weights = (feats.select(F.col("e.bucket").alias("bucket")).distinct()
+               .withColumn("weight_scaled",
+                           (F.pmod(F.col("bucket"), F.lit(2001)) - 1000)
+                           .cast("bigint")))
+    out = linear_text_classifier(d, weights, bias_scaled=0, n_max=2,
+                                 n_buckets=nb, oracle_safe=True)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "n_features", "logit_scaled", "keep").orderBy("doc_id")
+
+
+def q_blocklist_filter(spark, sf):  # classify: UT1-style domain blocklist
+    """Domain blocklist over the planted url_canon shapes: site3.com and
+    site11.com (and every subdomain, e.g. www.site3.com) are dropped;
+    non-URL rows are kept. Closed-form oracle."""
+    from wine_label_ocr_spark.operators.classify import filter_blocklisted
+    d = _t(spark, sf, "documents").select("doc_id")
+    v = F.pmod(F.col("doc_id"), F.lit(6))
+    s = F.pmod(F.col("doc_id"), F.lit(20)).cast("string")
+    did = F.col("doc_id").cast("string")
+    url = (F.when(v == 0, F.concat(F.lit("HTTPS://WWW.Site"), s,
+                                   F.lit(".COM:443/page/"), did))
+           .when(v == 5, F.concat(F.lit("notaurl:"), did))
+           .otherwise(F.concat(F.lit("https://site"), s, F.lit(".com/p/"), did)))
+    pages = d.select("doc_id", url.alias("url"))
+    bl = spark.createDataFrame([("site3.com",), ("site11.com",)],
+                               "domain string")
+    return filter_blocklisted(pages, bl).orderBy("doc_id")
+
+
 def q_dedup_decisions(spark, sf):  # J2/J3 fuzzy ingest decisions (rows-only)
     from wine_label_ocr_spark.operators.similarity import fuzzy_match_decisions
     d = _t(spark, sf, "documents")
@@ -975,6 +1017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": q_url_canon,
         "incremental_dedup": q_incremental_dedup,
         "tfidf_pruned": q_tfidf_pruned,
+        "quality_classifier": q_quality_classifier,
+        "blocklist_filter": q_blocklist_filter,
         "media_pixels": q_media_pixels,
         "interval_join": q_interval_join,
         "warc_extract": q_warc_extract,
@@ -1724,6 +1768,51 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "incremental_dedup": _incremental_oracle_sql(16, 4, 3),
+        "quality_classifier": """
+            -- md5-flavor hashed uni+bi-gram buckets; weight(b) = b%2001-1000
+            WITH t AS (
+              SELECT doc_id, list_transform(list_filter(
+                         string_split_regex(text, '\\s+'), x -> x != ''),
+                     s -> lower(s)) AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id, unnest(list_concat(t,
+                       CASE WHEN len(t) >= 2
+                            THEN list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1])
+                            ELSE [] END)) AS g
+              FROM t),
+            b AS (
+              SELECT doc_id,
+                     CAST(CAST(concat('0x', substr(md5(concat(g, '#0')), 1, 15))
+                          AS UBIGINT) AS BIGINT) % 65536 AS bucket
+              FROM grams),
+            agg AS (SELECT doc_id, bucket, COUNT(*) AS cnt
+                    FROM b GROUP BY doc_id, bucket),
+            sc AS (SELECT doc_id,
+                          CAST(SUM(cnt * ((bucket % 2001) - 1000)) AS BIGINT)
+                              AS logit_scaled,
+                          CAST(COUNT(*) AS BIGINT) AS n_features
+                   FROM agg GROUP BY doc_id)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   COALESCE(n_features, 0) AS n_features,
+                   COALESCE(logit_scaled, 0) AS logit_scaled,
+                   COALESCE(logit_scaled, 0) > 0 AS keep
+            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+            ORDER BY doc_id
+        """,
+        "blocklist_filter": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CASE doc_id % 6
+                WHEN 0 THEN 'HTTPS://WWW.Site' || (doc_id % 20)
+                            || '.COM:443/page/' || doc_id
+                WHEN 5 THEN 'notaurl:' || doc_id
+                ELSE 'https://site' || (doc_id % 20) || '.com/p/' || doc_id
+              END AS url
+            FROM documents
+            WHERE doc_id % 6 = 5 OR doc_id % 20 NOT IN (3, 11)
+            ORDER BY doc_id
+        """,
         "chunk_documents": """
             WITH t AS (
               SELECT doc_id,

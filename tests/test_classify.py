@@ -1,0 +1,97 @@
+"""Tests for model-based filtering: hashed n-gram linear classifier and
+domain blocklist (operators/classify.py)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from wine_label_ocr_spark.operators import classify as C
+
+
+def test_hashed_ngram_features_counts(spark):
+    """Feature counts == Counter over uni+bi-grams; buckets sorted,
+    distinct; empty docs -> empty array; xxhash and md5 flavors agree on
+    counts (bucket ids differ)."""
+    rows = [(1, "a b a b a"), (2, "Mixed CASE mixed case"), (3, ""),
+            (4, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for flavor in (False, True):
+        got = df.select("doc_id", C.hashed_ngram_features(
+            F.col("text"), 2, 1 << 16, oracle_safe=flavor).alias("f")).collect()
+        for r in got:
+            text = dict(rows)[r["doc_id"]]
+            toks = [t.lower() for t in text.split()]
+            grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            want = Counter(grams)
+            # counts must match as a multiset grouped by gram->bucket
+            # (different grams may collide into one bucket: compare totals)
+            assert sum(e["cnt"] for e in r["f"]) == sum(want.values())
+            assert len(r["f"]) <= len(want)
+            bks = [e["bucket"] for e in r["f"]]
+            assert bks == sorted(bks) and len(bks) == len(set(bks))
+            assert all(0 <= b < (1 << 16) for b in bks)
+
+
+def test_linear_classifier_scores_and_plan(spark):
+    """Exact integer logits against a hand-built weight table; docs with
+    no in-vocab feature keep the bias; plan: weights broadcast, no
+    (doc, bucket) shuffle of the raw gram explosion."""
+    df = spark.createDataFrame(
+        [(1, "good good great"), (2, "awful bad"), (3, "neutral words"),
+         (4, "")],
+        "doc_id long, text string")
+    feats = df.select("doc_id", C.hashed_ngram_features(
+        F.col("text"), 1, 1 << 16).alias("f"))
+    fmap = {r["doc_id"]: {e["bucket"]: e["cnt"] for e in r["f"]}
+            for r in feats.collect()}
+
+    def bucket_of(word):
+        r = spark.createDataFrame([(word,)], "g string").select(
+            F.pmod(F.xxhash64("g", F.lit(0)), F.lit(1 << 16)).alias("b"))
+        return r.collect()[0]["b"]
+
+    wrows = [(bucket_of("good"), 500_000), (bucket_of("great"), 1_000_000),
+             (bucket_of("awful"), -2_000_000), (bucket_of("bad"), -500_000)]
+    weights = spark.createDataFrame(wrows, "bucket long, weight_scaled long")
+    out = C.linear_text_classifier(df, weights, bias_scaled=100_000, n_max=1,
+                                   n_buckets=1 << 16)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["logit_scaled"] == 100_000 + 2 * 500_000 + 1_000_000
+    assert got[1]["keep"] is True
+    assert got[2]["logit_scaled"] == 100_000 - 2_000_000 - 500_000
+    assert got[2]["keep"] is False
+    assert got[3]["logit_scaled"] == 100_000  # no in-vocab features
+    assert got[4]["logit_scaled"] == 100_000 and got[4]["n_features"] == 0
+    assert set(got) == {1, 2, 3, 4}  # nothing silently dropped
+    assert fmap[1][bucket_of("good")] == 2
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(doc_id" in plan  # the one narrow re-agg
+    assert "hashpartitioning(bucket" not in plan
+
+
+def test_host_suffixes_and_blocklist(spark):
+    sfx = spark.createDataFrame(
+        [("a.b.Example.COM",), ("example.com",), ("localhost",)],
+        "h string").select("h", C.host_suffixes(F.col("h")).alias("s")).collect()
+    got = {r["h"]: r["s"] for r in sfx}
+    assert got["a.b.Example.COM"] == ["example.com", "b.example.com",
+                                      "a.b.example.com"]
+    assert got["example.com"] == ["example.com"]
+    assert got["localhost"] == ["localhost"]
+
+    bl = spark.createDataFrame([("example.com",), ("bad.org",)], "domain string")
+    urls = spark.createDataFrame(
+        [(1, "https://a.b.Example.COM/x"), (2, "https://example.com/"),
+         (3, "https://examplexcom.net/"), (4, "https://sub.bad.org/y"),
+         (5, "notaurl"), (6, "https://good.com/z")],
+        "doc_id long, url string")
+    out = C.filter_blocklisted(urls, bl)
+    assert sorted(r["doc_id"] for r in out.collect()) == [3, 5, 6]
+    assert out.columns == ["doc_id", "url"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
