@@ -873,6 +873,20 @@ def q_blocklist_filter(spark, sf):  # classify: UT1-style domain blocklist
     return filter_blocklisted(pages, bl).orderBy("doc_id")
 
 
+def q_exact_substring(spark, sf):  # dedupe: Lee-et-al exact-substring spans
+    """Exact-substring duplicate spans (token space, T=8 at gate scale;
+    50 in production) over documents, PRODUCTION hash flavor — the final
+    spans are decided by full-gram verification, so the candidate hash
+    flavor cannot affect the result and the DuckDB twin groups grams
+    directly."""
+    from wine_label_ocr_spark.operators.dedupe import exact_substring_spans
+    d = _t(spark, sf, "documents")
+    return (exact_substring_spans(d, min_tokens=8)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "start", "end")
+            .orderBy("doc_id", "start"))
+
+
 def q_dedup_decisions(spark, sf):  # J2/J3 fuzzy ingest decisions (rows-only)
     from wine_label_ocr_spark.operators.similarity import fuzzy_match_decisions
     d = _t(spark, sf, "documents")
@@ -1019,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_pruned": q_tfidf_pruned,
         "quality_classifier": q_quality_classifier,
         "blocklist_filter": q_blocklist_filter,
+        "exact_substring": q_exact_substring,
         "media_pixels": q_media_pixels,
         "interval_join": q_interval_join,
         "warc_extract": q_warc_extract,
@@ -1800,6 +1815,41 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(logit_scaled, 0) > 0 AS keep
             FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
             ORDER BY doc_id
+        """,
+        "exact_substring": """
+            -- duplicated 8-token windows (grouped by the gram itself —
+            -- the Spark side verifies by full gram, so flavors agree),
+            -- merged per doc via gaps-and-islands
+            WITH t AS (
+              SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                         x -> x != '') AS toks
+              FROM documents),
+            pos AS (
+              SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS pos,
+                     toks
+              FROM t WHERE len(toks) >= 8),
+            g AS (SELECT doc_id, pos,
+                         array_to_string(toks[pos:pos+7], ' ') AS gram
+                  FROM pos),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+            seeds AS (SELECT doc_id, pos FROM g
+                      WHERE gram IN (SELECT gram FROM dup)),
+            brk AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos <= MAX(pos + 8) OVER (
+                              PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          THEN 0 ELSE 1 END AS is_new
+              FROM seeds),
+            isl AS (SELECT doc_id, pos,
+                           SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos)
+                               AS grp
+                    FROM brk)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(MIN(pos) AS INT) AS start,
+                   CAST(MAX(pos) + 8 AS INT) AS "end"
+            FROM isl GROUP BY doc_id, grp
+            ORDER BY doc_id, start
         """,
         "blocklist_filter": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -624,3 +624,47 @@ def test_png_adam7_interlace_roundtrip():
     png = encode_png(arr, interlace=True)
     iend = png.rfind(b"IEND")
     assert decode_png(png[:iend - 30]) is None
+
+
+def test_exact_substring_spans_and_removal(spark):
+    """Lee-et-al-style exact-substring dedup in token space: shared
+    >=T-token runs across docs are reported as merged spans (adjacent
+    seed windows coalesce); removal cuts every occurrence (matching the
+    public reference implementation) and leaves the rest byte-intact."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, "intro words here " + shared + " tail one"),
+        (2, "other doc starts " + shared + " different ending words"),
+        (3, "no duplicated content in this document at all whatsoever"),
+        (4, shared + " " + shared),      # self-repeat: one merged span
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dedupe.exact_substring_spans(df, min_tokens=8)
+    got = sorted((r["doc_id"], r["start"], r["end"]) for r in spans.collect())
+    assert got == [(1, 4, 12), (2, 4, 12), (4, 1, 17)]
+
+    clean = {r["doc_id"]: r["text"]
+             for r in dedupe.remove_duplicate_spans(df, spans).collect()}
+    assert clean[1] == "intro words here tail one"
+    assert clean[2] == "other doc starts different ending words"
+    assert clean[3] == rows[2][1]     # untouched doc passes through
+    assert clean[4] == ""             # fully duplicated doc -> empty
+    assert clean[5] == ""
+
+    # a 7-token overlap must NOT fire at T=8
+    df2 = spark.createDataFrame(
+        [(1, "x " + " ".join(shared.split()[:7])),
+         (2, "y " + " ".join(shared.split()[:7]))],
+        "doc_id long, text string")
+    assert dedupe.exact_substring_spans(df2, min_tokens=8).count() == 0
+
+    # overlapping (non-identical) windows merge into ONE maximal span:
+    # 10 shared tokens -> seeds at 3 consecutive positions -> one span
+    shared10 = shared + " iota kappa"
+    df3 = spark.createDataFrame(
+        [(1, "pre " + shared10), (2, shared10 + " post")],
+        "doc_id long, text string")
+    got3 = sorted((r["doc_id"], r["start"], r["end"])
+                  for r in dedupe.exact_substring_spans(df3, min_tokens=8).collect())
+    assert got3 == [(1, 2, 12), (2, 1, 11)]

@@ -392,6 +392,108 @@ def dedup_keep_one(df: DataFrame, pairs: DataFrame,
     return df.join(losers, id_col, "left_anti")
 
 
+def exact_substring_spans(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", min_tokens: int = 50,
+                          oracle_safe: bool = False) -> DataFrame:
+    """Exact-substring duplicate detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" shape, in
+    token space): every run of >= ``min_tokens`` whitespace tokens that
+    occurs at two or more positions corpus-wide is reported as a merged
+    per-document span ``(doc_id, start, end)`` (token indices, 1-based,
+    end exclusive). Runs that start mid-token are caught at the next
+    token boundary — the documented approximation of byte-level suffix
+    arrays, which Lee et al. themselves apply in (BPE) token space.
+
+    Scale shape — no suffix array, no global sort:
+
+    1. seed grams: each doc emits (pos, hash(T-token window)) for every
+       window — a pure map; the shuffle key is the 64-bit hash, never
+       the gram text (~8 bytes/position instead of ~6·T);
+    2. duplicated-hash candidates: one narrow groupBy(hash) with
+       map-side partial counts, keep count >= 2;
+    3. verify: the gram TEXT is re-derived only for candidate positions
+       (duplicated text is a small fraction of a crawl) and grouped by
+       the full gram — 64-bit collisions cannot produce false spans, so
+       the result is exact at any corpus size;
+    4. per-doc interval merge of surviving seed windows [pos, pos+T) —
+       an in-row fold after one doc-keyed regroup of bare positions.
+
+    Feed the spans to ``remove_duplicate_spans`` to cut them out.
+    """
+    T = int(min_tokens)
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+
+    def gram_at(t: Column, i: Column) -> Column:
+        return F.array_join(F.slice(t, i, T), " ")
+
+    nt = F.size(tokens_col(F.col("_t")))
+    pos_df = (base.select(
+        "_id", "_t",
+        F.explode(F.when(nt >= T, F.sequence(F.lit(1), nt - F.lit(T - 1)))
+                  .otherwise(F.array().cast("array<int>"))).alias("pos"))
+        .select("_id", "pos",
+                _hash64(gram_at(tokens_col(F.col("_t")), F.col("pos")), 0,
+                        oracle_safe).alias("ghash")))
+    cand_hashes = (pos_df.groupBy("ghash").agg(F.count(F.lit(1)).alias("c"))
+                   .filter(F.col("c") >= 2).select("ghash"))
+    cand = pos_df.join(cand_hashes, "ghash", "left_semi")
+    cand_txt = (cand.join(base, "_id")
+                .select("_id", "pos",
+                        gram_at(tokens_col(F.col("_t")), F.col("pos"))
+                        .alias("gram")))
+    seeds = (cand_txt.withColumn(
+                "_c2", F.count(F.lit(1)).over(W.partitionBy("gram")))
+             .filter(F.col("_c2") >= 2).select("_id", "pos"))
+
+    def merge(ps: Column) -> Column:
+        empty = F.array().cast("array<struct<start:int,end:int>>")
+        return F.aggregate(
+            ps, empty,
+            lambda acc, p: F.when(
+                (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["end"]),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.struct(
+                        F.element_at(acc, -1)["start"].alias("start"),
+                        F.greatest(F.element_at(acc, -1)["end"],
+                                   p + T).cast("int").alias("end"))))
+            ).otherwise(F.concat(acc, F.array(F.struct(
+                p.cast("int").alias("start"),
+                (p + T).cast("int").alias("end"))))))
+
+    return (seeds.groupBy("_id")
+            .agg(F.array_sort(F.collect_list("pos")).alias("_ps"))
+            .select(F.col("_id").alias(id_col),
+                    F.explode(merge(F.col("_ps"))).alias("_s"))
+            .select(id_col, F.col("_s.start").alias("start"),
+                    F.col("_s.end").alias("end")))
+
+
+def remove_duplicate_spans(df: DataFrame, spans: DataFrame,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Cut the spans reported by ``exact_substring_spans`` out of each
+    document: tokens whose (1-based) index falls inside any span are
+    dropped, the rest are rejoined by single spaces. Documents with no
+    span pass through with whitespace-normalized text (same token
+    sequence). One doc-keyed join; the cut itself is in-row."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start", "end")).alias("_spans"))
+    joined = df.join(sp, id_col, "left")
+    toks = tokens_col(F.col(text_col))
+    kept = F.filter(
+        F.zip_with(toks, F.sequence(F.lit(1), F.size(toks)),
+                   lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda e: ~F.coalesce(
+            F.exists(F.col("_spans"),
+                     lambda s: (e["i"] >= s["start"]) & (e["i"] < s["end"])),
+            F.lit(False)))
+    out_text = F.when(F.size(toks) > 0,
+                      F.array_join(F.transform(kept, lambda e: e["t"]), " ")) \
+                .otherwise(F.col(text_col))
+    return joined.withColumn(text_col, out_text).drop("_spans")
+
+
 def snapshot_fingerprints(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", k: int = 3,
                           n_perm: int = 32, n_bands: int = 8,
