@@ -887,6 +887,26 @@ def q_exact_substring(spark, sf):  # dedupe: Lee-et-al exact-substring spans
             .orderBy("doc_id", "start"))
 
 
+def q_text_fix(spark, sf):  # textops.fix_text: ftfy-lite normalization
+    """Crawl-text normalization over planted broken inputs (real cp1252
+    mojibake generated from the clean strings, raw control characters,
+    exotic unicode spaces, zero-widths). The Spark side runs the REAL
+    operator; the oracle states the expected clean text per shape."""
+    from wine_label_ocr_spark.operators.textops import fix_text
+
+    def moji(good: str) -> str:
+        return good.encode("utf-8").decode("cp1252", errors="ignore")
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    m = F.pmod(F.col("doc_id"), F.lit(4))
+    raw = (F.when(m == 0, F.lit(moji("café déjà vu")))
+           .when(m == 1, F.lit(moji("“quote") + "â€\x9d" + moji(" ’s – — …")))
+           .when(m == 2, F.lit("a\x00b\x07c\u00a0d\u200be\u3000f"))
+           .otherwise(F.lit("plain text")))
+    return (d.select("doc_id", fix_text(raw).alias("fixed"))
+            .orderBy("doc_id"))
+
+
 def q_dedup_decisions(spark, sf):  # J2/J3 fuzzy ingest decisions (rows-only)
     from wine_label_ocr_spark.operators.similarity import fuzzy_match_decisions
     d = _t(spark, sf, "documents")
@@ -1034,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "blocklist_filter": q_blocklist_filter,
         "exact_substring": q_exact_substring,
+        "text_fix": q_text_fix,
         "media_pixels": q_media_pixels,
         "interval_join": q_interval_join,
         "warc_extract": q_warc_extract,
@@ -1850,6 +1871,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(pos) + 8 AS INT) AS "end"
             FROM isl GROUP BY doc_id, grp
             ORDER BY doc_id, start
+        """,
+        "text_fix": """
+            -- planted broken inputs; expected clean text in closed form
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CASE doc_id % 4
+                WHEN 0 THEN 'caf\u00e9 d\u00e9j\u00e0 vu'
+                WHEN 1 THEN '\u201cquote\u201d \u2019s \u2013 \u2014 \u2026'
+                WHEN 2 THEN 'abc de f'
+                ELSE 'plain text'
+              END AS fixed
+            FROM documents
+            ORDER BY doc_id
         """,
         "blocklist_filter": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

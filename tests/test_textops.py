@@ -380,3 +380,39 @@ def test_canonical_url_rules(spark):
     df2 = df.select(T.canonical_url(F.col("url")).alias("c")).filter("c is not null")
     twice = df2.select("c", T.canonical_url(F.col("c")).alias("cc")).collect()
     assert all(r["c"] == r["cc"] for r in twice)
+
+
+def test_fix_text_normalization(spark):
+    """Control-char strip (tab/newline/CR kept), unicode-space mapping,
+    zero-width removal, curated mojibake repair (incl. the prefix-unsafe
+    right double quote), idempotence, and ascii pass-through."""
+    moji = lambda s: s.encode("utf-8").decode("cp1252", errors="ignore")  # noqa: E731
+    rows = [
+        (1, moji("caf\u00e9 r\u00e9sum\u00e9")),
+        (2, moji("\u201cquoted\u201d and \u2019s \u2013 dash \u2026")),
+        (3, "bad\x00ctrl\x07chars\x1fand\x7fdel\x9d"),
+        (4, "a\u00a0b\u2003c\u202fd\u3000e"),
+        (5, "zw\u200bsp\u200cjn\ufeffbom"),
+        (6, "tabs\tand\nnewlines\rstay"),
+        (7, "plain ascii stays untouched"),
+        (8, ""),
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    got = {r["i"]: r["f"] for r in
+           df.select("i", T.fix_text(F.col("t")).alias("f")).collect()}
+    assert got[1] == "caf\u00e9 r\u00e9sum\u00e9"
+    assert got[2] == "\u201cquoted\u201d and \u2019s \u2013 dash \u2026"
+    assert got[3] == "badctrlcharsanddel"
+    assert got[4] == "a b c d e"
+    assert got[5] == "zwspjnbom"
+    assert got[6] == rows[5][1]
+    assert got[7] == rows[6][1]
+    assert got[8] == ""
+    # idempotent
+    twice = df.select(T.fix_text(T.fix_text(F.col("t"))).alias("a"),
+                      T.fix_text(F.col("t")).alias("b")).collect()
+    assert all(r["a"] == r["b"] for r in twice)
+    # fix_mojibake=False leaves mojibake alone but still cleans controls
+    raw = {r["i"]: r["f"] for r in df.select(
+        "i", T.fix_text(F.col("t"), fix_mojibake=False).alias("f")).collect()}
+    assert raw[1] == moji("caf\u00e9 r\u00e9sum\u00e9")

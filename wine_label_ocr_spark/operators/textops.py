@@ -388,6 +388,58 @@ def pack_sequences(df: DataFrame, budget_tokens: int = 512,
         .cast("bigint").alias("bin_id"))
 
 
+# the high-frequency UTF-8-decoded-as-Latin-1/Win-1252 mojibake pairs — the
+# curated-table approach (vs a full ftfy re-decode, which needs per-row
+# Python): these cover the overwhelming majority of broken sequences in web
+# crawls (common accented Latin letters + the Win-1252 punctuation block).
+def _mojibake_of(good: str) -> str:
+    """The UTF-8-bytes-read-as-cp1252 rendering of ``good``, with the two
+    normalizations that run before the repair pass already applied
+    (unmapped cp1252 bytes drop — e.g. 0x9D in the right double quote —
+    and NBSP becomes a plain space, as _USPACE_RE will have done)."""
+    return (good.encode("utf-8").decode("cp1252", errors="ignore")
+            .replace("\xa0", " "))
+
+
+# longest mojibake first, so a bare prefix (the right double quote's
+# "broken" 2-char form) can never clobber a longer sequence
+MOJIBAKE_PAIRS = tuple(sorted(
+    ((_mojibake_of(g), g) for g in
+     "\u2019\u201c\u201d\u2013\u2014\u2026"   # ’ “ ” – — …
+     "\u00e9\u00e8\u00ea\u00e0\u00e7"          # é è ê à ç
+     "\u00fc\u00f6\u00e4\u00f1"),               # ü ö ä ñ
+    key=lambda pr: -len(pr[0])))
+
+# C0/C1 control characters except \t \n \r — never legitimate in web
+# text. \x{...} escapes are the Java-regex ∩ RE2 shared syntax (so the
+# DuckDB oracle can run the identical pattern).
+_CONTROL_RE = r"[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{84}\x{86}-\x{9F}]"
+# exotic unicode spaces → plain space (NBSP, Ogham, en/em/thin, NNBSP,
+# medium mathematical, ideographic)
+_USPACE_RE = r"[\x{A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]"
+# zero-width characters: ZWSP/ZWNJ/ZWJ/BOM
+_ZEROW_RE = r"[\x{200B}\x{200C}\x{200D}\x{FEFF}]"
+
+
+def fix_text(text: Column, fix_mojibake: bool = True) -> Column:
+    """Crawl-text normalization (the ftfy-lite step every CC pipeline
+    runs before filtering): strip C0/C1 control characters (keeping
+    tab/newline/CR), map exotic unicode spaces to plain spaces, drop
+    zero-width characters (ZWSP/ZWNJ/ZWJ/BOM), and repair the
+    high-frequency UTF-8-as-Latin-1 mojibake sequences from a curated
+    table (``MOJIBAKE_PAIRS``). All JVM-side ``replace``/``regexp``
+    chains — RE2-safe, reproducible in the DuckDB oracle; a full ftfy
+    re-decode would need per-row Python and is deliberately out of
+    scope. Idempotent on its own output."""
+    out = F.regexp_replace(text, _CONTROL_RE, "")
+    out = F.regexp_replace(out, _USPACE_RE, " ")
+    out = F.regexp_replace(out, _ZEROW_RE, "")
+    if fix_mojibake:
+        for bad, good in MOJIBAKE_PAIRS:
+            out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
 def host_of(url: Column) -> Column:
     """Host component of an http(s) URL (RE2-safe regexp, shared with the
     DuckDB oracle) — the grouping key for host-level skew analysis, crawl
