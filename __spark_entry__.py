@@ -907,6 +907,45 @@ def q_text_fix(spark, sf):  # textops.fix_text: ftfy-lite normalization
             .orderBy("doc_id"))
 
 
+def q_image_dhash(spark, sf):  # multimodal: perceptual image fingerprint
+    """Perceptual dHash over planted block-pattern PNGs (gray, cycling
+    filters, every 3rd Adam7-interlaced): the engine runs the full
+    decode → luma → 8×9 block-mean → gradient-sign path; the oracle
+    derives the expected 64-bit hash from the planted pattern directly
+    (no bytes touched) — an independent derivation, not a shared code
+    path."""
+    from wine_label_ocr_spark.fixtures import documents_as_media_dhash
+    from wine_label_ocr_spark.operators.multimodal import image_dhash
+    pages = documents_as_media_dhash(spark, sf)
+    return (image_dhash(pages, id_col="url")
+            .select("url", "dhash", "decode_ok").orderBy("url"))
+
+
+def _dhash_oracle_sql() -> str:
+    from wine_label_ocr_spark.fixtures import DHASH_PATTERNS
+
+    def expected(pat) -> int:
+        bits = 0
+        for r in range(8):
+            for c in range(8):
+                if pat[c] > pat[c + 1]:
+                    bits |= 1 << (r * 8 + c)
+        return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+    cases = "\n".join(
+        f"                WHEN {i} THEN CAST({expected(p)} AS BIGINT)"
+        for i, p in enumerate(DHASH_PATTERNS))
+    return f"""
+        SELECT 'dhash:' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
+               CASE doc_id % 8
+{cases}
+               END AS dhash,
+               TRUE AS decode_ok
+        FROM documents
+        ORDER BY url
+    """
+
+
 def q_dedup_decisions(spark, sf):  # J2/J3 fuzzy ingest decisions (rows-only)
     from wine_label_ocr_spark.operators.similarity import fuzzy_match_decisions
     d = _t(spark, sf, "documents")
@@ -1055,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "exact_substring": q_exact_substring,
         "text_fix": q_text_fix,
+        "image_dhash": q_image_dhash,
         "media_pixels": q_media_pixels,
         "interval_join": q_interval_join,
         "warc_extract": q_warc_extract,
@@ -1804,6 +1844,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "incremental_dedup": _incremental_oracle_sql(16, 4, 3),
+        "image_dhash": _dhash_oracle_sql(),
         "quality_classifier": """
             -- md5-flavor hashed uni+bi-gram buckets; weight(b) = b%2001-1000
             WITH t AS (

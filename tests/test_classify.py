@@ -95,3 +95,45 @@ def test_host_suffixes_and_blocklist(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_image_dhash_and_near_dup(spark):
+    """dHash: decode->luma->block-mean->gradient; identical rasters hash
+    equal through different PNG encodings (filters/interlace), a lightly
+    perturbed copy lands within hamming<=4, a different pattern far
+    away; image_near_dup finds exactly the planted pairs via the banded
+    pigeonhole join; undecodable payloads keep a row (decode_ok=false)."""
+    import numpy as np
+    from wine_label_ocr_spark.operators.multimodal import (
+        dhash64_raster, encode_png, image_dhash, image_near_dup)
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (64, 72), dtype=np.uint8)
+    near = base.copy()
+    near[0:4, 0:4] ^= 3            # tiny local perturbation
+    far = rng.integers(0, 256, (64, 72), dtype=np.uint8)
+
+    h_base = dhash64_raster(base[:, :, None])
+    h_near = dhash64_raster(near[:, :, None])
+    h_far = dhash64_raster(far[:, :, None])
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(h_base, h_near) <= 4
+    assert ham(h_base, h_far) > 10
+
+    rows = [("a", encode_png(base)),
+            ("b", encode_png(base, filters=[4, 3, 2, 1, 0], interlace=True)),
+            ("c", encode_png(near)),
+            ("d", encode_png(far)),
+            ("junk", b"not a png")]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    hashed = image_dhash(df)
+    got = {r["url"]: (r["dhash"], r["decode_ok"]) for r in hashed.collect()}
+    assert got["a"] == (h_base, True)
+    assert got["a"][0] == got["b"][0]      # encoding-invariant
+    assert got["junk"] == (None, False)
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_near_dup(hashed, max_hamming=4).collect()}
+    assert ("a", "b") in pairs and pairs[("a", "b")] == 0
+    assert ("a", "c") in pairs and ("b", "c") in pairs
+    assert not any("d" in p or "junk" in p for p in pairs)

@@ -332,6 +332,42 @@ def documents_as_media_pixels(spark, sf_dir: str):
         gen, schema="url string, payload binary, media_type string")
 
 
+# 8 deterministic 9-value luma patterns for the dHash gate: each image is
+# 8 rows × 9 two-pixel-wide blocks of constant gray, so the 8×9 block
+# means equal the pattern EXACTLY and the expected dHash is derivable
+# without touching bytes (closed-form oracle; the engine still runs the
+# full decode → luma → block-mean → gradient path).
+DHASH_PATTERNS = tuple(tuple((17 * (i + 1) * (j + 3)) % 256 for j in range(9))
+                       for i in range(8))
+
+
+def documents_as_media_dhash(spark, sf_dir: str):
+    """documents.parquet → grayscale block-pattern PNGs for the
+    perceptual-hash gate (row filters cycle 0..4 as usual; every 3rd doc
+    Adam7-interlaced — same raster, so the expected hash is unchanged
+    but an interlace-skipping decoder fails)."""
+    from collections.abc import Iterable, Iterator
+
+    from .operators.multimodal import encode_png
+
+    def gen(batches: Iterable) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                pat = DHASH_PATTERNS[i % 8]
+                arr = np.repeat(np.array(pat, dtype=np.uint8), 2)[None, :] \
+                        .repeat(8, axis=0)
+                png = encode_png(arr, interlace=(i % 3 == 0))
+                rows.append((f"dhash:{i:09d}", png))
+            yield pd.DataFrame(rows, columns=["url", "payload"])
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return d.mapInPandas(gen, schema="url string, payload binary")
+
+
 def pages_pandas(n: int, offset: int = 0):
     """Small-scale generation → pandas DataFrame (tests)."""
     import pandas as pd

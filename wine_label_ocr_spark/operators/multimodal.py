@@ -438,6 +438,97 @@ def extract_media_features(df: DataFrame, payload_col: str = "payload",
              .mapInPandas(run, schema=FEATURES_DDL)
 
 
+def dhash64_raster(arr) -> int:
+    """64-bit difference hash (dHash) of an (h, w, c) uint8 raster —
+    the standard perceptual image fingerprint (public algorithm:
+    luma → 8×9 block means → horizontal-gradient sign bits). All
+    integer math (floor-divide luma, floor block boundaries, integer
+    block means) so the hash is bit-reproducible everywhere. Returns a
+    SIGNED 64-bit int (two's complement) to match Spark's bigint."""
+    import numpy as np
+    a = np.asarray(arr, dtype=np.int64)
+    h, w = a.shape[0], a.shape[1]
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.shape[2] >= 3:
+        luma = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+    else:
+        luma = a[:, :, 0]
+    ys = [(r * h) // 8 for r in range(9)]
+    xs = [(c * w) // 9 for c in range(10)]
+    means = np.zeros((8, 9), dtype=np.int64)
+    for r in range(8):
+        y0, y1 = ys[r], max(ys[r + 1], ys[r] + 1)
+        for c in range(9):
+            x0, x1 = xs[c], max(xs[c + 1], xs[c] + 1)
+            blk = luma[min(y0, h - 1):min(y1, h), min(x0, w - 1):min(x1, w)]
+            means[r, c] = int(blk.sum()) // max(blk.size, 1)
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            if means[r, c] > means[r, c + 1]:
+                bits |= 1 << (r * 8 + c)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def image_dhash(df: DataFrame, id_col: str = "url",
+                payload_col: str = "payload") -> DataFrame:
+    """PNG payloads → perceptual dHash: ``(id, dhash, decode_ok)`` via
+    one Arrow-batched ``mapInPandas`` (pure map — inherits partitioning,
+    zero Exchange). Non-decodable payloads come back with
+    ``decode_ok=false`` and a NULL hash rather than vanishing (ST8
+    policy). Feed the result to ``image_near_dup`` for banded pairing."""
+    def run(batches: Iterable) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for key, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = decode_png(bytes(payload) if payload is not None else b"")
+                if arr is None:
+                    out.append((key, None, False))
+                else:
+                    out.append((key, dhash64_raster(arr), True))
+            yield pd.DataFrame(out, columns=[id_col, "dhash", "decode_ok"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} string, dhash bigint, decode_ok boolean")
+
+
+def image_near_dup(hashed: DataFrame, id_col: str = "url",
+                   hash_col: str = "dhash", max_hamming: int = 4,
+                   n_bands: int = 8, max_bucket: int = 200) -> DataFrame:
+    """Near-duplicate image pairs from dHashes — the SimHash banded
+    pigeonhole machinery reused verbatim: with ``n_bands`` disjoint bit
+    slices, any pair within ``max_hamming < n_bands`` bits shares at
+    least one identical band (full recall), so candidates come from one
+    narrow (band, bits) equi-join with the hot-bucket guard, then exact
+    ``hamming64`` verification. Never compares across buckets."""
+    from .dedupe import hamming64, simhash_bands
+
+    base = hashed.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+    buck = (base.select(
+        "_id", "_h",
+        F.explode(simhash_bands(F.col("_h"), n_bands)).alias("_b"))
+        .select("_id", "_h", F.col("_b.band").alias("band"),
+                F.col("_b.bits").alias("bits")))
+    from pyspark.sql import Window as _W
+    sized = buck.withColumn(
+        "_bn", F.count("*").over(_W.partitionBy("band", "bits")))
+    buck = sized.filter(F.col("_bn") <= max_bucket).drop("_bn")
+    a, b = buck.alias("a"), buck.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bits") == F.col("b.bits"))
+                    & (F.col("a._id") < F.col("b._id")))
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"),
+                     F.col("a._h").alias("_ha"), F.col("b._h").alias("_hb"))
+             .dropDuplicates(["id_a", "id_b"]))
+    return (pairs.withColumn("hamming", hamming64(F.col("_ha"), F.col("_hb")))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming")))
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 2) -> DataFrame:
     """Video frame-sampling as a plan: explode frame indices (metadata-only
     here; a real decoder would emit one row per sampled frame's pixels)."""
