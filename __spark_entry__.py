@@ -946,6 +946,20 @@ def _dhash_oracle_sql() -> str:
     """
 
 
+def q_audio_features(spark, sf):  # multimodal: real WAV decode + FFT
+    """Spectral features over planted pure-tone WAVs (16-bit PCM, exact
+    FFT-bin frequencies → zero leakage): the engine decodes RIFF bytes
+    and FFTs; the oracle states the closed-form dominant bin per
+    doc_id."""
+    from wine_label_ocr_spark.fixtures import documents_as_media_audio
+    from wine_label_ocr_spark.operators.multimodal import audio_features
+    pages = documents_as_media_audio(spark, sf)
+    return (audio_features(pages, id_col="url")
+            .select("url", "sample_rate", "n_samples", "dominant_bin",
+                    "dominant_freq_mhz", "decode_ok")
+            .orderBy("url"))
+
+
 def q_dedup_decisions(spark, sf):  # J2/J3 fuzzy ingest decisions (rows-only)
     from wine_label_ocr_spark.operators.similarity import fuzzy_match_decisions
     d = _t(spark, sf, "documents")
@@ -1095,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring": q_exact_substring,
         "text_fix": q_text_fix,
         "image_dhash": q_image_dhash,
+        "audio_features": q_audio_features,
         "media_pixels": q_media_pixels,
         "interval_join": q_interval_join,
         "warc_extract": q_warc_extract,
@@ -1845,6 +1860,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "incremental_dedup": _incremental_oracle_sql(16, 4, 3),
         "image_dhash": _dhash_oracle_sql(),
+        "audio_features": """
+            SELECT 'audio:' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
+                   8192 AS sample_rate,
+                   2048 AS n_samples,
+                   CAST(32 + doc_id % 64 AS INT) AS dominant_bin,
+                   CAST((32 + doc_id % 64) * 8000 AS BIGINT) AS dominant_freq_mhz,
+                   TRUE AS decode_ok
+            FROM documents
+            ORDER BY url
+        """,
         "quality_classifier": """
             -- md5-flavor hashed uni+bi-gram buckets; weight(b) = b%2001-1000
             WITH t AS (

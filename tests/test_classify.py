@@ -137,3 +137,33 @@ def test_image_dhash_and_near_dup(spark):
     assert ("a", "b") in pairs and pairs[("a", "b")] == 0
     assert ("a", "c") in pairs and ("b", "c") in pairs
     assert not any("d" in p or "junk" in p for p in pairs)
+
+
+def test_wav_codec_and_audio_features(spark):
+    """WAV PCM roundtrip (mono + stereo), FFT dominant bin on exact-bin
+    tones, truncation tolerance, and non-WAV rows kept with
+    decode_ok=false."""
+    import numpy as np
+    from wine_label_ocr_spark.operators.multimodal import (
+        audio_features, decode_wav, encode_wav)
+
+    t = np.arange(2048)
+    tone = lambda k: np.round(9000.0 * np.sin(2 * np.pi * k * t / 1024.0)) \
+        .astype(np.int16)  # noqa: E731
+    s = tone(40)
+    wav = encode_wav(s, 8192)
+    back = decode_wav(wav)
+    assert back is not None and back[1] == 8192
+    assert (back[0][:, 0] == s).all()
+
+    rows = [("a", bytes(wav)), ("b", bytes(encode_wav(tone(100), 8192))),
+            ("short", bytes(encode_wav(tone(40)[:500], 8192))),
+            ("junk", b"RIFFxxxxWAVEnope")]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r["url"]: r for r in audio_features(df).collect()}
+    assert got["a"]["dominant_bin"] == 40
+    assert got["a"]["dominant_freq_mhz"] == 40 * 8000  # 320 Hz in mHz
+    assert got["b"]["dominant_bin"] == 100
+    assert got["short"]["decode_ok"] is False   # < n_fft samples
+    assert got["junk"]["decode_ok"] is False
+    assert len(got) == 4                         # no row vanishes

@@ -368,6 +368,35 @@ def documents_as_media_dhash(spark, sf_dir: str):
     return d.mapInPandas(gen, schema="url string, payload binary")
 
 
+def documents_as_media_audio(spark, sf_dir: str):
+    """documents.parquet → REAL 16-bit PCM WAV payloads: one pure tone
+    per doc at an EXACT FFT-bin frequency (rate 8192, n_fft 1024 ⇒ bin k
+    = k·8 Hz; k = 32 + doc_id % 64), 2048 samples. Integer periods per
+    window mean zero spectral leakage, so the dominant bin is a
+    closed-form function of doc_id the oracle states directly, while the
+    engine runs the full RIFF-decode → FFT path on real bytes."""
+    from collections.abc import Iterable, Iterator
+
+    from .operators.multimodal import encode_wav
+
+    def gen(batches: Iterable) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            t = np.arange(2048)
+            for i in pdf["doc_id"]:
+                i = int(i)
+                k = 32 + i % 64
+                s = np.round(9000.0 * np.sin(2 * np.pi * k * t / 1024.0))
+                rows.append((f"audio:{i:09d}",
+                             encode_wav(s.astype(np.int16), 8192)))
+            yield pd.DataFrame(rows, columns=["url", "payload"])
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return d.mapInPandas(gen, schema="url string, payload binary")
+
+
 def pages_pandas(n: int, offset: int = 0):
     """Small-scale generation → pandas DataFrame (tests)."""
     import pandas as pd
