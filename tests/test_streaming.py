@@ -421,3 +421,54 @@ def test_interval_join_stream_watermark_evicts_state_symmetrically(spark, tmp_pa
                      rows_df(a_right + b_right + c_right),
                      bound_sec=5.0, watermark="10 seconds").collect()}
     assert (130, 220) in all_pairs and (120, 230) in all_pairs
+
+
+def test_dedup_stream_first_arrival_wins(spark, tmp_path):
+    """Streaming exact dedup ≡ batch exact dedup on the same drain (one
+    row per content key), exactly-once across micro-batches: a duplicate
+    arriving in a LATER micro-batch is dropped by the checkpointed key
+    state; whitespace-variant duplicates collapse (same canonical key)."""
+    import glob
+    import shutil
+
+    rows_a = [("u1", "the same content here"),
+              ("u2", "something else entirely")]
+    rows_b = [("u3", "the  same   content here"),   # ws-variant dup of u1
+              ("u4", "fresh in batch two")]
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+
+    def ship(rows, name, mtime):
+        import os
+        stage = str(tmp_path / f"dd_stage_{name}")
+        spark.createDataFrame(rows, "url string, text string") \
+            .coalesce(1).write.parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        dest = str(src / f"{name}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    base = 1_700_000_000
+    ship(rows_a, "a", base)
+    ship(rows_b, "b", base + 100)
+
+    from wine_label_ocr_spark.streaming.extract_stream import dedup_stream
+    st = (spark.readStream.schema("url string, text string")
+          .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (dedup_stream(st)
+         .writeStream.format("memory").queryName("dd_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "dd_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2  # really two micro-batches
+    got = {r["url"] for r in spark.sql("select * from dd_out").collect()}
+    assert got == {"u1", "u2", "u4"}  # u3 deduped across batches
+
+    # batch twin keeps one row per key too (tie-break differs by design)
+    from wine_label_ocr_spark.operators.dedupe import exact_dedup
+    allrows = spark.createDataFrame(rows_a + rows_b, "url string, text string")
+    batch = exact_dedup(allrows.withColumn("doc_id", F.xxhash64("url")),
+                        id_col="doc_id")
+    assert batch.count() == 3

@@ -26,7 +26,7 @@ Scale/ops notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..fixtures import PAGES_DDL
 from ..plans.pipeline import extract_records
@@ -65,3 +65,31 @@ def run_extract_stream(spark: SparkSession, input_dir: str, output_dir: str,
          .start())
     q.awaitTermination()
     return q
+
+
+def dedup_stream(stream_df: DataFrame, text_col: str = "text",
+                 ts_col: str | None = None,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival per content key
+    (whitespace-canonicalized md5, same key as the batch
+    ``dedupe.exact_dedup``) — the ingest-time twin of batch dedup for a
+    continuously-arriving crawl.
+
+    With ``ts_col`` set, ``dropDuplicatesWithinWatermark`` bounds the
+    key state to the watermark horizon — the production shape: state
+    size is (keys seen within the lateness window), not (keys ever
+    seen), so the query runs forever. Without ``ts_col`` the state is
+    unbounded (backfill/drain jobs only, e.g. ``availableNow``).
+
+    First-arrival-wins differs from the batch min-id tie-break by
+    design: a stream has an arrival order, a snapshot doesn't; on the
+    same single drain both keep exactly one row per key (pinned by
+    test)."""
+    from ..operators.dedupe import content_key
+    keyed = stream_df.withColumn("_ck", content_key(F.col(text_col)))
+    if ts_col is not None:
+        out = (keyed.withWatermark(ts_col, watermark)
+               .dropDuplicatesWithinWatermark(["_ck"]))
+    else:
+        out = keyed.dropDuplicates(["_ck"])
+    return out.drop("_ck")
