@@ -960,6 +960,69 @@ def q_audio_features(spark, sf):  # multimodal: real WAV decode + FFT
             .orderBy("url"))
 
 
+def q_outlinks(spark, sf):  # graph: href extraction for frontier/link graph
+    """Outlink extraction over planted html (absolute/uppercase-HREF/
+    fragment-only/relative shapes). Spark runs the real operator; the
+    DuckDB twin runs the IDENTICAL RE2-safe pattern."""
+    from wine_label_ocr_spark.operators.graph import extract_outlinks
+    d = _t(spark, sf, "documents").select("doc_id")
+    a = F.pmod(F.col("doc_id"), F.lit(20)).cast("string")
+    b = F.pmod(F.col("doc_id") * 3, F.lit(20)).cast("string")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<p>t</p><a href="https://site'), a, F.lit('.com/x/'), did,
+        F.lit('">1</a><A HREF=\'https://site'), b, F.lit(".com/y'>2</A>"),
+        F.lit('<a href="#s">n</a><a href="/rel/'), did, F.lit('">r</a>'))
+    pages = d.select(F.concat(F.lit("doc:"), did).alias("url"),
+                     html.alias("html"))
+    return extract_outlinks(pages).orderBy("src", "href")
+
+
+def q_pagerank(spark, sf):  # graph: exact fixed-point PageRank
+    """Host PageRank over a deterministic edge list derived from
+    documents (src h(doc_id%20) → dst h((doc_id·7+3)%20), distinct;
+    every host has out-edges, so no dangling mass). All-bigint floor
+    math makes the ranks engine-exact; the oracle unrolls the 5
+    iterations as chained CTEs."""
+    from wine_label_ocr_spark.operators.graph import pagerank
+    d = _t(spark, sf, "documents").select("doc_id")
+    edges = d.select(
+        F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(20))
+                 .cast("string")).alias("src_host"),
+        F.concat(F.lit("h"), F.pmod(F.col("doc_id") * 7 + 3, F.lit(20))
+                 .cast("string")).alias("dst_host")).distinct()
+    return pagerank(edges, n_iters=5).orderBy("host")
+
+
+def _pagerank_oracle_sql(n_iters=5, damping=85, scale=1_000_000_000_000) -> str:
+    prev, chain = "pr0", []
+    for k in range(1, n_iters + 1):
+        chain.append(f"""
+        pr{k} AS (
+          SELECT n.host,
+                 CAST(({scale} * {100 - damping}) // 100 // (SELECT n FROM nn)
+                      + ({damping} * COALESCE(s.inflow, 0)) // 100 AS BIGINT)
+                     AS rank_scaled
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS host, SUM(p.rank_scaled // d.deg) AS inflow
+            FROM e JOIN {prev} p ON e.src = p.host
+                   JOIN deg d ON d.src = e.src
+            GROUP BY e.dst) s ON n.host = s.host)""")
+        prev = f"pr{k}"
+    return f"""
+        WITH e AS (
+          SELECT DISTINCT 'h' || (doc_id % 20) AS src,
+                          'h' || ((doc_id * 7 + 3) % 20) AS dst
+          FROM documents),
+        nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        pr0 AS (SELECT host, CAST({scale} // (SELECT n FROM nn) AS BIGINT)
+                    AS rank_scaled FROM nodes),{",".join(chain)}
+        SELECT host, rank_scaled FROM {prev} ORDER BY host
+    """
+
+
 def q_dedup_decisions(spark, sf):  # J2/J3 fuzzy ingest decisions (rows-only)
     from wine_label_ocr_spark.operators.similarity import fuzzy_match_decisions
     d = _t(spark, sf, "documents")
@@ -1110,6 +1173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fix": q_text_fix,
         "image_dhash": q_image_dhash,
         "audio_features": q_audio_features,
+        "outlinks": q_outlinks,
+        "pagerank": q_pagerank,
         "media_pixels": q_media_pixels,
         "interval_join": q_interval_join,
         "warc_extract": q_warc_extract,
@@ -1860,6 +1925,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "incremental_dedup": _incremental_oracle_sql(16, 4, 3),
         "image_dhash": _dhash_oracle_sql(),
+        "pagerank": _pagerank_oracle_sql(),
+        "outlinks": """
+            WITH base AS (
+              SELECT doc_id,
+                     'doc:' || doc_id AS url,
+                     '<p>t</p><a href="https://site' || (doc_id % 20)
+                     || '.com/x/' || doc_id || '">1</a><A HREF=''https://site'
+                     || ((doc_id * 3) % 20) || '.com/y''>2</A>'
+                     || '<a href="#s">n</a><a href="/rel/' || doc_id
+                     || '">r</a>' AS html
+              FROM documents)
+            SELECT url AS src,
+                   unnest(regexp_extract_all(html,
+                     '<[aA][^>]*\s(?i:href)\s*=\s*["'']([^"''#][^"'']*)["'']',
+                     1)) AS href
+            FROM base
+            ORDER BY src, href
+        """,
         "audio_features": """
             SELECT 'audio:' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
                    8192 AS sample_rate,
