@@ -1023,6 +1023,36 @@ def _pagerank_oracle_sql(n_iters=5, damping=85, scale=1_000_000_000_000) -> str:
     """
 
 
+def q_robots_gate(spark, sf):  # robots: crawl politeness verdicts
+    """robots.txt gating over planted per-host rule files and per-doc
+    paths: the engine parses the real robots bytes and runs the
+    longest-prefix verdict; the oracle states the expected allow per
+    (host shape, path shape) closed-form."""
+    from wine_label_ocr_spark.operators.robots import (
+        parse_robots_rules, robots_allowed)
+    r1 = "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+    r2 = ("User-agent: badbot\nDisallow: /\n\n"
+          "User-agent: *\nDisallow: /tmp/\n")
+    robots = spark.createDataFrame(
+        [("h0.com", r1), ("h1.com", "User-agent: *\nDisallow: /\n"),
+         ("h2.com", ""), ("h3.com", r2)],  # h4 intentionally absent
+        "host string, robots_txt string")
+    rules = parse_robots_rules(robots)
+    d = _t(spark, sf, "documents").select("doc_id")
+    h = F.pmod(F.col("doc_id"), F.lit(5)).cast("string")
+    p = F.pmod(F.col("doc_id"), F.lit(4))
+    path = (F.when(p == 0, F.lit("/public/x"))
+            .when(p == 1, F.lit("/private/x"))
+            .when(p == 2, F.lit("/private/ok/x"))
+            .otherwise(F.lit("/tmp/z")))
+    urls = d.select("doc_id", F.concat(F.lit("https://h"), h, F.lit(".com"),
+                                       path).alias("url"))
+    return (robots_allowed(urls, rules)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "url", "allowed")
+            .orderBy("doc_id"))
+
+
 def q_dedup_decisions(spark, sf):  # J2/J3 fuzzy ingest decisions (rows-only)
     from wine_label_ocr_spark.operators.similarity import fuzzy_match_decisions
     d = _t(spark, sf, "documents")
@@ -1175,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "outlinks": q_outlinks,
         "pagerank": q_pagerank,
+        "robots_gate": q_robots_gate,
         "media_pixels": q_media_pixels,
         "interval_join": q_interval_join,
         "warc_extract": q_warc_extract,
@@ -1926,6 +1957,28 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _incremental_oracle_sql(16, 4, 3),
         "image_dhash": _dhash_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
+        "robots_gate": """
+            -- planted robots per host class; expected verdict closed-form:
+            -- h0: /private/ disallowed except /private/ok...; h1: all
+            -- disallowed; h2: empty robots; h3: /tmp/ disallowed; h4: no
+            -- robots row at all
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   'https://h' || (doc_id % 5) || '.com' ||
+                   CASE doc_id % 4
+                     WHEN 0 THEN '/public/x'
+                     WHEN 1 THEN '/private/x'
+                     WHEN 2 THEN '/private/ok/x'
+                     ELSE '/tmp/z'
+                   END AS url,
+                   CASE
+                     WHEN doc_id % 5 = 1 THEN FALSE
+                     WHEN doc_id % 5 = 0 AND doc_id % 4 = 1 THEN FALSE
+                     WHEN doc_id % 5 = 3 AND doc_id % 4 = 3 THEN FALSE
+                     ELSE TRUE
+                   END AS allowed
+            FROM documents
+            ORDER BY doc_id
+        """,
         "outlinks": """
             WITH base AS (
               SELECT doc_id,
