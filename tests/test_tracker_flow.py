@@ -183,3 +183,66 @@ def test_curation_funnel_counts_consistent(spark):
             >= rows["canonical"] > 0)
     assert curate_pages(pages, min_quality=0.0,
                         min_tokens=1).count() == rows["canonical"]
+
+
+def test_curate_pages_optional_ingest_stages(spark):
+    """The default-off ingest stages compose: a blocklisted host and a
+    robots-disallowed page disappear, mojibake is normalized before the
+    quality gates, docs already in the prior snapshot's fingerprint
+    store are dropped — and with every option off the output is
+    byte-identical to the plain capstone."""
+    from pyspark.sql import functions as F
+    from wine_label_ocr_spark.fixtures import pages_spark
+    from wine_label_ocr_spark.operators.dedupe import snapshot_fingerprints
+    from wine_label_ocr_spark.operators.robots import parse_robots_rules
+    from wine_label_ocr_spark.plans.curate import curate_pages
+
+    pages = pages_spark(spark, 60, partitions=4).cache()
+    plain = curate_pages(pages, min_quality=0.0, min_tokens=1)
+    base_urls = {r["url"] for r in plain.select("url").collect()}
+    assert len(base_urls) > 10
+
+    # with all options explicitly None/False: identical output
+    same = curate_pages(pages, min_quality=0.0, min_tokens=1,
+                        blocklist=None, robots_rules=None,
+                        normalize_text=False, prior_fps=None)
+    assert {r["url"] for r in same.select("url").collect()} == base_urls
+
+    # blocklist: pick one real host from the fixture and ban it
+    host = sorted(u.split("/")[2] for u in base_urls)[0]
+    bl = spark.createDataFrame([(host,)], "domain string")
+    blocked = curate_pages(pages, min_quality=0.0, min_tokens=1,
+                           blocklist=bl)
+    urls_b = {r["url"] for r in blocked.select("url").collect()}
+    assert not any(u.split("/")[2] == host for u in urls_b)
+    assert urls_b < base_urls
+
+    # robots: disallow everything on that host via rules
+    robots = spark.createDataFrame(
+        [(host, "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string")
+    polite = curate_pages(pages, min_quality=0.0, min_tokens=1,
+                          robots_rules=parse_robots_rules(robots))
+    urls_r = {r["url"] for r in polite.select("url").collect()}
+    assert urls_r == urls_b  # same pages gone, different mechanism
+
+    # prior_fps: fingerprint half the corpus as the "previous crawl";
+    # those documents must not survive the incremental stage
+    prior_recs = curate_pages(pages_spark(spark, 30, partitions=2),
+                              min_quality=0.0, min_tokens=1)
+    fps = snapshot_fingerprints(
+        prior_recs.withColumn("_did", F.xxhash64("url")), id_col="_did")
+    inc = curate_pages(pages, min_quality=0.0, min_tokens=1, prior_fps=fps)
+    urls_i = {r["url"] for r in inc.select("url").collect()}
+    prior_urls = {r["url"] for r in prior_recs.select("url").collect()}
+    assert urls_i.isdisjoint(prior_urls)
+    assert urls_i  # the second half survives
+
+    # normalize_text: output text passes fix_text unchanged (idempotent)
+    from wine_label_ocr_spark.operators.textops import fix_text
+    norm = curate_pages(pages, min_quality=0.0, min_tokens=1,
+                        normalize_text=True)
+    chk = norm.select((F.col("text") == fix_text(F.col("text")))
+                      .alias("ok")).collect()
+    assert all(r["ok"] for r in chk)
+    pages.unpersist()

@@ -29,13 +29,35 @@ from .skew import salted_agg
 
 def _curation_stages(pages: DataFrame, min_quality: float, min_tokens: int,
                      langs: tuple[str, ...], near_dup_jaccard: float,
-                     oracle_safe: bool = False):
+                     oracle_safe: bool = False,
+                     blocklist: DataFrame | None = None,
+                     robots_rules: DataFrame | None = None,
+                     normalize_text: bool = False,
+                     prior_fps: DataFrame | None = None):
     """The shared stage DAG: (records, candidates, unique, canonical).
 
     One construction used by both ``curate_pages`` (the product) and
     ``curation_funnel`` (its per-stage survivor counts, the driver gate)
-    so the gate certifies the capstone's real stages, not a twin."""
+    so the gate certifies the capstone's real stages, not a twin.
+
+    Optional ingest stages (all default-off so the certified funnel is
+    unchanged): ``blocklist`` (domain suffix filter, pre-extract — the
+    cheapest cut runs first), ``robots_rules`` (politeness verdicts,
+    pre-extract), ``normalize_text`` (``fix_text`` over the extracted
+    text — runs BEFORE the gates so quality scores see clean text),
+    ``prior_fps`` (crawl-over-crawl ``incremental_dedup`` between the
+    exact and near-dup stages)."""
+    if blocklist is not None:
+        from ..operators.classify import filter_blocklisted
+        pages = filter_blocklisted(pages, blocklist)
+    if robots_rules is not None:
+        from ..operators.robots import robots_allowed
+        pages = robots_allowed(pages, robots_rules) \
+            .filter(F.col("allowed")).drop("allowed")
     rec = extract_records(pages)
+    if normalize_text:
+        from ..operators.textops import fix_text
+        rec = rec.withColumn("text", fix_text(F.col("text")))
     cand = (rec.withColumn("_q", quality_score(F.col("text")))
             .withColumn("_nt", token_count(F.col("text")))
             .filter((F.col("_q") >= min_quality) & (F.col("_nt") >= min_tokens)))
@@ -45,6 +67,10 @@ def _curation_stages(pages: DataFrame, min_quality: float, min_tokens: int,
     # dedup ids must be stable & orderable: hash the url
     keyed = cand.withColumn("_did", F.xxhash64("url"))
     uniq = exact_dedup(keyed, text_col="text", id_col="_did")
+    if prior_fps is not None:
+        from ..operators.dedupe import incremental_dedup
+        uniq = incremental_dedup(uniq, prior_fps, id_col="_did",
+                                 oracle_safe=oracle_safe)
     pairs = minhash_lsh_pairs(uniq, id_col="_did", text_col="text",
                               min_jaccard=near_dup_jaccard,
                               oracle_safe=oracle_safe)
@@ -54,12 +80,21 @@ def _curation_stages(pages: DataFrame, min_quality: float, min_tokens: int,
 
 def curate_pages(pages: DataFrame, min_quality: float = 0.3,
                  min_tokens: int = 10, langs: tuple[str, ...] = (),
-                 near_dup_jaccard: float = 0.85) -> DataFrame:
+                 near_dup_jaccard: float = 0.85,
+                 blocklist: DataFrame | None = None,
+                 robots_rules: DataFrame | None = None,
+                 normalize_text: bool = False,
+                 prior_fps: DataFrame | None = None) -> DataFrame:
     """pages → curated records. Filters are pure maps over the extract
     output; dedup keeps the minimum-url-hash survivor per duplicate
-    cluster (deterministic across runs and partitionings)."""
+    cluster (deterministic across runs and partitionings). See
+    ``_curation_stages`` for the optional ingest stages (domain
+    blocklist, robots verdicts, text normalization, crawl-over-crawl
+    dedup)."""
     _, _, _, canonical = _curation_stages(
-        pages, min_quality, min_tokens, langs, near_dup_jaccard)
+        pages, min_quality, min_tokens, langs, near_dup_jaccard,
+        blocklist=blocklist, robots_rules=robots_rules,
+        normalize_text=normalize_text, prior_fps=prior_fps)
     return canonical.drop("_did")
 
 
