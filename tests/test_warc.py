@@ -235,3 +235,50 @@ def test_warc_malformed_envelope_degrades_to_raw():
     bad = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
            b"NOTHEX\r\nbody")
     assert strip_http_envelope(bad)[0] == b"NOTHEX\r\nbody"
+
+
+def test_wat_sidecar_roundtrip(spark, tmp_path):
+    """WAT export: metadata-type records whose JSON envelopes carry the
+    page's title and outlinks; readable back through the normal WARC
+    reader; distributed writer manifest accounts for every page."""
+    import glob
+    import gzip
+    import json
+    from datetime import datetime
+
+    from wine_label_ocr_spark.sources.warc import read_warc, write_wat_shards
+
+    rows = [
+        ("https://a.com/1", datetime(2024, 1, 1, 12, 0, 0),
+         b'<html><head><title>Page One</title></head>'
+         b'<a href="https://b.com/x">l</a><a href="/rel">r</a></html>', "en"),
+        ("https://a.com/2", datetime(2024, 1, 2, 12, 0, 0),
+         b"<html><body>no title no links</body></html>", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, lang string")
+    out = str(tmp_path / "wat")
+    manifest = write_wat_shards(pages, out, n_shards=2).collect()
+    assert sum(m["n_records"] for m in manifest) == 2
+    files = glob.glob(out + "/*.warc.gz")
+    assert files and not glob.glob(out + "/*.tmp")
+
+    # record type is metadata and the envelope parses
+    raw = gzip.decompress(open(files[0], "rb").read())
+    assert b"WARC-Type: metadata" in raw
+
+    back = {r["url"]: bytes(r["html"]).decode("utf-8")
+            for r in read_warc(spark, out + "/*.warc.gz",
+                               record_types=("metadata",)).collect()}
+    # the corpus reader (response-only) correctly sees an empty sidecar
+    assert read_warc(spark, out + "/*.warc.gz").count() == 0
+    assert set(back) == {"https://a.com/1", "https://a.com/2"}
+    env1 = json.loads(back["https://a.com/1"])["Envelope"]
+    assert env1["WARC-Header-Metadata"]["WARC-Target-URI"] == "https://a.com/1"
+    hm = env1["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+    assert hm["Head"]["Title"] == "Page One"
+    assert [e["url"] for e in hm["Links"]] == ["https://b.com/x", "/rel"]
+    env2 = json.loads(back["https://a.com/2"])["Envelope"]
+    hm2 = env2["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+    assert hm2["Head"]["Title"] is None
+    assert hm2["Links"] == []

@@ -57,7 +57,7 @@ import zlib as _zlib
 from collections.abc import Iterable, Iterator
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 WARC_PAGES_DDL = ("url string, warc_ts timestamp, html binary, lang string, "
                   "http_charset string")
@@ -222,6 +222,7 @@ def write_warc(path: str, rows: Iterable[dict], compress: bool = False,
 
 def parse_warc_bytes(
         blob: bytes,
+        record_types: tuple[str, ...] = ("response",),
 ) -> Iterator[tuple[str, datetime, bytes, str | None, str | None]]:
     """Split one shard's bytes into (url, ts, payload, lang, http_charset).
 
@@ -261,7 +262,7 @@ def parse_warc_bytes(
         if body_start + length > n:
             return  # truncated trailing record — tolerated, dropped
         pos = body_start + length
-        if headers.get("warc-type") != "response":
+        if headers.get("warc-type") not in record_types:
             continue
         url = headers.get("warc-target-uri")
         if not url:
@@ -282,7 +283,8 @@ def parse_warc_bytes(
 def write_warc_shards(pages: DataFrame, out_dir: str,
                       n_shards: int | None = None,
                       compress: bool = False,
-                      http_envelope: bool = False) -> DataFrame:
+                      http_envelope: bool = False,
+                      record_type: str = "response") -> DataFrame:
     """Distributed WARC export: one shard file per partition, written
     task-side with a write-tmp-then-atomic-rename protocol (a crashed task
     leaves only a .tmp orphan, never a half shard with a final name).
@@ -315,6 +317,7 @@ def write_warc_shards(pages: DataFrame, out_dir: str,
                 rec = pack(format_warc_record(
                     r.url, pd.Timestamp(r.ts).to_pydatetime(),
                     bytes(r.html), getattr(r, "lang", None),
+                    record_type=record_type,
                     http_envelope=http_envelope))
                 f.write(rec)
                 n += 1
@@ -333,7 +336,8 @@ def write_warc_shards(pages: DataFrame, out_dir: str,
         write_partition, schema="path string, n_records long, n_bytes long")
 
 
-def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+def read_warc(spark: SparkSession, path_glob: str,
+              record_types: tuple[str, ...] = ("response",)) -> DataFrame:
     """Distributed WARC scan → pages DataFrame (url, warc_ts, html, lang).
 
     One input row (= one task) per shard via the binaryFile source; the
@@ -346,7 +350,7 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
             rows = []
             for blob in pdf["content"]:
                 b = bytes(blob) if not isinstance(blob, bytes) else blob
-                rows.extend(parse_warc_bytes(b))
+                rows.extend(parse_warc_bytes(b, record_types))
             yield pd.DataFrame(
                 rows,
                 columns=["url", "warc_ts", "html", "lang", "http_charset"])
@@ -354,3 +358,58 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     return (spark.read.format("binaryFile").load(path_glob)
             .select("content")
             .mapInPandas(split, schema=WARC_PAGES_DDL))
+
+
+def build_wat_records(pages: DataFrame, url_col: str = "url",
+                      ts_col: str = "warc_ts",
+                      html_col: str = "html") -> DataFrame:
+    """pages → WAT-style metadata rows ``(url, warc_ts, html=json bytes,
+    lang=null)``: per page, a JSON envelope in the Common-Crawl WAT
+    shape — WARC header echo plus HTML metadata (head title, outlink
+    list). Built ENTIRELY with JVM column algebra (``to_json`` over a
+    nested struct; links via the shared ``graph.HREF_PATTERN`` regex),
+    so the sidecar derivation is a pure map feeding the same
+    distributed shard writer as the corpus itself
+    (``write_wat_shards``)."""
+    from ..operators.graph import HREF_PATTERN
+
+    html_str = F.col(html_col).cast("string")
+    title = F.nullif(
+        F.regexp_extract(html_str, r"(?i:<title[^>]*>)([^<]*)", 1), F.lit(""))
+    links = F.transform(
+        F.regexp_extract_all(html_str, F.lit(HREF_PATTERN), 1),
+        lambda u: F.struct(u.alias("url")))
+    envelope = F.struct(
+        F.struct(
+            F.col(url_col).alias("WARC-Target-URI"),
+            F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+             .alias("WARC-Date"),
+            F.lit("response").alias("WARC-Type"),
+        ).alias("WARC-Header-Metadata"),
+        F.struct(
+            F.struct(
+                F.struct(
+                    F.struct(title.alias("Title")).alias("Head"),
+                    links.alias("Links"),
+                ).alias("HTML-Metadata"),
+            ).alias("HTTP-Response-Metadata"),
+        ).alias("Payload-Metadata"),
+    )
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("warc_ts"),
+        F.to_json(F.struct(envelope.alias("Envelope")),
+                  {"ignoreNullFields": "false"}).cast("binary").alias("html"))
+
+
+def write_wat_shards(pages: DataFrame, out_dir: str,
+                     n_shards: int | None = None,
+                     compress: bool = True) -> DataFrame:
+    """Distributed WAT sidecar export: the Common-Crawl metadata
+    companion of a WARC/WET corpus — one ``metadata``-type WARC record
+    per page whose body is the JSON envelope from
+    ``build_wat_records``. Same one-shard-per-task atomic writer as
+    ``write_warc_shards``; returns the shard manifest."""
+    return write_warc_shards(build_wat_records(pages), out_dir,
+                             n_shards=n_shards, compress=compress,
+                             record_type="metadata")
