@@ -1991,7 +1991,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT url AS src,
                    unnest(regexp_extract_all(html,
-                     '<[aA][^>]*\s(?i:href)\s*=\s*["'']([^"''#][^"'']*)["'']',
+                     '<[aA][^>]*\\s(?i:href)\\s*=\\s*["'']([^"''#][^"'']*)["'']',
                      1)) AS href
             FROM base
             ORDER BY src, href
