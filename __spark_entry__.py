@@ -868,8 +868,11 @@ def q_blocklist_filter(spark, sf):  # classify: UT1-style domain blocklist
            .when(v == 5, F.concat(F.lit("notaurl:"), did))
            .otherwise(F.concat(F.lit("https://site"), s, F.lit(".com/p/"), did)))
     pages = d.select("doc_id", url.alias("url"))
-    bl = spark.createDataFrame([("site3.com",), ("site11.com",)],
-                               "domain string")
+    # site6.com hits doc_ids where the planted shape is the uppercase
+    # WWW.Site6.COM:443 variant - certifying that registrable_host
+    # normalization (case, port) and the www-subdomain suffix all work
+    bl = spark.createDataFrame([("site3.com",), ("site11.com",),
+                                ("site6.com",)], "domain string")
     return filter_blocklisted(pages, bl).orderBy("doc_id")
 
 
@@ -936,7 +939,7 @@ def _dhash_oracle_sql() -> str:
         f"                WHEN {i} THEN CAST({expected(p)} AS BIGINT)"
         for i, p in enumerate(DHASH_PATTERNS))
     return f"""
-        SELECT 'dhash:' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
+        SELECT 'dhash:' || printf('%09d', doc_id) AS url,
                CASE doc_id % 8
 {cases}
                END AS dhash,
@@ -1997,7 +2000,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY src, href
         """,
         "audio_features": """
-            SELECT 'audio:' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
+            SELECT 'audio:' || printf('%09d', doc_id) AS url,
                    8192 AS sample_rate,
                    2048 AS n_samples,
                    CAST(32 + doc_id % 64 AS INT) AS dominant_bin,
@@ -2095,7 +2098,7 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'https://site' || (doc_id % 20) || '.com/p/' || doc_id
               END AS url
             FROM documents
-            WHERE doc_id % 6 = 5 OR doc_id % 20 NOT IN (3, 11)
+            WHERE doc_id % 6 = 5 OR doc_id % 20 NOT IN (3, 6, 11)
             ORDER BY doc_id
         """,
         "chunk_documents": """

@@ -230,8 +230,7 @@ def test_curate_pages_optional_ingest_stages(spark):
     # those documents must not survive the incremental stage
     prior_recs = curate_pages(pages_spark(spark, 30, partitions=2),
                               min_quality=0.0, min_tokens=1)
-    fps = snapshot_fingerprints(
-        prior_recs.withColumn("_did", F.xxhash64("url")), id_col="_did")
+    fps = snapshot_fingerprints(prior_recs)
     inc = curate_pages(pages, min_quality=0.0, min_tokens=1, prior_fps=fps)
     urls_i = {r["url"] for r in inc.select("url").collect()}
     prior_urls = {r["url"] for r in prior_recs.select("url").collect()}

@@ -53,17 +53,7 @@ def hashed_ngram_features(text: Column, n_max: int = 2,
     Python). ``oracle_safe`` selects the md5 hash flavor DuckDB can
     reproduce; production uses xxhash64."""
     from ..functions import let
-
-    def runs(b: Column) -> Column:
-        n = F.size(b)
-        idx = F.sequence(F.lit(0), n - 1)
-        starts = F.filter(
-            idx, lambda i: (i == F.lit(0)) | (F.get(b, i) != F.get(b, i - 1)))
-        nxt = F.concat(F.slice(starts, 2, F.size(starts) - 1), F.array(n))
-        return F.zip_with(
-            starts, nxt,
-            lambda st, nx: F.struct(F.get(b, st).alias("bucket"),
-                                    (nx - st).cast("bigint").alias("cnt")))
+    from .textops import runlength_pairs
 
     toks = F.transform(tokens_col(text), F.lower)
     buckets = let(toks, lambda t: F.transform(
@@ -71,7 +61,9 @@ def hashed_ngram_features(text: Column, n_max: int = 2,
                                            F.lit(n_buckets))))
     empty = F.array().cast("array<struct<bucket:bigint,cnt:bigint>>")
     return F.when(F.size(tokens_col(text)) > 0,
-                  let(F.array_sort(buckets), runs)).otherwise(empty)
+                  let(F.array_sort(buckets),
+                      lambda b: runlength_pairs(b, "bucket", "cnt"))) \
+            .otherwise(empty)
 
 
 def linear_text_classifier(df: DataFrame, weights: DataFrame,
@@ -134,12 +126,17 @@ def filter_blocklisted(df: DataFrame, blocklist: DataFrame,
     subdomains (UT1/adult-list-style curation). ``blocklist`` is a
     one-column ``(domain)`` table of lowercase registrable domains —
     list-sized, so it broadcasts; the probe side explodes each row into
-    its ≤ ~5 host suffixes and left-anti joins. Rows with no parseable
-    http(s) host are KEPT (a blocklist filter must not eat non-web rows;
-    gate them separately if needed)."""
-    from .textops import host_of
+    its ≤ ~5 host suffixes and left-anti joins. The host is normalized
+    first (``registrable_host``: lowercase, userinfo and port stripped),
+    so ``https://example.com:8080/x`` and ``https://u@EXAMPLE.com`` are
+    blocked by a listed ``example.com`` like any other spelling of the
+    same authority. Rows with no parseable http(s) host are KEPT (a
+    blocklist filter must not eat non-web rows; gate them separately if
+    needed)."""
+    from .textops import registrable_host
 
-    probe = df.withColumn("_sfx", host_suffixes(host_of(F.col(url_col))))
+    probe = df.withColumn("_sfx",
+                          host_suffixes(registrable_host(F.col(url_col))))
     hit = (probe.select(F.col(url_col).alias("_u"),
                         F.explode("_sfx").alias("domain"))
            .join(F.broadcast(blocklist.select(F.lower(F.col(

@@ -494,14 +494,15 @@ def remove_duplicate_spans(df: DataFrame, spans: DataFrame,
     return joined.withColumn(text_col, out_text).drop("_spans")
 
 
-def snapshot_fingerprints(df: DataFrame, id_col: str = "doc_id",
-                          text_col: str = "text", k: int = 3,
-                          n_perm: int = 32, n_bands: int = 8,
+def snapshot_fingerprints(df: DataFrame, text_col: str = "text",
+                          k: int = 3, n_perm: int = 32, n_bands: int = 8,
                           oracle_safe: bool = False) -> DataFrame:
     """Fingerprint store for crawl-over-crawl dedup: ``(kind, fp)`` rows
     where kind ``'exact'`` carries the content key and ``'band:<i>'`` the
     MinHash LSH band hash of band i.
 
+    The store is intentionally ID-FREE — membership of a fingerprint is
+    all the next crawl ever asks; carrying doc ids would only bloat it.
     Written once per snapshot (a few dozen bytes per doc — NOT the text:
     by the time the next crawl lands, the prior crawl's pages may be
     archived away), then equi-joined against by the next snapshot's

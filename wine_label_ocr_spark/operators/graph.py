@@ -49,12 +49,13 @@ def host_edges(links: DataFrame, src_col: str = "src",
                href_col: str = "href") -> DataFrame:
     """Distinct (src_host, dst_host) edges from absolute http(s)
     outlinks (relative links have no host and drop out). Hosts are
-    lowercased here (DNS names are case-insensitive; ``host_of`` itself
-    preserves case for byte-faithful profiling). Self-edges are kept —
-    PageRank handles them like any other edge."""
-    from .textops import host_of
-    return (links.select(F.lower(host_of(F.col(src_col))).alias("src_host"),
-                         F.lower(host_of(F.col(href_col))).alias("dst_host"))
+    normalized via ``registrable_host`` (lowercase, userinfo/port
+    stripped) so ``a.com`` and ``a.com:8080`` are ONE PageRank node —
+    split authorities would silently dilute rank mass. Self-edges are
+    kept; PageRank handles them like any other edge."""
+    from .textops import registrable_host
+    return (links.select(registrable_host(F.col(src_col)).alias("src_host"),
+                         registrable_host(F.col(href_col)).alias("dst_host"))
             .filter(F.col("src_host").isNotNull()
                     & F.col("dst_host").isNotNull())
             .distinct())
@@ -78,12 +79,17 @@ def pagerank(edges: DataFrame, n_iters: int = 5, damping_pct: int = 85,
     (map-side partial sums) + a left join back onto the node list; the
     rank table is ``localCheckpoint``ed so lineage stays O(1) in k.
     """
+    # materialize the loop-invariant sides ONCE: without the checkpoint,
+    # every iteration re-runs the edge distinct() and the degree agg
+    # from source lineage (k× redundant shuffles on a big edge list)
     e = edges.select(F.col(src_col).alias("src"),
-                     F.col(dst_col).alias("dst")).distinct()
+                     F.col(dst_col).alias("dst")).distinct() \
+             .localCheckpoint(eager=True)
     nodes = (e.select(F.col("src").alias("host"))
              .unionByName(e.select(F.col("dst").alias("host")))
-             .distinct())
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+             .distinct()).localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")) \
+           .localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_scaled", F.lit(0).cast("bigint"))

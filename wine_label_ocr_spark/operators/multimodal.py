@@ -594,6 +594,12 @@ def image_near_dup(hashed: DataFrame, id_col: str = "url",
     ``hamming64`` verification. Never compares across buckets."""
     from .dedupe import hamming64, simhash_bands
 
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= n_bands={n_bands}: the banded "
+            "pigeonhole only guarantees full recall below n_bands differing "
+            "bits — raise n_bands (or lower max_hamming)")
+
     base = hashed.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
     buck = (base.select(

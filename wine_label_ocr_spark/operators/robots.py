@@ -99,14 +99,20 @@ def robots_allowed(urls: DataFrame, rules: DataFrame,
     """Adds an ``allowed`` column: longest-matching-prefix verdict per
     URL against the host's rules; URLs on hosts with no rules (or no
     robots row at all, or no parseable host) are allowed. Input rows
-    pass through unchanged otherwise."""
-    from .textops import host_of
-    path = F.coalesce(
-        F.nullif(F.regexp_extract(F.col(url_col),
-                                  r"^(?i:https?)://[^/?#]+([^#?]*)", 1),
-                 F.lit("")),
-        F.lit("/"))
-    probe = urls.withColumn("_host", F.lower(host_of(F.col(url_col)))) \
+    pass through unchanged otherwise.
+
+    The URL's host is normalized (``registrable_host``: lowercase,
+    userinfo/port stripped) so ``https://h.com:443/x`` is governed by
+    ``h.com``'s rules; the match target is path PLUS query (RFC 9309
+    matches ``/search?q=`` rules), fragment excluded."""
+    from .textops import registrable_host
+    raw_path = F.regexp_extract(F.col(url_col),
+                                r"^(?i:https?)://[^/?#]+([^#]*)", 1)
+    # query-only URLs ('https://h.com?x=1') have an empty path: '/?x=1'
+    path = F.when(raw_path == "", F.lit("/")) \
+            .when(raw_path.startswith("?"), F.concat(F.lit("/"), raw_path)) \
+            .otherwise(raw_path)
+    probe = urls.withColumn("_host", registrable_host(F.col(url_col))) \
                 .withColumn("_path", path)
     r = rules.select(F.lower(F.col(rules.columns[0])).alias("_host"),
                      "allow", "prefix", "prefix_len")

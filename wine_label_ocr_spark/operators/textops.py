@@ -198,6 +198,26 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
                  F.count(F.lit(1)).alias("n_toks")))
 
 
+def runlength_pairs(s: Column, key_alias: str, cnt_alias: str) -> Column:
+    """Run-length encode an already-SORTED array bound as a lambda
+    variable: ``array<struct<key, cnt:bigint>>``. Run starts are the
+    positions whose element differs from the left neighbor; each run's
+    length is ``next_start − start``. Callers must pass a ``let``-bound
+    (or otherwise single-eval) column and guard the empty array
+    themselves (``sequence(0, -1)`` DESCENDS). Shared by
+    ``term_frequencies`` and ``classify.hashed_ngram_features`` so the
+    fold exists exactly once."""
+    n = F.size(s)
+    idx = F.sequence(F.lit(0), n - 1)
+    starts = F.filter(
+        idx, lambda i: (i == F.lit(0)) | (F.get(s, i) != F.get(s, i - 1)))
+    nxt = F.concat(F.slice(starts, 2, F.size(starts) - 1), F.array(n))
+    return F.zip_with(
+        starts, nxt,
+        lambda st, nx: F.struct(F.get(s, st).alias(key_alias),
+                                (nx - st).cast("bigint").alias(cnt_alias)))
+
+
 def term_frequencies(text: Column) -> Column:
     """Within-row term frequencies: ``array<struct<tok, tf>>`` with one
     entry per distinct (lowercased) whitespace token, no shuffle.
@@ -212,21 +232,11 @@ def term_frequencies(text: Column) -> Column:
     whole-stage codegen."""
     from ..functions import let
 
-    def runs(s: Column) -> Column:
-        n = F.size(s)
-        idx = F.sequence(F.lit(0), n - 1)
-        starts = F.filter(
-            idx, lambda i: (i == F.lit(0)) | (F.get(s, i) != F.get(s, i - 1)))
-        nxt = F.concat(F.slice(starts, 2, F.size(starts) - 1), F.array(n))
-        return F.zip_with(
-            starts, nxt,
-            lambda st, nx: F.struct(F.get(s, st).alias("tok"),
-                                    (nx - st).cast("bigint").alias("tf")))
-
     toks = tokens_col(text)
     # guard: sequence(0, -1) DESCENDS on empty arrays — never build idx there
     return F.when(F.size(toks) > 0,
-                  let(F.array_sort(F.transform(toks, F.lower)), runs)) \
+                  let(F.array_sort(F.transform(toks, F.lower)),
+                      lambda s: runlength_pairs(s, "tok", "tf"))) \
             .otherwise(F.array().cast("array<struct<tok:string,tf:bigint>>"))
 
 
@@ -453,6 +463,19 @@ def host_of(url: Column) -> Column:
 # query params that never distinguish content: analytics/click trackers.
 # Kept as a tuple so the DuckDB oracle can inline the same list.
 TRACKING_PARAMS_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid)="
+
+
+def registrable_host(url: Column) -> Column:
+    """Lowercased DNS host of an http(s) URL with userinfo and port
+    stripped — the key under which security/politeness decisions
+    (blocklists, robots.txt) must group, where ``example.com:8080`` and
+    ``user@example.com`` are the SAME authority as ``example.com``.
+    ``host_of`` deliberately keeps the raw authority (byte-faithful
+    profiling, gate-pinned); this is the normalized flavor. NULL for
+    non-http(s) values."""
+    return F.lower(F.nullif(
+        F.regexp_extract(url, r"^(?i:https?)://(?:[^/@?#]*@)?([^/:?#]+)", 1),
+        F.lit("")))
 
 
 def canonical_url(url: Column) -> Column:

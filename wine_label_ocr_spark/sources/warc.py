@@ -273,8 +273,11 @@ def parse_warc_bytes(
             ts = None
         body = blob[body_start:pos]
         http_charset = None
+        # sniff only a REAL status line ("HTTP/1.x NNN ") when the WARC
+        # header is silent — a bare text payload that merely begins with
+        # the word "HTTP/1.1" must not lose its head to the stripper
         if (headers.get("content-type", "").startswith("application/http")
-                or body.startswith(b"HTTP/")):
+                or _re.match(rb"HTTP/\d\.\d \d{3}[ \r]", body[:16])):
             body, http_charset = strip_http_envelope(body)
         yield url, ts, body, \
             headers.get("warc-identified-content-language"), http_charset
