@@ -1036,20 +1036,31 @@ def q_robots_gate(spark, sf):  # robots: crawl politeness verdicts
     r1 = "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
     r2 = ("User-agent: badbot\nDisallow: /\n\n"
           "User-agent: *\nDisallow: /tmp/\n")
+    r5 = ("User-agent: *\nDisallow: /*.pdf$\nAllow: /docs/keep*\n"
+          "Disallow: /docs/\n")  # RFC 9309 wildcard + $ + specificity
+    r6 = ("User-agent: *\nDisallow: /a/*/secret\nDisallow: /public/x$\n"
+          "Disallow: /priv$\n")  # mid-pattern *; $ hit and $ miss shapes
     robots = spark.createDataFrame(
         [("h0.com", r1), ("h1.com", "User-agent: *\nDisallow: /\n"),
-         ("h2.com", ""), ("h3.com", r2)],  # h4 intentionally absent
+         ("h2.com", ""), ("h3.com:8080", r2),  # ported key still governs
+         ("h5.com", r5), ("h6.com", r6)],      # h4 intentionally absent
         "host string, robots_txt string")
     rules = parse_robots_rules(robots)
     d = _t(spark, sf, "documents").select("doc_id")
-    h = F.pmod(F.col("doc_id"), F.lit(5)).cast("string")
-    p = F.pmod(F.col("doc_id"), F.lit(4))
+    h = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    p = F.pmod(F.col("doc_id"), F.lit(8))
     path = (F.when(p == 0, F.lit("/public/x"))
             .when(p == 1, F.lit("/private/x"))
             .when(p == 2, F.lit("/private/ok/x"))
-            .otherwise(F.lit("/tmp/z")))
+            .when(p == 3, F.lit("/tmp/z"))
+            .when(p == 4, F.lit("/docs/keep/file.pdf"))
+            .when(p == 5, F.lit("/docs/old/file.pdf"))
+            .when(p == 6, F.lit("/a/b/secret"))
+            .otherwise(F.lit("/public/x/more")))
+    port = F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+                  F.lit(":443")).otherwise(F.lit(""))
     urls = d.select("doc_id", F.concat(F.lit("https://h"), h, F.lit(".com"),
-                                       path).alias("url"))
+                                       port, path).alias("url"))
     return (robots_allowed(urls, rules)
             .select(F.col("doc_id").cast("bigint").alias("doc_id"),
                     "url", "allowed")
@@ -1963,20 +1974,33 @@ def oracle_sql() -> dict[str, str]:
         "robots_gate": """
             -- planted robots per host class; expected verdict closed-form:
             -- h0: /private/ disallowed except /private/ok...; h1: all
-            -- disallowed; h2: empty robots; h3: /tmp/ disallowed; h4: no
-            -- robots row at all
+            -- disallowed; h2: empty robots; h3 (keyed h3.com:8080 in the
+            -- rules table - normalization certified): /tmp/ disallowed;
+            -- h4: no robots row; h5: Disallow /*.pdf$ + Allow /docs/keep*
+            -- (specificity 10 beats 7) + Disallow /docs/; h6: mid-pattern
+            -- Disallow /a/*/secret, anchored /public/x$ (so /public/x/more
+            -- stays allowed) and /priv$ (never matches /private/x).
+            -- URLs carry :443 ports on doc_id%3=0 (host normalization).
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                   'https://h' || (doc_id % 5) || '.com' ||
-                   CASE doc_id % 4
+                   'https://h' || (doc_id % 7) || '.com' ||
+                   CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+                   CASE doc_id % 8
                      WHEN 0 THEN '/public/x'
                      WHEN 1 THEN '/private/x'
                      WHEN 2 THEN '/private/ok/x'
-                     ELSE '/tmp/z'
+                     WHEN 3 THEN '/tmp/z'
+                     WHEN 4 THEN '/docs/keep/file.pdf'
+                     WHEN 5 THEN '/docs/old/file.pdf'
+                     WHEN 6 THEN '/a/b/secret'
+                     ELSE '/public/x/more'
                    END AS url,
                    CASE
-                     WHEN doc_id % 5 = 1 THEN FALSE
-                     WHEN doc_id % 5 = 0 AND doc_id % 4 = 1 THEN FALSE
-                     WHEN doc_id % 5 = 3 AND doc_id % 4 = 3 THEN FALSE
+                     WHEN doc_id % 7 = 1 THEN FALSE
+                     WHEN doc_id % 7 = 0 AND doc_id % 8 = 1 THEN FALSE
+                     WHEN doc_id % 7 = 3 AND doc_id % 8 = 3 THEN FALSE
+                     WHEN doc_id % 7 = 5 AND doc_id % 8 = 5 THEN FALSE
+                     WHEN doc_id % 7 = 6 AND doc_id % 8 IN (0, 6)
+                       THEN FALSE
                      ELSE TRUE
                    END AS allowed
             FROM documents

@@ -18,11 +18,11 @@ def test_parse_robots_groups_and_rules():
     r3 = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
     assert parse_robots(r3, "b") == [(False, "/x")]
     assert parse_robots(r3, "z") == []
-    # empty Disallow is void; trailing * stripped; other wildcards dropped
+    # empty Disallow is void; trailing * stripped; wildcard/$ rules kept
     assert parse_robots("User-agent: *\nDisallow:\n") == []
     assert parse_robots(
         "User-agent: *\nDisallow: /a*\nDisallow: /b$\nDisallow: /c*d\n"
-    ) == [(False, "/a")]
+    ) == [(False, "/a"), (False, "/b$"), (False, "/c*d")]
     # comments and junk lines tolerated
     assert parse_robots("# note\nUser-agent: * # inline\nDisallow: /q\nnoise\n") \
         == [(False, "/q")]
@@ -55,3 +55,88 @@ def test_robots_allowed_longest_match(spark):
         "https://norobots.com/y": True,          # no robots row
         "notaurl": True,                         # non-URL rows pass
     }
+
+
+def test_compile_rule_matrix():
+    from wine_label_ocr_spark.operators.robots import compile_rule
+    # plain prefix: no pattern needed
+    assert compile_rule("/private/") == ("/private/", None)
+    # mid-pattern *: literal prefix before it, .* in the regex
+    assert compile_rule("/a/*/secret") == ("/a/", "^/a/.*/secret")
+    # trailing $ anchors; regex metachars in the path are escaped
+    assert compile_rule("/*.pdf$") == ("/", "^/.*\\.pdf$")
+    assert compile_rule("/end$") == ("/end", "^/end$")
+    # $ anywhere but the end is a literal octet
+    assert compile_rule("/a$b") == ("/a$b", None)
+    assert compile_rule("/a$b*") == ("/a$b", "^/a\\$b.*")
+
+
+def test_robots_wildcard_and_anchor_matching(spark):
+    import re
+    from wine_label_ocr_spark.operators.robots import compile_rule
+    # the compiled pattern agrees with Python re on a matrix of paths
+    for rule, path, want in [
+        ("/*.pdf$", "/docs/a.pdf", True),
+        ("/*.pdf$", "/docs/a.pdfx", False),
+        ("/a/*/secret", "/a/b/secret", True),
+        ("/a/*/secret", "/a/b/secret/more", True),
+        ("/a/*/secret", "/a/secret", False),
+        ("/end$", "/end", True),
+        ("/end$", "/end/more", False),
+        ("/p*q*r", "/pxxqyyr", True),
+        ("/p*q*r", "/pqr", True),
+        ("/p*q*r", "/prq", False),
+    ]:
+        lit, pat = compile_rule(rule)
+        got = path.startswith(lit) and (pat is None
+                                        or re.search(pat, path) is not None)
+        assert got == want, (rule, path)
+
+    robots = spark.createDataFrame(
+        [("w.com", "User-agent: *\n"
+                   "Disallow: /*.pdf$\n"
+                   "Allow: /docs/keep*\n"
+                   "Disallow: /docs/\n"
+                   "Disallow: /a/*/secret\n"
+                   "Disallow: /exact$\n")],
+        "host string, robots_txt string")
+    rules = parse_robots_rules(robots)
+    urls = spark.createDataFrame(
+        [("https://w.com/docs/keep/f.pdf",),   # Allow len 10 beats /*.pdf$ 7
+         ("https://w.com/docs/old/f.pdf",),    # /*.pdf$ wins -> disallowed
+         ("https://w.com/docs/old/f.txt",),    # /docs/ wins -> disallowed
+         ("https://w.com/a/b/secret",),        # mid-pattern * hit
+         ("https://w.com/a/secret",),          # no middle segment: * miss
+         ("https://w.com/exact",),             # $ exact hit
+         ("https://w.com/exact/more",),        # $ rejects longer path
+         ("https://w.com/free",)],
+        "url string")
+    got = {r["url"]: r["allowed"]
+           for r in robots_allowed(urls, rules).collect()}
+    assert got == {
+        "https://w.com/docs/keep/f.pdf": True,
+        "https://w.com/docs/old/f.pdf": False,
+        "https://w.com/docs/old/f.txt": False,
+        "https://w.com/a/b/secret": False,
+        "https://w.com/a/secret": True,
+        "https://w.com/exact": False,
+        "https://w.com/exact/more": True,
+        "https://w.com/free": True,
+    }
+
+
+def test_robots_rules_host_normalized(spark):
+    # rules keyed 'HOST:8080' / 'user@host' still govern plain-host URLs
+    robots = spark.createDataFrame(
+        [("Ex.com:8080", "User-agent: *\nDisallow: /no\n"),
+         ("bob@deny.com", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string")
+    rules = parse_robots_rules(robots)
+    urls = spark.createDataFrame(
+        [("https://ex.com/no/x",), ("https://ex.com:443/ok",),
+         ("https://deny.com/any",)], "url string")
+    got = {r["url"]: r["allowed"]
+           for r in robots_allowed(urls, rules).collect()}
+    assert got == {"https://ex.com/no/x": False,
+                   "https://ex.com:443/ok": True,
+                   "https://deny.com/any": False}

@@ -8,21 +8,27 @@ Robots Exclusion Protocol, RFC 9309):
 * user-agent groups — consecutive ``User-agent:`` lines stack onto one
   group; an exact (case-insensitive) agent match outranks the ``*``
   group; with neither, everything is allowed;
-* ``Allow:`` / ``Disallow:`` literal path prefixes; the LONGEST
-  matching prefix wins, and on equal length Allow wins (the standard
-  least-restrictive tie-break);
+* ``Allow:`` / ``Disallow:`` path rules with full RFC 9309 §2.2.3
+  special characters: ``*`` matches any run of octets anywhere in the
+  rule, a trailing ``$`` anchors the match to the end of the path.
+  The MOST SPECIFIC matching rule wins — specificity is the octet
+  length of the rule value (wildcards included), the RFC's
+  longest-match order — and on equal specificity Allow wins (the
+  standard least-restrictive tie-break);
 * an empty ``Disallow:`` value means "allow all" (the rule is void);
-  a single trailing ``*`` on a prefix is redundant and stripped.
-  General mid-pattern wildcards / ``$`` anchors are the documented
-  out-of-scope seam (rare in practice; rules containing them are
-  dropped conservatively as no-ops).
+  a single trailing ``*`` is redundant and stripped; a ``$`` anywhere
+  but the end is a literal octet (the Googlebot reading — ``$`` is
+  only an anchor in final position).
 
 Scale shape: parsing is per-host Python (genuinely line-oriented — the
 one ``mapInPandas`` here; robots files are ≤ a few KB and one per host,
 so this is the small side of everything). The URL check is pure column
-algebra: a host-keyed equi join (rules ≪ pages), ``startswith`` match,
-and a ``max_by(struct(prefix_len, allow))`` longest-match pick — one
-narrow shuffle keyed on host plus one on url.
+algebra: a host-keyed equi join (rules ≪ pages), a ``startswith``
+match on the rule's literal prefix (the only test wildcard-free rules
+need; a cheap pre-filter for the rest) plus a ``regexp_like`` against
+the compiled rule pattern for wildcard/anchored rules, and a
+``max_by(struct(rule_len, allow))`` most-specific pick — one narrow
+shuffle keyed on host plus one on url.
 """
 
 from __future__ import annotations
@@ -30,6 +36,37 @@ from __future__ import annotations
 from collections.abc import Iterable, Iterator
 
 from pyspark.sql import DataFrame, functions as F
+
+# Regex metacharacters escaped in compiled rule patterns.  The escape
+# set and backslash-before-punctuation syntax are in the shared
+# Java-regex ∩ RE2 dialect, so the same pattern string means the same
+# thing to Spark's rlike and to any RE2-based twin.
+_REGEX_META = set("\\.^$|?*+()[]{}")
+
+
+def _esc(segment: str) -> str:
+    return "".join("\\" + c if c in _REGEX_META else c for c in segment)
+
+
+def compile_rule(value: str) -> tuple[str, str | None]:
+    """RFC 9309 rule value → ``(literal_prefix, pattern_or_None)``.
+
+    ``literal_prefix`` is the run of octets before the first ``*`` —
+    every match must start with it, so it serves as a cheap
+    ``startswith`` pre-filter.  ``pattern`` is ``None`` for plain
+    prefix rules (no ``*``, no trailing ``$``): those need nothing
+    beyond the prefix test.  Otherwise it is an anchored regex in the
+    Java∩RE2 shared dialect: ``*`` → ``.*``, final ``$`` → end anchor,
+    everything else escaped literal."""
+    anchored = value.endswith("$")
+    core = value[:-1] if anchored else value
+    lit = core.split("*", 1)[0]
+    if "*" not in core and not anchored:
+        return lit, None
+    pat = "^" + ".*".join(_esc(p) for p in core.split("*"))
+    if anchored:
+        pat += "$"
+    return lit, pat
 
 
 def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
@@ -60,8 +97,6 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
                 continue  # empty Disallow == allow everything (void rule)
             if value.endswith("*"):
                 value = value[:-1]
-            if "*" in value or "$" in value:
-                continue  # wildcard seam: dropped as no-op (documented)
             cur_rules.append((field == "allow", value))
         else:
             in_agents = False
@@ -78,20 +113,26 @@ def parse_robots_rules(robots: DataFrame, host_col: str = "host",
                        robots_col: str = "robots_txt",
                        agent: str = "*") -> DataFrame:
     """(host, robots_txt) → exploded rule rows
-    ``(host, allow, prefix, prefix_len)`` via one Arrow-batched map."""
+    ``(host, allow, prefix, rule_len, pattern)`` via one Arrow-batched
+    map.  ``prefix`` is the rule's literal prefix (the whole rule for
+    wildcard-free rules), ``rule_len`` the RFC 9309 specificity (octet
+    length of the rule value, wildcards included), ``pattern`` the
+    compiled regex for wildcard/``$`` rules — NULL when a plain prefix
+    test suffices."""
     def run(batches: Iterable) -> Iterator:
         import pandas as pd
         for pdf in batches:
             out = []
             for host, txt in zip(pdf[host_col], pdf[robots_col]):
-                for allow, prefix in parse_robots(txt or "", agent):
-                    out.append((host, allow, prefix, len(prefix)))
+                for allow, value in parse_robots(txt or "", agent):
+                    lit, pat = compile_rule(value)
+                    out.append((host, allow, lit, len(value), pat))
             yield pd.DataFrame(out, columns=[host_col, "allow", "prefix",
-                                             "prefix_len"])
+                                             "rule_len", "pattern"])
 
     return robots.select(host_col, robots_col).mapInPandas(
         run, schema=f"{host_col} string, allow boolean, prefix string, "
-                    "prefix_len int")
+                    "rule_len int, pattern string")
 
 
 def robots_allowed(urls: DataFrame, rules: DataFrame,
@@ -101,10 +142,12 @@ def robots_allowed(urls: DataFrame, rules: DataFrame,
     robots row at all, or no parseable host) are allowed. Input rows
     pass through unchanged otherwise.
 
-    The URL's host is normalized (``registrable_host``: lowercase,
-    userinfo/port stripped) so ``https://h.com:443/x`` is governed by
-    ``h.com``'s rules; the match target is path PLUS query (RFC 9309
-    matches ``/search?q=`` rules), fragment excluded."""
+    BOTH join sides are host-normalized the same way (lowercase,
+    userinfo/port stripped — ``registrable_host`` semantics) so
+    ``https://h.com:443/x`` is governed by ``h.com``'s rules and a
+    rules table keyed ``h.com:8080`` still governs ``h.com`` URLs; the
+    match target is path PLUS query (RFC 9309 matches ``/search?q=``
+    rules), fragment excluded."""
     from .textops import registrable_host
     raw_path = F.regexp_extract(F.col(url_col),
                                 r"^(?i:https?)://[^/?#]+([^#]*)", 1)
@@ -114,16 +157,21 @@ def robots_allowed(urls: DataFrame, rules: DataFrame,
             .otherwise(raw_path)
     probe = urls.withColumn("_host", registrable_host(F.col(url_col))) \
                 .withColumn("_path", path)
-    r = rules.select(F.lower(F.col(rules.columns[0])).alias("_host"),
-                     "allow", "prefix", "prefix_len")
+    rules_host = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(rules.columns[0])), "^[^/@]*@", ""),
+        ":[0-9]+$", "")
+    r = rules.select(rules_host.alias("_host"),
+                     "allow", "prefix", "rule_len", "pattern")
+    lit_hit = F.col("_path").startswith(F.col("prefix"))
+    match = F.when(F.col("pattern").isNull(), lit_hit).otherwise(
+        lit_hit & F.regexp_like(F.col("_path"), F.col("pattern")))
     hit = (probe.select(F.col(url_col).alias("_u"), "_host", "_path")
            .join(r, "_host")
-           .filter(F.col("_path").startswith(F.col("prefix"))
-                   | (F.col("prefix") == ""))
+           .filter(match)
            .groupBy("_u")
            .agg(F.max_by(
                F.col("allow"),
-               F.struct(F.col("prefix_len"), F.col("allow"))).alias("_verdict")))
+               F.struct(F.col("rule_len"), F.col("allow"))).alias("_verdict")))
     out = (probe.join(hit, probe[url_col] == hit["_u"], "left")
            .withColumn("allowed", F.coalesce(F.col("_verdict"), F.lit(True)))
            .drop("_u", "_verdict", "_host", "_path"))
