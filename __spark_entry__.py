@@ -981,6 +981,32 @@ def q_outlinks(spark, sf):  # graph: href extraction for frontier/link graph
     return extract_outlinks(pages).orderBy("src", "href")
 
 
+def q_outlinks_resolved(spark, sf):  # graph: RFC 3986 href resolution
+    """Outlink extraction with RFC 3986 resolution over planted html:
+    relative dot-segment hrefs, absolute paths, protocol-relative,
+    query-only, and a ``<base href>`` tag on every 4th page. The oracle
+    states each resolved URL closed-form (no RFC logic in SQL)."""
+    from wine_label_ocr_spark.operators.graph import extract_outlinks
+    d = _t(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    h = F.pmod(F.col("doc_id"), F.lit(5)).cast("string")
+    k = F.pmod(F.col("doc_id"), F.lit(3)).cast("string")
+    base_tag = F.when(F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+                      F.lit('<base href="/b/">')).otherwise(F.lit(""))
+    html = F.concat(
+        base_tag,
+        F.lit('<a href="x/../y'), did, F.lit('.html">1</a>'),
+        F.lit('<a href="/abs/'), did, F.lit('">2</a>'),
+        F.lit('<a href="//cdn'), k, F.lit('.com/lib.js">3</a>'),
+        F.lit('<a href="?q='), did, F.lit('">4</a>'))
+    pages = d.select(
+        F.concat(F.lit("https://ex"), h, F.lit(".com/dir/sub/page"),
+                 did, F.lit(".html")).alias("url"),
+        html.alias("html"))
+    return (extract_outlinks(pages, resolve=True)
+            .orderBy("src", "href"))
+
+
 def q_pagerank(spark, sf):  # graph: exact fixed-point PageRank
     """Host PageRank over a deterministic edge list derived from
     documents (src h(doc_id%20) → dst h((doc_id·7+3)%20), distinct;
@@ -997,14 +1023,41 @@ def q_pagerank(spark, sf):  # graph: exact fixed-point PageRank
     return pagerank(edges, n_iters=5).orderBy("host")
 
 
-def _pagerank_oracle_sql(n_iters=5, damping=85, scale=1_000_000_000_000) -> str:
+def q_pagerank_dangling(spark, sf):  # graph: dangling-mass redistribution
+    """PageRank with the damped dangling mass added back uniformly each
+    iteration (mass-conserving variant): src hosts h(doc_id%15), dst
+    hosts h((doc_id*7+3)%20) — h15..h19 receive links but never emit,
+    so they are genuinely dangling. Same all-bigint floor math; the
+    oracle's unrolled CTEs carry the per-iteration dangling scalar."""
+    from wine_label_ocr_spark.operators.graph import pagerank
+    d = _t(spark, sf, "documents").select("doc_id")
+    edges = d.select(
+        F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(15))
+                 .cast("string")).alias("src_host"),
+        F.concat(F.lit("h"), F.pmod(F.col("doc_id") * 7 + 3, F.lit(20))
+                 .cast("string")).alias("dst_host")).distinct()
+    return pagerank(edges, n_iters=5,
+                    redistribute_dangling=True).orderBy("host")
+
+
+def _pagerank_oracle_sql(n_iters=5, damping=85, scale=1_000_000_000_000,
+                         src_mod=20, dangling=False) -> str:
     prev, chain = "pr0", []
     for k in range(1, n_iters + 1):
+        dang = ""
+        if dangling:
+            dang = f"""
+                      + ({damping} * (SELECT COALESCE(SUM(p.rank_scaled), 0)
+                                      FROM {prev} p LEFT JOIN deg d
+                                        ON p.host = d.src
+                                      WHERE d.src IS NULL))
+                        // 100 // (SELECT n FROM nn)"""
         chain.append(f"""
         pr{k} AS (
           SELECT n.host,
                  CAST(({scale} * {100 - damping}) // 100 // (SELECT n FROM nn)
-                      + ({damping} * COALESCE(s.inflow, 0)) // 100 AS BIGINT)
+                      + ({damping} * COALESCE(s.inflow, 0)) // 100{dang}
+                     AS BIGINT)
                      AS rank_scaled
           FROM nodes n LEFT JOIN (
             SELECT e.dst AS host, SUM(p.rank_scaled // d.deg) AS inflow
@@ -1014,7 +1067,7 @@ def _pagerank_oracle_sql(n_iters=5, damping=85, scale=1_000_000_000_000) -> str:
         prev = f"pr{k}"
     return f"""
         WITH e AS (
-          SELECT DISTINCT 'h' || (doc_id % 20) AS src,
+          SELECT DISTINCT 'h' || (doc_id % {src_mod}) AS src,
                           'h' || ((doc_id * 7 + 3) % 20) AS dst
           FROM documents),
         nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
@@ -1191,12 +1244,42 @@ def q_phase_trace(spark, sf):  # ST4/ST5/ST7 — phase machine (rows-only)
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order = driver certification priority: the driver artifact caps at
-    # ~50 entries, so (a) the 8 queries last certified in r02 and (b) every
-    # query whose code/fixture changed THIS round run first; the tail that
-    # absorbs any cap is exclusively r3-certified queries with untouched
-    # code (union-across-rounds keeps those certified).
+    # ~50 entries, so (a) the 22 queries the r4 cap absorbed (last
+    # certified in r03) and (b) every query whose code/fixture changed
+    # THIS round run first; the tail that absorbs any cap is exclusively
+    # r4-certified queries with untouched code (union-across-rounds
+    # keeps those certified; nothing goes two rounds uncertified).
     return {
-        # (a) least-recently-certified (r02-green, untouched since)
+        # (a) r4-cap-absorbed (r03-green, untouched since) — re-certify
+        "cosine_topk": q_cosine_topk,
+        "customers_with_orders": q_customers_with_orders,
+        "customers_without_orders": q_customers_without_orders,
+        "decontamination": q_decontamination,
+        "dedup_decisions": q_dedup_decisions,
+        "duplicate_passages": q_duplicate_passages,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_quantized": q_embedding_quantized,
+        "exact_dedup": q_exact_dedup,
+        "host_stats": q_host_stats,
+        "ivf_topk": q_ivf_topk,
+        "latest_capture": q_latest_capture,
+        "lexical_diversity": q_lexical_diversity,
+        "near_dup_components": q_near_dup_components,
+        "paragraph_dedup": q_paragraph_dedup,
+        "pii_redaction": q_pii_redaction,
+        "repetition_stats": q_repetition_stats,
+        "rp_lsh_topk": q_rp_lsh_topk,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_pairs": q_simhash_pairs,
+        "stratified_sample": q_stratified_sample,
+        "training_funnel": q_training_funnel,
+        # (b) new or code-touched this round
+        "robots_gate": q_robots_gate,
+        "outlinks": q_outlinks,
+        "outlinks_resolved": q_outlinks_resolved,
+        "pagerank": q_pagerank,
+        "pagerank_dangling": q_pagerank_dangling,
+        # r4-certified remainder (relative order preserved)
         "ema_final": q_ema_final,
         "sessionize": q_sessionize,
         "phase_trace": q_phase_trace,
@@ -1205,7 +1288,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vintage_fallback_grid": q_vintage_fallback_grid,
         "median_by_type": q_median_by_type,
         "union_names": q_union_names,
-        # (b) new or code-touched this round
         "compression_ratio": q_compression_ratio,
         "curation_funnel": q_curation_funnel,
         "url_canon": q_url_canon,
@@ -1217,16 +1299,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fix": q_text_fix,
         "image_dhash": q_image_dhash,
         "audio_features": q_audio_features,
-        "outlinks": q_outlinks,
-        "pagerank": q_pagerank,
-        "robots_gate": q_robots_gate,
         "media_pixels": q_media_pixels,
         "interval_join": q_interval_join,
         "warc_extract": q_warc_extract,
         "unigram_logprob": q_unigram_logprob,
         "minhash_lsh": q_minhash_lsh,
         "media_features": q_media_features,
-        # r3-certified remainder (relative order preserved)
+        # cap-absorbing tail: r4 hash-green, code untouched this round
         "lineitem_agg": q_lineitem_agg,
         "top_customer_per_nation": q_top_customer_per_nation,
         "orders_by_segment": q_orders_by_segment,
@@ -1249,29 +1328,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
-        "pii_redaction": q_pii_redaction,
-        "repetition_stats": q_repetition_stats,
-        "training_funnel": q_training_funnel,
-        "latest_capture": q_latest_capture,
-        "exact_dedup": q_exact_dedup,
-        "near_dup_components": q_near_dup_components,
-        "simhash_fingerprints": q_simhash_fingerprints,
-        "simhash_pairs": q_simhash_pairs,
-        "duplicate_passages": q_duplicate_passages,
-        "paragraph_dedup": q_paragraph_dedup,
-        "stratified_sample": q_stratified_sample,
-        "lexical_diversity": q_lexical_diversity,
-        # cap-absorbing tail: r3 hash-green, code untouched this round
-        "host_stats": q_host_stats,
-        "decontamination": q_decontamination,
-        "cosine_topk": q_cosine_topk,
-        "rp_lsh_topk": q_rp_lsh_topk,
-        "ivf_topk": q_ivf_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_quantized": q_embedding_quantized,
-        "dedup_decisions": q_dedup_decisions,
-        "customers_with_orders": q_customers_with_orders,
-        "customers_without_orders": q_customers_without_orders,
     }
 
 
@@ -1971,6 +2027,39 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _incremental_oracle_sql(16, 4, 3),
         "image_dhash": _dhash_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
+        "pagerank_dangling": _pagerank_oracle_sql(src_mod=15, dangling=True),
+        "outlinks_resolved": """
+            -- planted (base, href) shapes; resolved URLs stated
+            -- closed-form (no RFC 3986 logic in SQL). Pages doc_id%4=0
+            -- carry <base href="/b/">, which redirects the relative and
+            -- query-only hrefs but not absolute/protocol-relative ones.
+            WITH b AS (
+              SELECT doc_id,
+                     'https://ex' || (doc_id % 5) || '.com' AS root,
+                     'https://ex' || (doc_id % 5) || '.com/dir/sub/page'
+                       || doc_id || '.html' AS url,
+                     doc_id % 4 = 0 AS hasbase
+              FROM documents)
+            SELECT * FROM (
+              SELECT url AS src, 'x/../y' || doc_id || '.html' AS href,
+                     root || CASE WHEN hasbase THEN '/b/'
+                                  ELSE '/dir/sub/' END
+                          || 'y' || doc_id || '.html' AS resolved
+              FROM b
+              UNION ALL
+              SELECT url, '/abs/' || doc_id, root || '/abs/' || doc_id
+              FROM b
+              UNION ALL
+              SELECT url, '//cdn' || (doc_id % 3) || '.com/lib.js',
+                     'https://cdn' || (doc_id % 3) || '.com/lib.js'
+              FROM b
+              UNION ALL
+              SELECT url, '?q=' || doc_id,
+                     CASE WHEN hasbase THEN root || '/b/?q=' || doc_id
+                          ELSE url || '?q=' || doc_id END
+              FROM b)
+            ORDER BY src, href
+        """,
         "robots_gate": """
             -- planted robots per host class; expected verdict closed-form:
             -- h0: /private/ disallowed except /private/ok...; h1: all

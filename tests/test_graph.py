@@ -71,3 +71,108 @@ def test_pagerank_dangling_and_empty(spark):
 
     empty = spark.createDataFrame([], "src_host string, dst_host string")
     assert G.pagerank(empty, n_iters=2).count() == 0
+
+
+def test_resolve_href_matrix(spark):
+    from wine_label_ocr_spark.operators.textops import resolve_href
+    cases = [  # (base, href, expected)
+        ("https://a.com/dir/sub/page.html", "x/../y.html",
+         "https://a.com/dir/sub/y.html"),
+        ("https://a.com/dir/sub/page.html", "../up.html",
+         "https://a.com/dir/up.html"),
+        ("https://a.com/dir/sub/page.html", "../../../../root.html",
+         "https://a.com/root.html"),            # .. never pops past root
+        ("https://a.com/dir/sub/page.html", "/abs/p",
+         "https://a.com/abs/p"),
+        ("https://a.com/dir/sub/page.html", "//cdn.com/lib.js",
+         "https://cdn.com/lib.js"),             # scheme-relative
+        ("https://a.com/dir/sub/page.html?old=1", "?q=2",
+         "https://a.com/dir/sub/page.html?q=2"),  # query-only
+        ("https://a.com/p?k=1", "", "https://a.com/p?k=1"),  # empty = base
+        ("https://a.com/dir/sub/page.html", "x.html#frag",
+         "https://a.com/dir/sub/x.html"),       # fragment stripped
+        ("https://a.com/dir/sub/page.html", "mailto:a@b.c", "mailto:a@b.c"),
+        ("https://a.com/p", "javascript:void(0)", "javascript:void(0)"),
+        ("https://a.com/dir/sub/page.html", "https://out.com/a/./b",
+         "https://out.com/a/b"),                # strict: rds on abs hrefs
+        ("https://a.com", "rel.html", "https://a.com/rel.html"),  # empty base path
+        ("https://a.com/dir/", "./", "https://a.com/dir/"),
+        ("https://a.com/dir/sub/page.html", "a/b/..",
+         "https://a.com/dir/sub/a/"),           # trailing .. keeps slash
+        ("https://a.com/a//b/c", "d", "https://a.com/a//b/d"),  # // preserved
+        ("https://a.com/dir/sub/page.html", "HTTP://UP.com/Q",
+         "HTTP://UP.com/Q"),                    # scheme case-insensitive
+    ]
+    df = spark.createDataFrame([(b, h) for b, h, _ in cases],
+                               "base string, href string")
+    got = [r["r"] for r in df.select(resolve_href(
+        F.col("base"), F.col("href")).alias("r")).collect()]
+    for (b, h, want), g in zip(cases, got):
+        assert g == want, (b, h, g, want)
+
+
+def test_extract_outlinks_resolved_with_base_tag(spark):
+    html1 = ('<a href="rel/x.html">r</a><a href="/abs">a</a>'
+             '<a href="https://ext.com/e">e</a>')
+    html2 = ('<head><base href="/b/"></head>'
+             '<a href="rel/x.html">r</a><a href="?q=1">q</a>')
+    df = spark.createDataFrame(
+        [("https://h.com/d/page.html", html1),
+         ("https://h.com/d/page.html?z=0", html2)],
+        "url string, html string")
+    got = sorted((r["src"], r["href"], r["resolved"]) for r in
+                 G.extract_outlinks(df, resolve=True).collect())
+    assert got == [
+        ("https://h.com/d/page.html", "/abs", "https://h.com/abs"),
+        ("https://h.com/d/page.html", "https://ext.com/e",
+         "https://ext.com/e"),
+        ("https://h.com/d/page.html", "rel/x.html",
+         "https://h.com/d/rel/x.html"),
+        ("https://h.com/d/page.html?z=0", "?q=1", "https://h.com/b/?q=1"),
+        ("https://h.com/d/page.html?z=0", "rel/x.html",
+         "https://h.com/b/rel/x.html"),
+    ]
+    # still a pure map: zero Exchange
+    plan = G.extract_outlinks(df, resolve=True) \
+            ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_host_edges_resolve_relative(spark):
+    links = spark.createDataFrame(
+        [("https://a.com/d/p", "/rel/1"),          # self-host edge now
+         ("https://a.com/d/p", "x.html"),          # dedups into the same
+         ("https://a.com/d/p", "https://b.com/y"),
+         ("https://a.com/d/p", "mailto:x@y.z")],   # non-http drops out
+        "src string, href string")
+    got = sorted((r["src_host"], r["dst_host"]) for r in
+                 G.host_edges(links, resolve_relative=True).collect())
+    assert got == [("a.com", "a.com"), ("a.com", "b.com")]
+
+
+def test_pagerank_dangling_redistribution_conserves_mass(spark):
+    edges = spark.createDataFrame(
+        [("a", "d"), ("b", "d"), ("c", "a"), ("a", "b")],
+        "src_host string, dst_host string")
+    n = 4
+    out = {r["host"]: r["rank_scaled"] for r in
+           G.pagerank(edges, n_iters=4, redistribute_dangling=True).collect()}
+    total = sum(out.values())
+    # mass conserved up to <= a few units of floor rounding per node/iter
+    assert G.PR_SCALE - 4 * (n + 2) <= total <= G.PR_SCALE
+    # python reference with the same integer formula
+    SCALE = G.PR_SCALE
+    deg = {"a": 2, "b": 1, "c": 1}
+    ine = {"d": ["a", "b"], "a": ["c"], "b": ["a"], "c": []}
+    tel = (SCALE * 15) // 100 // n
+    r = dict.fromkeys("abcd", SCALE // n)
+    for _ in range(4):
+        dang = sum(v for h, v in r.items() if h not in deg)
+        r = {h: tel + (85 * sum(r[s] // deg[s] for s in ine[h])) // 100
+                + (85 * dang) // 100 // n
+             for h in r}
+    assert out == r
+    # without redistribution the sink leaks mass
+    leak = {x["host"]: x["rank_scaled"] for x in
+            G.pagerank(edges, n_iters=4).collect()}
+    assert sum(leak.values()) < total

@@ -31,51 +31,90 @@ from pyspark.sql import DataFrame, functions as F
 # the DuckDB oracle. Captures the quoted value of href= inside <a ...>.
 HREF_PATTERN = r"<[aA][^>]*\s(?i:href)\s*=\s*[\"']([^\"'#][^\"']*)[\"']"
 
+# <base href="..."> pickup: the FIRST base tag governs (HTML spec);
+# regexp_extract returns the first match.
+BASE_PATTERN = r"<[bB][aA][sS][eE][^>]*\s(?i:href)\s*=\s*[\"']([^\"']+)[\"']"
+
 PR_SCALE = 1_000_000_000_000  # 10^12: rank mass in integer micro-units
 
 
 def extract_outlinks(df: DataFrame, id_col: str = "url",
-                     html_col: str = "html") -> DataFrame:
-    """One row per (page, outlink href) — raw hrefs as written (no
-    resolution; feed absolute links to ``textops.canonical_url`` and
-    relative ones to a base-join downstream). Pure map, JVM regex."""
-    return (df.select(F.col(id_col).alias("src"),
-                      F.explode(F.regexp_extract_all(
-                          F.col(html_col), F.lit(HREF_PATTERN), 1))
-                      .alias("href")))
+                     html_col: str = "html",
+                     resolve: bool = False) -> DataFrame:
+    """One row per (page, outlink href).
+
+    ``resolve=False``: raw hrefs as written — pure map, JVM regex, zero
+    Exchange. ``resolve=True`` adds a ``resolved`` column: the absolute
+    URL per RFC 3986 (``textops.resolve_href``) against the page's
+    effective base — the first ``<base href>`` tag when present (itself
+    resolved against the page URL, as the HTML spec requires), else the
+    page URL. Still a pure map: the base pickup and resolution are
+    column algebra over the exploded rows."""
+    out = df.select(F.col(id_col).alias("src"),
+                    *( [F.regexp_extract(F.col(html_col),
+                                         BASE_PATTERN, 1).alias("_basetag")]
+                       if resolve else [] ),
+                    F.explode(F.regexp_extract_all(
+                        F.col(html_col), F.lit(HREF_PATTERN), 1))
+                    .alias("href"))
+    if not resolve:
+        return out
+    from .textops import resolve_href
+    eff_base = F.when(F.col("_basetag") == "", F.col("src")) \
+                .otherwise(resolve_href(F.col("src"), F.col("_basetag")))
+    return (out.withColumn("resolved",
+                           resolve_href(eff_base, F.col("href")))
+            .drop("_basetag"))
 
 
 def host_edges(links: DataFrame, src_col: str = "src",
-               href_col: str = "href") -> DataFrame:
-    """Distinct (src_host, dst_host) edges from absolute http(s)
-    outlinks (relative links have no host and drop out). Hosts are
-    normalized via ``registrable_host`` (lowercase, userinfo/port
-    stripped) so ``a.com`` and ``a.com:8080`` are ONE PageRank node —
-    split authorities would silently dilute rank mass. Self-edges are
-    kept; PageRank handles them like any other edge."""
-    from .textops import registrable_host
+               href_col: str = "href",
+               resolve_relative: bool = False) -> DataFrame:
+    """Distinct (src_host, dst_host) edges from http(s) outlinks. With
+    ``resolve_relative=False`` only absolute hrefs form edges (relative
+    links have no host and drop out); with ``resolve_relative=True``
+    each href is first resolved against ``src_col`` (which must then be
+    the page URL) via RFC 3986, so relative links contribute their
+    (self-)host edges too. Hosts are normalized via
+    ``registrable_host`` (lowercase, userinfo/port stripped) so
+    ``a.com`` and ``a.com:8080`` are ONE PageRank node — split
+    authorities would silently dilute rank mass. Self-edges are kept;
+    PageRank handles them like any other edge."""
+    from .textops import registrable_host, resolve_href
+    dst = F.col(href_col)
+    if resolve_relative:
+        dst = resolve_href(F.col(src_col), dst)
     return (links.select(registrable_host(F.col(src_col)).alias("src_host"),
-                         registrable_host(F.col(href_col)).alias("dst_host"))
+                         registrable_host(dst).alias("dst_host"))
             .filter(F.col("src_host").isNotNull()
                     & F.col("dst_host").isNotNull())
             .distinct())
 
 
 def pagerank(edges: DataFrame, n_iters: int = 5, damping_pct: int = 85,
-             src_col: str = "src_host", dst_col: str = "dst_host") -> DataFrame:
+             src_col: str = "src_host", dst_col: str = "dst_host",
+             redistribute_dangling: bool = False) -> DataFrame:
     """Exact fixed-point PageRank over a distinct edge list:
     ``(host, rank_scaled)`` with rank in integer units of ``PR_SCALE``.
 
-    All arithmetic is bigint floor math — ``r/deg`` and the damping are
-    integer divisions — so the result is EXACTLY reproducible across
+    All arithmetic is TRUE bigint integer division (SQL ``div`` — never
+    a double division cast back, so exactness is structural, not a
+    magnitude accident) — the result is EXACTLY reproducible across
     engines, partitionings, and cluster sizes (the driver gate hashes it
     against a DuckDB recursive-CTE twin; float PageRank cannot pass such
-    a gate). Dangling hosts (in-links only) receive the teleport term
-    but contribute nothing — their outflow mass simply leaves the
-    system, the standard simplification when ranks are used as a
-    relative quality prior rather than a probability distribution.
+    a gate).
 
-    Per iteration: one dst-keyed aggregation of ``share = r // deg``
+    Dangling hosts (in-links only) receive the teleport term but have no
+    outflow. With ``redistribute_dangling=False`` their mass simply
+    leaves the system — the standard simplification when ranks are a
+    relative quality prior. With ``True``, each iteration adds the
+    damped dangling mass back uniformly —
+    ``(damping_pct * Σ_dangling rank) div 100 div n`` per node, one
+    extra scalar aggregation joined in as a 1-row broadcast — keeping
+    ``Σ ranks = PR_SCALE`` up to the ≤ n floor-rounding deficit (mass
+    conservation, pytest-pinned).
+
+    Per iteration: one dst-keyed aggregation of ``share = r div deg``
     (map-side partial sums) + a left join back onto the node list; the
     rank table is ``localCheckpoint``ed so lineage stays O(1) in k.
     """
@@ -101,15 +140,24 @@ def pagerank(edges: DataFrame, n_iters: int = 5, damping_pct: int = 85,
         shares = (e.join(ranks, e["src"] == ranks["host"])
                   .join(deg, "src")
                   .select(F.col("dst").alias("host"),
-                          F.try_divide(F.col("rank_scaled"), F.col("deg"))
-                          .cast("bigint").alias("share")))
+                          F.expr("rank_scaled div deg").alias("share")))
         inflow = shares.groupBy("host").agg(
             F.sum("share").cast("bigint").alias("inflow"))
-        ranks = (nodes.join(inflow, "host", "left")
-                 .select("host",
-                         (F.lit(teleport)
-                          + (F.lit(damping_pct)
-                             * F.coalesce(F.col("inflow"), F.lit(0))) / 100)
-                         .cast("bigint").alias("rank_scaled"))
+        damped = F.expr(
+            f"({int(damping_pct)}L * coalesce(inflow, 0L)) div 100")
+        new = nodes.join(inflow, "host", "left")
+        if redistribute_dangling:
+            # Σ rank over hosts with no out-edges, damped, split evenly:
+            # a 1-row scalar aggregation cross-joined in (broadcast).
+            dangling = (ranks.join(deg, ranks["host"] == deg["src"],
+                                   "left_anti")
+                        .agg(F.coalesce(F.sum("rank_scaled"), F.lit(0))
+                             .cast("bigint").alias("_dangling")))
+            new = new.crossJoin(F.broadcast(dangling))
+            damped = damped + F.expr(
+                f"({int(damping_pct)}L * _dangling) div 100 div {n}L")
+        ranks = (new.select("host",
+                            (F.lit(teleport) + damped)
+                            .cast("bigint").alias("rank_scaled"))
                  .localCheckpoint(eager=True))
     return ranks

@@ -524,6 +524,89 @@ def canonical_url(url: Column) -> Column:
     return F.when(ok, let(url, canon)).otherwise(F.lit(None).cast("string"))
 
 
+def remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 ``remove_dot_segments`` as pure column algebra.
+
+    One ``aggregate`` fold over the ``/``-split segments keeps a stack:
+    ``.`` is dropped, ``..`` pops (never past the leading root marker),
+    anything else — including empty segments from ``//`` runs, which the
+    RFC preserves — is pushed. A trailing ``.``/``..`` re-appends the
+    empty segment so ``/a/b/..`` → ``/a/`` (RFC output keeps the slash).
+    Assumes an absolute path (leading ``/``), which every http(s) merge
+    in ``resolve_href`` guarantees. Empty result → ``/``."""
+    from ..functions import let
+
+    def rds(p: Column) -> Column:
+        segs = F.split(p, "/")
+        folded = F.aggregate(
+            segs,
+            F.array().cast("array<string>"),
+            lambda acc, s: (
+                F.when(s == ".", acc)
+                 .when(s == "..",
+                       F.when(F.size(acc) > 1,
+                              F.slice(acc, 1, F.size(acc) - 1))
+                        .otherwise(acc))
+                 .otherwise(F.concat(acc, F.array(s)))))
+        last = F.get(segs, F.size(segs) - 1)
+        joined = F.array_join(
+            F.when(last.isin(".", ".."),
+                   F.concat(folded, F.array(F.lit(""))))
+             .otherwise(folded), "/")
+        return F.when(joined == "", F.lit("/")).otherwise(joined)
+
+    return let(path, rds)
+
+
+def resolve_href(base: Column, href: Column) -> Column:
+    """RFC 3986 §5.2 reference resolution for crawl outlinks: absolute
+    URL of ``href`` seen on page ``base`` (itself an absolute http(s)
+    URL). Pure JVM column algebra — the relative-link counterpart of
+    ``canonical_url``, upstream of it in the frontier pipeline.
+
+    Branches (§5.2.2): full http(s) URLs re-assemble with their own
+    authority; other schemes (``mailto:``, ``javascript:``, ``data:``)
+    pass through untouched; ``//host/p`` takes the base scheme; ``/p``
+    the base authority; ``?q`` the base path; anything else merges onto
+    the base path's directory (§5.2.3). Every http(s) result path goes
+    through ``remove_dot_segments`` exactly once (the candidate string
+    is assembled first, then decomposed once). Fragments are stripped
+    (never sent to a server); an empty href is the base itself. NULL
+    base or href → NULL."""
+    from ..functions import let
+
+    def build(h: Column) -> Column:
+        b_scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+        root = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+        b_path = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+        b_path = F.when(b_path == "", F.lit("/")).otherwise(b_path)
+        b_query = F.regexp_extract(base, r"^[^#]*?(\?[^#]*)", 1)
+        base_dir = F.regexp_replace(b_path, "[^/]*$", "")
+        cand = (
+            F.when(h.rlike("^(?i:https?)://"), h)
+             .when(h.startswith("//"), F.concat(b_scheme, F.lit(":"), h))
+             .when(h.startswith("/"), F.concat(root, h))
+             .when(h.startswith("?"), F.concat(root, b_path, h))
+             .when(h == "", F.concat(root, b_path, b_query))
+             .otherwise(F.concat(root, base_dir, h)))
+
+        def assemble(c: Column) -> Column:
+            c_root = F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+            c_path = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+            c_query = F.regexp_extract(c, r"^[^#]*?(\?[^#]*)", 1)
+            return F.concat(
+                c_root,
+                remove_dot_segments(
+                    F.when(c_path == "", F.lit("/")).otherwise(c_path)),
+                c_query)
+
+        return F.when(
+            h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:") & ~h.rlike("^(?i:https?)://"),
+            h).otherwise(let(cand, assemble))
+
+    return let(F.regexp_replace(F.trim(href), "#.*$", ""), build)
+
+
 _UDF_CACHE: dict = {}
 
 
