@@ -742,6 +742,30 @@ def q_media_pixels(spark, sf):  # multimodal: REAL PNG raster decode, oracle-che
         F.round(F.get("feature", 12) * 100000).cast("int").alias("grad_row_e5"))
 
 
+def q_media_pixels_jpeg(spark, sf):  # multimodal: REAL baseline-JPEG raster
+    """Quality-100 baseline JPEGs (4:4:4 / 4:2:0 / grayscale / restart
+    markers cycling by doc_id) → stdlib Huffman + dequant + exact IDCT →
+    TRUE pixel statistics. The oracle recomputes the closed-form stats
+    from doc_id, so a hash match proves the whole JPEG raster path
+    (segment walk, canonical Huffman, byte-unstuffing, RST resync,
+    zigzag, IDCT, chroma upsample, color convert) is value-faithful."""
+    from wine_label_ocr_spark.fixtures import documents_as_media_pixels_jpeg
+    from wine_label_ocr_spark.operators.multimodal import extract_media_features
+    out = extract_media_features(documents_as_media_pixels_jpeg(spark, sf),
+                                 fake=False)
+    return out.select(
+        "url",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        "decode_ok",
+        F.round(F.get("feature", 0) * 255).cast("int").alias("mean_c0"),
+        F.round(F.get("feature", 1) * 255).cast("int").alias("mean_c1"),
+        F.round(F.get("feature", 2) * 255).cast("int").alias("mean_c2"),
+        F.round(F.get("feature", 4) * 100000).cast("int").alias("std_c0_e5"),
+        F.round(F.get("feature", 12) * 100000).cast("int").alias("grad_row_e5"))
+
+
 def q_compression_ratio(spark, sf):  # textops: zlib repetitiveness signal
     """Rows-only gate (zlib output is library-defined, so no value oracle —
     like ivf_topk): per-lang histogram of compressed/raw size ratio
@@ -1279,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlinks_resolved": q_outlinks_resolved,
         "pagerank": q_pagerank,
         "pagerank_dangling": q_pagerank_dangling,
+        "media_pixels_jpeg": q_media_pixels_jpeg,
         # r4-certified remainder (relative order preserved)
         "ema_final": q_ema_final,
         "sessionize": q_sessionize,
@@ -2550,6 +2575,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST((doc_id * 3) % 256 AS INT) AS mean_g,
                    CAST((doc_id * 7) % 256 AS INT) AS mean_b,
                    CAST(0 AS INT) AS std_r_e5,
+                   CAST(0 AS INT) AS grad_row_e5
+            FROM documents
+        """,
+        "media_pixels_jpeg": """
+            -- closed-form expected pixel stats of the solid-gray JPEG
+            -- fixture at quality 100 (all quantizers 1, so uniform
+            -- rasters decode exactly): means are the planted gray value
+            -- (0 for the channels a grayscale image lacks), stds and
+            -- gradients exactly zero
+            SELECT concat('mediajpg:', CAST(doc_id AS VARCHAR)) AS url,
+                   CAST(8 + doc_id % 24 AS INT) AS width,
+                   CAST(8 + (doc_id * 7) % 24 AS INT) AS height,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 3 END AS INT)
+                       AS channels,
+                   TRUE AS decode_ok,
+                   CAST(doc_id % 256 AS INT) AS mean_c0,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+                             ELSE doc_id % 256 END AS INT) AS mean_c1,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+                             ELSE doc_id % 256 END AS INT) AS mean_c2,
+                   CAST(0 AS INT) AS std_c0_e5,
                    CAST(0 AS INT) AS grad_row_e5
             FROM documents
         """,

@@ -668,3 +668,104 @@ def test_exact_substring_spans_and_removal(spark):
     got3 = sorted((r["doc_id"], r["start"], r["end"])
                   for r in dedupe.exact_substring_spans(df3, min_tokens=8).collect())
     assert got3 == [(1, 2, 12), (2, 1, 11)]
+
+
+def test_jpeg_spec_constants_pinned():
+    """Pin encoder tables to the published T.81 Annex K values so the
+    encoder/decoder pair can't share a transposed-table bug silently."""
+    from wine_label_ocr_spark.operators import multimodal as M
+    # zigzag: first and last diagonal runs of the standard scan
+    assert M._ZIGZAG[:10] == (0, 1, 8, 16, 9, 2, 3, 10, 17, 24)
+    assert M._ZIGZAG[58:] == (45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55,
+                              62, 63)[7:]
+    assert sorted(M._ZIGZAG) == list(range(64))
+    # Annex K.1 corners
+    assert M._QT_LUMA[0] == 16 and M._QT_LUMA[63] == 99
+    assert M._QT_CHROMA[0] == 17 and M._QT_CHROMA[63] == 99
+    # quality scaling: q100 -> all ones; q50 -> the table itself
+    assert set(M._scaled_qt(M._QT_LUMA, 100)) == {1}
+    assert M._scaled_qt(M._QT_LUMA, 50) == list(M._QT_LUMA)
+    # canonical Huffman: luma DC cat 0 is the 2-bit code 00 (K.3)
+    codes = M._huff_codes(*M._HUFF_DC_LUMA)
+    assert codes[0] == (2, 0)
+    assert codes[1] == (3, 0b010)
+    # luma AC EOB is 4-bit 1010, ZRL 11-bit 11111111001 (K.5)
+    ac = M._huff_codes(*M._HUFF_AC_LUMA)
+    assert ac[0x00] == (4, 0b1010)
+    assert ac[0xF0] == (11, 0b11111111001)
+    assert len(M._HUFF_AC_LUMA[1]) == 162 and len(M._HUFF_AC_CHROMA[1]) == 162
+
+
+def test_jpeg_roundtrip_paths():
+    import numpy as np
+    from wine_label_ocr_spark.operators.multimodal import (
+        decode_jpeg, encode_jpeg, parse_image_header)
+    rng = np.random.RandomState(7)
+    # block-constant 8x8-aligned pattern at q100 round-trips EXACTLY
+    blocks = rng.randint(0, 256, (3, 4), dtype=np.uint8)
+    a = np.kron(blocks, np.ones((8, 8), np.uint8))[:, :, None].repeat(3, 2)
+    assert np.array_equal(decode_jpeg(encode_jpeg(a, quality=100)), a)
+    # uniform gray: exact through 4:4:4, 4:2:0, grayscale, odd sizes
+    for shape, sub in (((19, 21, 3), (1, 1)), ((19, 21, 3), (2, 2)),
+                       ((13, 9), (1, 1))):
+        u = np.full(shape, 77, np.uint8)
+        d = decode_jpeg(encode_jpeg(u, quality=100, subsampling=sub))
+        assert d.shape[:2] == shape[:2]
+        assert (d == 77).all()
+    # random image at q100: quantization error bounded, header real
+    a = rng.randint(0, 256, (24, 33, 3), np.uint8)
+    j = encode_jpeg(a, quality=100)
+    hdr = parse_image_header(j)
+    assert hdr == {"format": "jpeg", "width": 33, "height": 24,
+                   "channels": 3}
+    d = decode_jpeg(j)
+    assert int(np.abs(d.astype(int) - a.astype(int)).max()) <= 8
+    # restart markers decode to the identical raster
+    j95 = encode_jpeg(a, quality=95)
+    jr = encode_jpeg(a, quality=95, restart_interval=3)
+    assert b"\xff\xdd" in jr and jr != j95
+    assert np.array_equal(decode_jpeg(jr), decode_jpeg(j95))
+    # tolerant: garbage after SOI, empty, progressive SOF2 -> None
+    assert decode_jpeg(b"\xff\xd8garbage") is None
+    assert decode_jpeg(b"") is None
+    prog = bytearray(encode_jpeg(np.full((8, 8), 5, np.uint8)))
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    assert decode_jpeg(bytes(prog)) is None
+
+
+def test_dhash_png_jpeg_encoding_invariance():
+    """The SAME 8x8-block-constant raster through PNG and quality-100
+    JPEG must decode byte-identically, so dHash is encoding-invariant
+    (the perceptual-dedup contract across the two real codecs)."""
+    import numpy as np
+    from wine_label_ocr_spark.operators.multimodal import (
+        decode_raster, dhash64_raster, encode_jpeg, encode_png)
+    rng = np.random.RandomState(11)
+    for _ in range(3):
+        blocks = rng.randint(0, 256, (8, 9), dtype=np.uint8)
+        arr = np.kron(blocks, np.ones((8, 8), np.uint8))
+        rgb = arr[:, :, None].repeat(3, 2)
+        from_png = decode_raster(encode_png(rgb))
+        from_jpg = decode_raster(encode_jpeg(rgb, quality=100))
+        assert np.array_equal(from_png, from_jpg)
+        assert dhash64_raster(from_png) == dhash64_raster(from_jpg)
+
+
+def test_image_dhash_mixed_png_jpeg(spark):
+    """image_dhash over a mixed PNG/JPEG frame: same pattern under both
+    encodings lands in the same hash; undecodable rows flagged."""
+    import numpy as np
+    from wine_label_ocr_spark.operators import multimodal as M
+    blocks = (np.arange(72, dtype=np.uint8).reshape(8, 9) * 3) % 256
+    arr = np.kron(blocks, np.ones((8, 8), np.uint8))
+    rgb = arr[:, :, None].repeat(3, 2)
+    rows = [("png:1", bytearray(M.encode_png(rgb))),
+            ("jpg:1", bytearray(M.encode_jpeg(rgb, quality=100))),
+            ("bad:1", bytearray(b"\xff\xd8nope"))]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r["url"]: (r["dhash"], r["decode_ok"])
+           for r in M.image_dhash(df).collect()}
+    assert got["png:1"][1] and got["jpg:1"][1] and not got["bad:1"][1]
+    assert got["png:1"][0] == got["jpg:1"][0]
+    assert got["bad:1"][0] is None

@@ -332,6 +332,51 @@ def documents_as_media_pixels(spark, sf_dir: str):
         gen, schema="url string, payload binary, media_type string")
 
 
+def documents_as_media_pixels_jpeg(spark, sf_dir: str):
+    """documents.parquet → quality-100 baseline JPEG payloads (real
+    Annex-K Huffman streams), built distributed in ``mapInPandas``.
+
+    Each doc is a solid GRAY image — value ``doc_id%256`` (gray because
+    the JFIF color matrix round-trips r=g=b exactly: Cb=Cr=128), size
+    (8+doc_id%24) × (8+doc_id*7%24) — cycling through the decoder's
+    structural paths: doc_id%3==0 → RGB 4:4:4, ==1 → RGB 4:2:0 (chroma
+    upsample path), ==2 → single-component grayscale; every 5th doc
+    additionally carries DRI/RSTn restart markers. At quality 100 every
+    quantizer is 1, so the uniform raster decodes EXACTLY and the
+    expected pixel statistics stay a closed-form function of doc_id —
+    while a decoder that fails any path falls back to header features
+    and breaks the hash."""
+    from collections.abc import Iterable, Iterator
+
+    from .operators.multimodal import encode_jpeg
+
+    def gen(batches: Iterable) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % 24, 8 + (i * 7) % 24
+                v = i % 256
+                ri = 2 if i % 5 == 0 else 0
+                mode = i % 3
+                if mode == 2:
+                    arr = np.full((h, w), v, dtype=np.uint8)
+                    jpg = encode_jpeg(arr, quality=100, restart_interval=ri)
+                else:
+                    arr = np.full((h, w, 3), v, dtype=np.uint8)
+                    sub = (2, 2) if mode == 1 else (1, 1)
+                    jpg = encode_jpeg(arr, quality=100, subsampling=sub,
+                                      restart_interval=ri)
+                rows.append((f"mediajpg:{i}", jpg, "jpeg"))
+            yield pd.DataFrame(rows, columns=["url", "payload", "media_type"])
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return d.mapInPandas(
+        gen, schema="url string, payload binary, media_type string")
+
+
 # 8 deterministic 9-value luma patterns for the dHash gate: each image is
 # 8 rows × 9 two-pixel-wide blocks of constant gray, so the 8×9 block
 # means equal the pattern EXACTLY and the expected dHash is derivable

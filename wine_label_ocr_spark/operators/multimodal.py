@@ -7,17 +7,18 @@ document, ``final_run_ocr.py:389-396``), generalized to any modality.
 
 Image METADATA decode is REAL: ``parse_image_header`` reads PNG IHDR,
 JPEG SOFn, and GIF logical-screen headers with pure stdlib byte walking —
-no codec library needed — yielding true width/height/channels. PNG
-RASTER decode is also REAL (``decode_png``: zlib inflate + per-row
-unfilter for all five filter types), so PNG payloads get true per-channel
-pixel statistics (``pixel_features``). JPEG/GIF raster and audio/video
-resample need libraries this container does not ship, so those kernels
-remain STUBS: their feature vector derives deterministically from the
-parsed header (documented below), and ``decode_stub`` on a non-media
-payload raises ``NotImplementedError`` unless ``fake=True``. The
-Spark-side plumbing — schema, batching, partitioning, UDF signature — is
-real and tested; a production deploy swaps the remaining stub kernels for
-Pillow/ffmpeg with no plan changes.
+no codec library needed — yielding true width/height/channels. RASTER
+decode is REAL for PNG (``decode_png``: zlib inflate + per-row unfilter
+for all five filter types, palette, Adam7) AND baseline-sequential JPEG
+(``decode_jpeg``: Annex-K Huffman, dequant, exact float IDCT, chroma
+upsample, YCbCr→RGB), so both formats get true per-channel pixel
+statistics (``pixel_features``) and perceptual hashes. GIF raster
+(LZW) and audio/video resample remain the documented STUBS: their
+feature vector derives deterministically from the parsed header, and
+``decode_stub`` on a non-media payload raises ``NotImplementedError``
+unless ``fake=True``. The Spark-side plumbing — schema, batching,
+partitioning, UDF signature — is real and tested; a production deploy
+swaps the remaining stub kernels for Pillow/ffmpeg with no plan changes.
 """
 
 from __future__ import annotations
@@ -431,6 +432,555 @@ def decode_png(payload: bytes):
     return out.reshape(h, w, c)
 
 
+# ---------------------------------------------------------------------------
+# Baseline-sequential JPEG (ITU T.81): stdlib+numpy encoder and decoder.
+# The encoder exists to build fixtures; the decoder is the production
+# raster path for the dominant real-crawl image format. Tables below are
+# the published Annex K defaults (quantization K.1/K.2, Huffman K.3-K.6)
+# and the standard zigzag scan — public-spec constants, not code.
+
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+_QT_LUMA = (
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99)
+
+_QT_CHROMA = (
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99)
+
+_HUFF_DC_LUMA = ((0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+                 tuple(range(12)))
+_HUFF_DC_CHROMA = ((0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+                   tuple(range(12)))
+_HUFF_AC_LUMA = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    (0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA))
+_HUFF_AC_CHROMA = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    (0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA))
+
+_DCT_A = None  # lazy orthonormal 8x8 DCT-II basis (A @ b @ A.T == JPEG FDCT)
+
+
+def _dct_basis():
+    global _DCT_A
+    if _DCT_A is None:
+        import math
+
+        import numpy as np
+        a = np.zeros((8, 8))
+        for u in range(8):
+            cu = math.sqrt(1 / 8) if u == 0 else math.sqrt(2 / 8)
+            for x in range(8):
+                a[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / 16)
+        _DCT_A = a
+    return _DCT_A
+
+
+def _scaled_qt(table, quality: int):
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return [max(1, min(255, (t * scale + 50) // 100)) for t in table]
+
+
+def _huff_codes(bits, vals) -> dict:
+    """Canonical JPEG Huffman codes: symbol → (bit_length, code)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _bit_category(v: int) -> int:
+    a, s = abs(int(v)), 0
+    while a:
+        s += 1
+        a >>= 1
+    return s
+
+
+class _BitWriter:
+    """Entropy-coded-segment writer with 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad(self):  # fill the final partial byte with 1-bits (spec)
+        if self.nbits:
+            self.put(0x7F, 8 - self.nbits)
+
+
+def encode_jpeg(arr, quality: int = 100, subsampling=(1, 1),
+                restart_interval: int = 0) -> bytes:
+    """Baseline-sequential JPEG encoder (stdlib + numpy): SOI/JFIF/DQT/
+    SOF0/DHT/SOS with Annex K default tables scaled by ``quality``.
+
+    ``arr`` is (h, w, 3) uint8 RGB or (h, w)/(h, w, 1) grayscale.
+    ``subsampling=(sh, sv)`` are the LUMA sampling factors (so (2, 2) is
+    4:2:0; chroma is averaged over sh×sv boxes). ``restart_interval``
+    > 0 emits DRI and RSTn markers every that many MCUs. At quality 100
+    every quantizer is 1, so block-constant inputs round-trip exactly —
+    the property the closed-form pixel-stat oracle leans on."""
+    import numpy as np
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nc = a.shape
+    if nc not in (1, 3):
+        raise ValueError("encode_jpeg expects 1 or 3 channels")
+    sh, sv = (int(subsampling[0]), int(subsampling[1])) if nc == 3 else (1, 1)
+    if sh not in (1, 2) or sv not in (1, 2):
+        raise ValueError("subsampling factors must be 1 or 2")
+    A = _dct_basis()
+    qt_l = _scaled_qt(_QT_LUMA, quality)
+    qt_c = _scaled_qt(_QT_CHROMA, quality)
+
+    f = a.astype(np.float64)
+    if nc == 3:
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+    else:
+        planes = [f[:, :, 0]]
+
+    mcu_w, mcu_h = 8 * sh, 8 * sv
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    def pad_to(p, ph, pw):
+        out = np.empty((ph, pw))
+        out[:p.shape[0], :p.shape[1]] = p
+        out[p.shape[0]:, :p.shape[1]] = p[-1:, :]
+        out[:p.shape[0], p.shape[1]:] = p[:, -1:]
+        out[p.shape[0]:, p.shape[1]:] = p[-1, -1]
+        return out
+
+    comp_planes, comp_factors, comp_qt = [], [], []
+    for ci, p in enumerate(planes):
+        if ci == 0:
+            cp = pad_to(p, mcus_y * mcu_h, mcus_x * mcu_w)
+            comp_factors.append((sh, sv))
+            comp_qt.append(qt_l)
+        else:
+            if sh > 1 or sv > 1:  # box-average chroma downsample
+                pp = pad_to(p, ((h + sv - 1) // sv) * sv,
+                            ((w + sh - 1) // sh) * sh)
+                p = pp.reshape(pp.shape[0] // sv, sv,
+                               pp.shape[1] // sh, sh).mean(axis=(1, 3))
+            cp = pad_to(p, mcus_y * 8, mcus_x * 8)
+            comp_factors.append((1, 1))
+            comp_qt.append(qt_c)
+        comp_planes.append(cp - 128.0)
+
+    dc_codes_l = _huff_codes(*_HUFF_DC_LUMA)
+    ac_codes_l = _huff_codes(*_HUFF_AC_LUMA)
+    dc_codes_c = _huff_codes(*_HUFF_DC_CHROMA)
+    ac_codes_c = _huff_codes(*_HUFF_AC_CHROMA)
+
+    def encode_block(bw, block, qt, dc_codes, ac_codes, pred):
+        coeff = A @ block @ A.T
+        zz = [int(round(coeff.flat[_ZIGZAG[i]] / qt[_ZIGZAG[i]]))
+              for i in range(64)]
+        diff = zz[0] - pred
+        s = _bit_category(diff)
+        ln, code = dc_codes[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        last = 63
+        while last > 0 and zz[last] == 0:
+            last -= 1
+        for i in range(1, last + 1):
+            v = zz[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_codes[0xF0]  # ZRL
+                bw.put(code, ln)
+                run -= 16
+            s = _bit_category(v)
+            ln, code = ac_codes[(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            ln, code = ac_codes[0x00]  # EOB
+            bw.put(code, ln)
+        return zz[0]
+
+    bw = _BitWriter()
+    preds = [0] * len(comp_planes)
+    mcu_count = 0
+    rst = 0
+    ecs = bytearray()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                bw.pad()
+                ecs += bw.out
+                ecs += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
+                preds = [0] * len(comp_planes)
+            for ci, cp in enumerate(comp_planes):
+                fh, fv = comp_factors[ci]
+                qt = comp_qt[ci]
+                dc = dc_codes_l if ci == 0 else dc_codes_c
+                ac = ac_codes_l if ci == 0 else ac_codes_c
+                for by in range(fv):
+                    for bx in range(fh):
+                        y0 = (my * fv + by) * 8
+                        x0 = (mx * fh + bx) * 8
+                        preds[ci] = encode_block(
+                            bw, cp[y0:y0 + 8, x0:x0 + 8], qt, dc, ac,
+                            preds[ci])
+            mcu_count += 1
+    bw.pad()
+    ecs += bw.out
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(qt_l[z] for z in _ZIGZAG))
+    if nc == 3:
+        out += seg(0xDB, bytes([1]) + bytes(qt_c[z] for z in _ZIGZAG))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([nc])
+    for ci in range(nc):
+        fh, fv = comp_factors[ci]
+        sof += bytes((ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1))
+    out += seg(0xC0, bytes(sof))
+    for tc_th, (bits, vals) in ((0x00, _HUFF_DC_LUMA),
+                                (0x10, _HUFF_AC_LUMA),
+                                (0x01, _HUFF_DC_CHROMA),
+                                (0x11, _HUFF_AC_CHROMA)):
+        if nc == 1 and tc_th in (0x01, 0x11):
+            continue
+        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, int(restart_interval).to_bytes(2, "big"))
+    sos = bytearray([nc])
+    for ci in range(nc):
+        sos += bytes((ci + 1, 0x00 if ci == 0 else 0x11))
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, bytes(sos))
+    out += ecs
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-coded-segment reader: un-stuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        while self.nbits < 24:
+            if self.pos >= len(self.d):
+                self.acc = (self.acc << 8) | 0xFF  # pad past end
+                self.nbits += 8
+                continue
+            b = self.d[self.pos]
+            if b == 0xFF:
+                nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) \
+                    else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    break  # restart marker: consumed by sync_restart
+                else:
+                    break  # EOI / next segment
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                continue
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        if self.nbits < n:
+            raise ValueError("truncated entropy stream")
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def decode_huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.bits(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    def sync_restart(self):
+        """Drop partial-byte bits, consume the RSTn marker."""
+        self.nbits = 0
+        self.acc = 0
+        while self.pos + 1 < len(self.d) and not (
+                self.d[self.pos] == 0xFF
+                and 0xD0 <= self.d[self.pos + 1] <= 0xD7):
+            self.pos += 1
+        if self.pos + 1 < len(self.d):
+            self.pos += 2
+
+
+def decode_jpeg(payload: bytes):
+    """REAL baseline-sequential JPEG raster decode (stdlib + numpy):
+    segment walk (DQT/DHT/SOF0-1/DRI/SOS), canonical Huffman decode with
+    byte-unstuffing and restart-marker resync, dequantize + inverse
+    zigzag, exact float IDCT (orthonormal basis product), chroma
+    upsample by replication, JFIF YCbCr→RGB. Supports 8-bit precision,
+    1 or 3 components, sampling factors 1-2. Returns (h, w, channels)
+    uint8, or None when the payload is not a decodable baseline JPEG
+    (progressive/arithmetic/12-bit fall back to header features —
+    tolerant, never raises)."""
+    import numpy as np
+    p = bytes(payload or b"")
+    if p[:2] != b"\xff\xd8":
+        return None
+    try:
+        qts: dict = {}
+        huffs: dict = {}
+        comps = None
+        hh = ww = None
+        dri = 0
+        i = 2
+        while i + 4 <= len(p):
+            if p[i] != 0xFF:
+                return None
+            marker = p[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if 0xD0 <= marker <= 0xD9:
+                i += 2
+                continue
+            seglen = int.from_bytes(p[i + 2:i + 4], "big")
+            data = p[i + 4:i + 2 + seglen]
+            if marker == 0xDB:
+                j = 0
+                while j < len(data):
+                    pq, tq = data[j] >> 4, data[j] & 0x0F
+                    if pq != 0:
+                        return None  # 16-bit tables: not baseline-8
+                    tbl = [0] * 64
+                    for k in range(64):
+                        tbl[_ZIGZAG[k]] = data[j + 1 + k]
+                    qts[tq] = tbl
+                    j += 65
+            elif marker == 0xC4:
+                j = 0
+                while j < len(data):
+                    tc, th = data[j] >> 4, data[j] & 0x0F
+                    bits = list(data[j + 1:j + 17])
+                    n = sum(bits)
+                    vals = list(data[j + 17:j + 17 + n])
+                    dec = {}
+                    code, k = 0, 0
+                    for length in range(1, 17):
+                        for _ in range(bits[length - 1]):
+                            dec[(length, code)] = vals[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    huffs[(tc, th)] = dec
+                    j += 17 + n
+            elif marker in (0xC0, 0xC1):
+                if data[0] != 8:
+                    return None
+                hh = int.from_bytes(data[1:3], "big")
+                ww = int.from_bytes(data[3:5], "big")
+                nc = data[5]
+                if nc not in (1, 3):
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = data[6 + 3 * c:9 + 3 * c]
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                                  "tq": tq})
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive/arithmetic: not baseline
+            elif marker == 0xDD:
+                dri = int.from_bytes(data[0:2], "big")
+            elif marker == 0xDA:
+                if comps is None or not hh or not ww:
+                    return None
+                ns = data[0]
+                scan = []
+                for c in range(ns):
+                    cs, tables = data[1 + 2 * c], data[2 + 2 * c]
+                    comp = next(x for x in comps if x["id"] == cs)
+                    scan.append((comp, tables >> 4, tables & 0x0F))
+                ecs_start = i + 2 + seglen
+                return _decode_scan(p, ecs_start, scan, qts, huffs,
+                                    hh, ww, dri)
+            i += 2 + seglen
+        return None
+    except Exception:
+        return None  # tolerant parse (ST8): undecodable → header fallback
+
+
+def _decode_scan(p, pos, scan, qts, huffs, hh, ww, dri):
+    import numpy as np
+    A = _dct_basis()
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+        return None
+    mcus_x = (ww + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (hh + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for comp, _, _ in scan:
+        planes.append(np.zeros((mcus_y * comp["v"] * 8,
+                                mcus_x * comp["h"] * 8)))
+    br = _BitReader(p, pos)
+    preds = [0] * len(scan)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and mcu_count and mcu_count % dri == 0:
+                br.sync_restart()
+                preds = [0] * len(scan)
+            for ci, (comp, td, ta) in enumerate(scan):
+                dc_tab = huffs[(0, td)]
+                ac_tab = huffs[(1, ta)]
+                qt = qts[comp["tq"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz = [0] * 64
+                        s = br.decode_huff(dc_tab)
+                        diff = br.bits(s)
+                        if s and diff < (1 << (s - 1)):
+                            diff += 1 - (1 << s)
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode_huff(ac_tab)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            s = rs & 0x0F
+                            v = br.bits(s)
+                            if v < (1 << (s - 1)):
+                                v += 1 - (1 << s)
+                            if k > 63:
+                                return None
+                            zz[k] = v
+                            k += 1
+                        coeff = np.zeros(64)
+                        for k in range(64):
+                            coeff[_ZIGZAG[k]] = zz[k] * qt[_ZIGZAG[k]]
+                        blk = A.T @ coeff.reshape(8, 8) @ A + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
+            mcu_count += 1
+    full = []
+    for ci, (comp, _, _) in enumerate(scan):
+        pl = planes[ci]
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            pl = pl.repeat(ry, axis=0).repeat(rx, axis=1)
+        full.append(pl[:hh, :ww])
+    if len(full) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return out[:, :, None]
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def pixel_features(arr) -> list[float]:
     """REAL pixel statistics (16 dims, all in [0,1]-ish):
     [mean_c0..c3, std_c0..c3 (missing channels 0), overall mean, overall
@@ -461,20 +1011,24 @@ def header_features(width: int, height: int, channels: int) -> list[float]:
 
 
 def decode_stub(payload: bytes, fake: bool = False) -> dict:
-    """Header-real decode, raster-real for PNG: a PNG payload with a
-    decodable IDAT gets TRUE pixel statistics (stdlib inflate + unfilter,
-    ``decode_png``/``pixel_features``); header-only or non-PNG images fall
-    back to header-derived features; otherwise the deterministic fake
-    (``fake=True``) or ``NotImplementedError`` (JPEG/GIF raster and
+    """Header-real decode, raster-real for PNG and baseline JPEG: a
+    payload with a decodable raster gets TRUE pixel statistics
+    (``decode_png``/``decode_jpeg`` → ``pixel_features``); header-only
+    or undecodable images (progressive JPEG, GIF raster) fall back to
+    header-derived features; otherwise the deterministic fake
+    (``fake=True``) or ``NotImplementedError`` (GIF raster and
     audio/video resample still need Pillow/ffmpeg — the remaining seam)."""
     hdr = parse_image_header(payload)
     if hdr is not None:
+        raster = None
         if hdr["format"] == "png":
             raster = decode_png(payload)
-            if raster is not None:
-                h, w, c = raster.shape
-                return {"width": w, "height": h, "channels": c,
-                        "n_frames": 1, "feature": pixel_features(raster)}
+        elif hdr["format"] == "jpeg":
+            raster = decode_jpeg(payload)
+        if raster is not None:
+            h, w, c = raster.shape
+            return {"width": w, "height": h, "channels": c,
+                    "n_frames": 1, "feature": pixel_features(raster)}
         return {"width": hdr["width"], "height": hdr["height"],
                 "channels": hdr["channels"], "n_frames": 1,
                 "feature": header_features(hdr["width"], hdr["height"],
@@ -560,11 +1114,23 @@ def dhash64_raster(arr) -> int:
     return bits - (1 << 64) if bits >= (1 << 63) else bits
 
 
+def decode_raster(payload: bytes):
+    """Format-dispatched REAL raster decode: PNG (``decode_png``) or
+    baseline JPEG (``decode_jpeg``) → (h, w, c) uint8; None for
+    anything else (GIF raster remains the documented seam)."""
+    p = bytes(payload or b"")
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(p)
+    if p[:2] == b"\xff\xd8":
+        return decode_jpeg(p)
+    return None
+
+
 def image_dhash(df: DataFrame, id_col: str = "url",
                 payload_col: str = "payload") -> DataFrame:
-    """PNG payloads → perceptual dHash: ``(id, dhash, decode_ok)`` via
-    one Arrow-batched ``mapInPandas`` (pure map — inherits partitioning,
-    zero Exchange). Non-decodable payloads come back with
+    """PNG/JPEG payloads → perceptual dHash: ``(id, dhash, decode_ok)``
+    via one Arrow-batched ``mapInPandas`` (pure map — inherits
+    partitioning, zero Exchange). Non-decodable payloads come back with
     ``decode_ok=false`` and a NULL hash rather than vanishing (ST8
     policy). Feed the result to ``image_near_dup`` for banded pairing."""
     def run(batches: Iterable) -> Iterator:
@@ -572,7 +1138,7 @@ def image_dhash(df: DataFrame, id_col: str = "url",
         for pdf in batches:
             out = []
             for key, payload in zip(pdf[id_col], pdf[payload_col]):
-                arr = decode_png(bytes(payload) if payload is not None else b"")
+                arr = decode_raster(payload)
                 if arr is None:
                     out.append((key, None, False))
                 else:
