@@ -235,6 +235,16 @@ def test_warc_malformed_envelope_degrades_to_raw():
     bad = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
            b"NOTHEX\r\nbody")
     assert strip_http_envelope(bad)[0] == b"NOTHEX\r\nbody"
+    # chunk not followed by its CRLF separator -> malformed framing,
+    # degrade to the raw body instead of misparsing the next bytes
+    noCRLF = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+              b"4\r\nabcdXX5\r\nhello\r\n0\r\n\r\n")
+    assert strip_http_envelope(noCRLF)[0] == \
+        b"4\r\nabcdXX5\r\nhello\r\n0\r\n\r\n"
+    # chunk ending exactly at end-of-body (separator absent, not wrong)
+    tail = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"4\r\nabcd")
+    assert strip_http_envelope(tail)[0] == b"abcd"
 
 
 def test_wat_sidecar_roundtrip(spark, tmp_path):

@@ -113,13 +113,12 @@ def curation_funnel(pages: DataFrame, min_quality: float = 0.3,
         pages, min_quality, min_tokens, langs, near_dup_jaccard,
         oracle_safe=oracle_safe)
     # the four count branches share one lineage: without caching the cut
-    # points, extraction re-runs 4x and exact dedup 2x per evaluation
+    # points, extraction re-runs 4x and exact dedup 2x per evaluation.
+    # cache() registers by canonicalized logical plan, so the canonical
+    # returned by _curation_stages (built on the same uniq plan) reuses
+    # the cached cuts — no rebuilt twin of the near-dup stage here.
     rec, uniq = rec.cache(), uniq.cache()
     cand = cand.cache()
-    canonical = dedup_keep_one(
-        uniq, minhash_lsh_pairs(uniq, id_col="_did", text_col="text",
-                                min_jaccard=near_dup_jaccard,
-                                oracle_safe=oracle_safe), id_col="_did")
     stages = [("pages", rec), ("candidates", cand),
               ("unique", uniq), ("canonical", canonical)]
     out = None

@@ -131,6 +131,11 @@ def _dechunk(body: bytes) -> bytes:
         start = eol + 2
         if start + size > n:
             return body
+        # the chunk must be followed by its CRLF separator (or end the
+        # body); anything else is malformed framing → degrade to raw
+        sep = body[start + size:start + size + 2]
+        if sep and sep != b"\r\n":
+            return body
         out.append(body[start:start + size])
         pos = start + size + 2  # skip the chunk's trailing CRLF
     return b"".join(out)
