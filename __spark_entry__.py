@@ -742,6 +742,89 @@ def q_media_pixels(spark, sf):  # multimodal: REAL PNG raster decode, oracle-che
         F.round(F.get("feature", 12) * 100000).cast("int").alias("grad_row_e5"))
 
 
+def q_wat_sidecar(spark, sf):  # warc: WAT metadata export, end-to-end
+    """WAT sidecar under the correctness gate: planted pages (title on
+    all but every 7th doc, doc_id%3 outlinks) → build_wat_records →
+    DISTRIBUTED gzip metadata shards → read back → project the JSON
+    envelope fields with get_json_object. Field-level projection (not
+    raw-JSON hashing) sidesteps key-order parity; the oracle states
+    title/link-count/header-echo closed-form from doc_id."""
+    import hashlib as _h
+    import os
+    import tempfile
+
+    from wine_label_ocr_spark.sources.warc import read_warc, write_wat_shards
+
+    import inspect
+
+    from wine_label_ocr_spark.sources import warc as _warc_mod
+
+    def pages_df():
+        d = _t(spark, sf, "documents").select("doc_id")
+        did = F.col("doc_id").cast("string")
+        title = F.when(F.pmod(F.col("doc_id"), F.lit(7)) == 0, F.lit("")) \
+                 .otherwise(F.concat(F.lit("<title>Doc "), did,
+                                     F.lit("</title>")))
+        nl = F.pmod(F.col("doc_id"), F.lit(3))
+        links = F.concat(
+            F.when(nl >= 1, F.concat(F.lit('<a href="https://l0.com/'),
+                                     did, F.lit('">x</a>')))
+             .otherwise(F.lit("")),
+            F.when(nl >= 2, F.concat(F.lit('<a href="https://l1.com/'),
+                                     did, F.lit('">y</a>')))
+             .otherwise(F.lit("")))
+        return d.select(
+            F.concat(F.lit("https://w"), F.pmod(F.col("doc_id"), F.lit(9))
+                     .cast("string"), F.lit(".com/p/"), did).alias("url"),
+            F.expr("timestamp'2025-01-01 00:00:00'"
+                   " + make_interval(0, 0, 0, 0, 0, 0, doc_id)")
+             .alias("warc_ts"),
+            F.concat(title, F.lit("<body>b</body>"), links)
+             .cast("binary").alias("html"),
+            F.lit(None).cast("string").alias("lang"))
+
+    doc_dir = os.path.join(sf, "documents.parquet")
+    stat = "" if not os.path.isdir(doc_dir) else ";".join(
+        f"{f}:{s.st_size}:{s.st_mtime_ns}" for f, s in sorted(
+            (f, os.stat(os.path.join(doc_dir, f)))
+            for f in os.listdir(doc_dir) if not f.startswith(".")))
+    tag = _h.md5((sf + stat + inspect.getsource(_warc_mod))
+                 .encode()).hexdigest()[:10]
+    shard_dir = os.path.join(tempfile.gettempdir(), f"wlos_wat_{tag}")
+    if not os.path.isdir(shard_dir):
+        import shutil
+        import uuid
+        staging = f"{shard_dir}.stage-{uuid.uuid4().hex}"
+        write_wat_shards(pages_df().repartition(
+            4, F.abs(F.xxhash64("url")) % 4), staging,
+            compress=True).collect()
+        try:
+            os.rename(staging, shard_dir)
+        except OSError:
+            if os.path.isdir(shard_dir):
+                shutil.rmtree(staging, ignore_errors=True)  # lost the race
+            else:
+                raise
+    wat = read_warc(spark, os.path.join(shard_dir, "*.warc.gz"),
+                    record_types=("metadata",))
+    j = F.col("html").cast("string")
+    env = "$.Envelope['{}']"
+    meta = "$.Envelope['Payload-Metadata']['HTTP-Response-Metadata']" \
+           "['HTML-Metadata']"
+    return wat.select(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("bigint")
+         .alias("doc_id"),
+        "url",
+        F.get_json_object(j, env.format("WARC-Header-Metadata")
+                          + "['WARC-Target-URI']").alias("hdr_uri"),
+        F.get_json_object(j, env.format("WARC-Header-Metadata")
+                          + "['WARC-Date']").alias("wdate"),
+        F.get_json_object(j, meta + ".Head.Title").alias("title"),
+        F.json_array_length(F.get_json_object(j, meta + ".Links"))
+         .cast("int").alias("n_links"),
+    ).orderBy("doc_id")
+
+
 def q_media_pixels_jpeg(spark, sf):  # multimodal: REAL baseline-JPEG raster
     """Quality-100 baseline JPEGs (4:4:4 / 4:2:0 / grayscale / restart
     markers cycling by doc_id) → stdlib Huffman + dequant + exact IDCT →
@@ -1304,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "pagerank_dangling": q_pagerank_dangling,
         "media_pixels_jpeg": q_media_pixels_jpeg,
+        "wat_sidecar": q_wat_sidecar,
         # r4-certified remainder (relative order preserved)
         "ema_final": q_ema_final,
         "sessionize": q_sessionize,
@@ -2577,6 +2661,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS INT) AS std_r_e5,
                    CAST(0 AS INT) AS grad_row_e5
             FROM documents
+        """,
+        "wat_sidecar": """
+            -- closed-form expected WAT envelope fields: header echo of
+            -- url + ISO date, title absent on every 7th doc, doc_id%3
+            -- outlinks
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   'https://w' || (doc_id % 9) || '.com/p/' || doc_id AS url,
+                   'https://w' || (doc_id % 9) || '.com/p/' || doc_id
+                       AS hdr_uri,
+                   strftime(TIMESTAMP '2025-01-01 00:00:00'
+                            + doc_id * INTERVAL 1 SECOND,
+                            '%Y-%m-%dT%H:%M:%SZ') AS wdate,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE 'Doc ' || doc_id END AS title,
+                   CAST(doc_id % 3 AS INT) AS n_links
+            FROM documents
+            ORDER BY doc_id
         """,
         "media_pixels_jpeg": """
             -- closed-form expected pixel stats of the solid-gray JPEG
