@@ -742,6 +742,34 @@ def q_media_pixels(spark, sf):  # multimodal: REAL PNG raster decode, oracle-che
         F.round(F.get("feature", 12) * 100000).cast("int").alias("grad_row_e5"))
 
 
+# merges.txt-format table (rank = position) for the real-BPE gate — the
+# classic lower/newest teaching vocabulary
+BPE_GATE_MERGES = [("e", "r"), ("l", "o"), ("lo", "w"), ("n", "e"),
+                   ("ne", "w"), ("e", "s"), ("es", "t")]
+
+
+def q_bpe_real_tokens(spark, sf):  # textops: merge-table BPE tokenization
+    """REAL BPE under a published-format merge table over planted text
+    (the lower/newest vocabulary repeated doc_id%5+1 times plus the
+    doc_id digits): each sentence tokenizes to exactly 12 tokens
+    ('low er new est w i d er low low est !'), digits never merge, so
+    total count AND the per-token value check ('low' occurrences) are
+    closed-form in doc_id."""
+    from wine_label_ocr_spark.operators.textops import bpe_tokenize
+    d = _t(spark, sf, "documents").select("doc_id")
+    reps = (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int")
+    text = F.concat(
+        F.repeat(F.lit("lower newest wider low lowest! "), reps),
+        F.col("doc_id").cast("string"))
+    toks = bpe_tokenize(text, BPE_GATE_MERGES)
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t == "low")).alias("n_low"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    ).orderBy("doc_id")
+
+
 def q_wat_sidecar(spark, sf):  # warc: WAT metadata export, end-to-end
     """WAT sidecar under the correctness gate: planted pages (title on
     all but every 7th doc, doc_id%3 outlinks) → build_wat_records →
@@ -1388,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_dangling": q_pagerank_dangling,
         "media_pixels_jpeg": q_media_pixels_jpeg,
         "wat_sidecar": q_wat_sidecar,
+        "bpe_real_tokens": q_bpe_real_tokens,
         # r4-certified remainder (relative order preserved)
         "ema_final": q_ema_final,
         "sessionize": q_sessionize,
@@ -2661,6 +2690,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS INT) AS std_r_e5,
                    CAST(0 AS INT) AS grad_row_e5
             FROM documents
+        """,
+        "bpe_real_tokens": """
+            -- closed-form BPE counts: every sentence repetition is 12
+            -- tokens / 3 'low's (low-er, low, low-est) / 8 distinct
+            -- values; the appended
+            -- doc_id digits are one token each (no digit merges) and
+            -- add their distinct-digit count
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(12 * (doc_id % 5 + 1)
+                        + length(CAST(doc_id AS VARCHAR)) AS INT)
+                       AS n_tokens,
+                   CAST(3 * (doc_id % 5 + 1) AS INT) AS n_low,
+                   CAST(8 + len(list_distinct(string_split(
+                        CAST(doc_id AS VARCHAR), ''))) AS INT)
+                       AS n_distinct
+            FROM documents
+            ORDER BY doc_id
         """,
         "wat_sidecar": """
             -- closed-form expected WAT envelope fields: header echo of

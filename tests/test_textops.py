@@ -416,3 +416,95 @@ def test_fix_text_normalization(spark):
     raw = {r["i"]: r["f"] for r in df.select(
         "i", T.fix_text(F.col("t"), fix_mojibake=False).alias("f")).collect()}
     assert raw[1] == moji("caf\u00e9 r\u00e9sum\u00e9")
+
+
+def _ref_bpe(text, merges):
+    """Independent naive BPE reference (same published merges.txt
+    semantics, written without looking at the column-algebra version):
+    per pre-token, repeatedly apply the lowest-rank merge to all
+    left-to-right occurrences until none applies."""
+    import re
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    toks = []
+    for w in re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", text):
+        syms = list(w)
+        while True:
+            cand = [(ranks[(syms[i], syms[i + 1])], i)
+                    for i in range(len(syms) - 1)
+                    if (syms[i], syms[i + 1]) in ranks]
+            if not cand:
+                break
+            a, b = merges[min(cand)[0]]
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            syms = ns
+        toks.extend(syms)
+    return toks
+
+
+def test_bpe_tokenize_matches_reference(spark):
+    from wine_label_ocr_spark.operators.textops import (
+        bpe_token_count, bpe_tokenize)
+    merges = [("e", "r"), ("l", "o"), ("lo", "w"), ("n", "e"), ("ne", "w"),
+              ("e", "s"), ("es", "t"), ("a", "a"), ("aa", "aa"),
+              ("t", "h"), ("th", "e")]
+    texts = ["lower newest wider low lowest!",
+             "the theater seethes", "aaaaaaa aaa a", "", "x",
+             "er er er", "2049 tokens, $3.50!", "newest\nnewest\tlow",
+             "aab baa aaba", "thee the th"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    rows = df.select("t", bpe_tokenize(F.col("t"), merges).alias("toks"),
+                     bpe_token_count(F.col("t"), merges).alias("n")) \
+             .collect()
+    for r in rows:
+        want = _ref_bpe(r["t"], merges)
+        assert r["toks"] == want, (r["t"], r["toks"], want)
+        assert r["n"] == len(want)
+
+
+def test_bpe_random_fuzz_against_reference(spark):
+    import random
+    from wine_label_ocr_spark.operators.textops import bpe_tokenize
+    rng = random.Random(42)
+    alphabet = "abc"
+    # random merge tables over a tiny alphabet maximize pathological
+    # overlap cases (aa+a vs a+aa orderings etc.)
+    syms = list(alphabet)
+    merges = []
+    for _ in range(12):
+        a, b = rng.choice(syms), rng.choice(syms)
+        if (a, b) not in merges:
+            merges.append((a, b))
+            syms.append(a + b)
+    texts = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 14)))
+             for _ in range(60)]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    rows = df.select("t", bpe_tokenize(F.col("t"), merges).alias("toks")) \
+             .collect()
+    for r in rows:
+        assert r["toks"] == _ref_bpe(r["t"], merges), (r["t"], merges)
+
+
+def test_pack_sequences_with_real_bpe_budget(spark):
+    from wine_label_ocr_spark.operators.textops import (
+        bpe_token_count, pack_sequences)
+    merges = [("l", "o"), ("lo", "w")]
+    rows = [(i, "low " * (i % 3 + 1)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = pack_sequences(
+        df, budget_tokens=4,
+        count_col=bpe_token_count(F.col("text"), merges)).collect()
+    got = {r["doc_id"]: (r["n_tokens"], r["bin_id"]) for r in out}
+    # 'low' is ONE bpe token per occurrence; contiguous fill at budget 4
+    cum = 0
+    for i in range(10):
+        n = i % 3 + 1
+        assert got[i][0] == n
+        assert got[i][1] == cum // 4
+        cum += n

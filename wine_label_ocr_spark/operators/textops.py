@@ -2,7 +2,9 @@
 
 All JVM-native column expressions (no Python in the hot path):
 
-* token counting — whitespace tokenizer + a BPE-ish regex tokenizer;
+* token counting — whitespace tokenizer, a BPE-ish regex heuristic, and
+  REAL merge-table BPE (``bpe_tokenize``: published merges.txt format,
+  greedy lowest-rank merges as an in-row column fold);
 * quality scoring — length / alpha-ratio / punctuation / stopword-ratio
   features combined into one score (the P5-style predicate gate of
   ``hybrid.py:196-218`` re-targeted at text quality);
@@ -45,7 +47,89 @@ def token_count(text: Column) -> Column:
 
 
 def bpe_ish_token_count(text: Column) -> Column:
+    """Regex-shape token count — the cheap heuristic stand-in. For
+    budgets that must match a real tokenizer, use ``bpe_token_count``
+    with an actual merge table."""
     return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def _bpe_word_tokens(word: Column, ranks: Column) -> Column:
+    """One pre-token → its BPE symbol array under the ``ranks`` pair→rank
+    map. The classic algorithm as column algebra: up to len-1 rounds of
+    "find the lowest-rank adjacent pair, merge all its left-to-right
+    occurrences", expressed as an ``aggregate`` fold whose accumulator is
+    the symbol array (a round with no mergeable pair is a no-op, so
+    over-iterating is safe and the fixed bound keeps the plan static)."""
+    from ..functions import let
+
+    def run(w: Column) -> Column:
+        chars = F.split(w, "")
+
+        def merge_round(acc: Column, _i: Column) -> Column:
+            def pick(a: Column) -> Column:
+                pairs = F.filter(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(a) - 2),
+                        lambda i: F.struct(
+                            F.element_at(
+                                ranks,
+                                F.concat_ws(" ", F.get(a, i),
+                                            F.get(a, i + 1))).alias("r"),
+                            i.alias("i"))),
+                    lambda p: p["r"].isNotNull())
+                best = F.array_min(pairs)
+
+                def apply_best(b: Column) -> Column:
+                    left = F.get(a, b["i"])
+                    right = F.get(a, b["i"] + 1)
+                    merged = F.aggregate(
+                        a, F.array().cast("array<string>"),
+                        lambda st, s: F.when(
+                            (F.size(st) > 0)
+                            & (F.get(st, F.size(st) - 1) == left)
+                            & (s == right),
+                            F.concat(F.slice(st, 1, F.size(st) - 1),
+                                     F.array(F.concat(left, right))))
+                        .otherwise(F.concat(st, F.array(s))))
+                    return merged
+
+                return F.when(best.isNull(), a) \
+                        .otherwise(let(best, apply_best))
+
+            return F.when(F.size(acc) < 2, acc).otherwise(let(acc, pick))
+
+        return F.when(
+            F.size(chars) < 2, chars).otherwise(
+            F.aggregate(F.sequence(F.lit(1), F.size(chars) - 1),
+                        chars, merge_round))
+
+    return let(word, run)
+
+
+def bpe_tokenize(text: Column, merges: list[tuple[str, str]]) -> Column:
+    """REAL byte-pair-encoding tokenization under a published-format
+    merge table (``merges.txt`` lines ``"a b"``, rank = line order, the
+    GPT-2 layout — no end-of-word marker): pre-tokenize with
+    ``BPE_ISH_PATTERN``, then greedily apply the lowest-rank merge
+    within each pre-token until none applies. Returns the flat token
+    array. Everything is JVM column algebra over a constant pair→rank
+    map (the merge table is a plan literal — the broadcast-table shape;
+    no Python in the hot path), so token budgets from this column match
+    what the same merge table produces in a reference BPE tokenizer
+    (pytest-pinned against an independent Python implementation)."""
+    ranks = F.create_map(
+        *[x for r, (a, b) in enumerate(merges)
+          for x in (F.lit(f"{a} {b}"), F.lit(r))])
+    words = F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+    return F.flatten(
+        F.transform(words, lambda w: _bpe_word_tokens(w, ranks)))
+
+
+def bpe_token_count(text: Column, merges: list[tuple[str, str]]) -> Column:
+    """Token count under a real BPE merge table — the budget column for
+    ``chunk_documents``/``pack_sequences`` when counts must match an
+    actual tokenizer rather than the regex heuristic."""
+    return F.size(bpe_tokenize(text, merges))
 
 
 def quality_features(text: Column) -> dict[str, Column]:
@@ -358,7 +442,8 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
 
 def pack_sequences(df: DataFrame, budget_tokens: int = 512,
                    id_col: str = "doc_id", text_col: str = "text",
-                   n_shards: int | None = None) -> DataFrame:
+                   n_shards: int | None = None,
+                   count_col: Column | None = None) -> DataFrame:
     """Contiguous sequence packing: assign documents (in id order) to
     fixed-token-budget bins by running token total — the scalable
     approximation of training-batch packing (greedy first-fit needs global
@@ -376,10 +461,13 @@ def pack_sequences(df: DataFrame, budget_tokens: int = 512,
     shard-prefixed so they stay globally unique. Packing tolerates
     sharding by construction: utilization loses at most one underfull bin
     per shard. ``n_shards=None`` keeps the exact single-sequence order for
-    small inputs and the correctness gate.
+    small inputs and the correctness gate. ``count_col`` overrides the
+    whitespace token counter — pass ``bpe_token_count(col, merges)`` when
+    bins must line up with a real tokenizer's budget.
     """
     from pyspark.sql import Window as W
-    n_tok = token_count(F.col(text_col))
+    n_tok = count_col if count_col is not None \
+        else token_count(F.col(text_col))
     if n_shards is None:
         w = W.orderBy(id_col).rowsBetween(W.unboundedPreceding, 0)
         shard_prefix = F.lit(0).cast("bigint")
