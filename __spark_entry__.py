@@ -1368,13 +1368,122 @@ def q_sessionize(spark, sf):  # ST6 — inactivity-gap sessions (native windows)
                     "session_seq", "n_events"))
 
 
-def q_phase_trace(spark, sf):  # ST4/ST5/ST7 — phase machine (rows-only)
+def q_phase_trace(spark, sf):  # ST4/ST5/ST7 — phase machine (hash-gated)
+    """The SCAN→SEEK→LOCKED machine under a FULL value oracle: the
+    DuckDB twin folds the identical per-event update (same EMA
+    arithmetic as the ema_final gate — 0.25/0.75 are exact binary
+    doubles — same peak/phase/dwell/capture rules over exact-double
+    thresholds, timestamps as epoch_ns/1e9 on both sides) through a
+    struct accumulator that also carries the per-phase counters, so the
+    whole recursive trace hash-gates, not just its row count."""
     from wine_label_ocr_spark.streaming.state import ema_phase_batch
     e = _t(spark, sf, "events")
     return (ema_phase_batch(e)
-            .groupBy("user_id", "phase")
+            .groupBy(F.col("user_id").cast("bigint").alias("user_id"),
+                     "phase")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(F.col("capture").cast("int")).alias("n_captures")))
+                 F.sum(F.col("capture").cast("int")).alias("n_captures"))
+            .orderBy("user_id", "phase"))
+
+
+def _phase_trace_oracle_sql() -> str:
+    """DuckDB twin of the phase machine, mirroring
+    ``streaming/state._run_kernel`` operation-for-operation:
+
+    * per-event EMA and running-peak trajectories as SCALAR prefix
+      folds (the ema_final gate already proved the EMA fold
+      bit-identical; the peak fold is the same shape) — O(n²) per user,
+      fine at gate scale;
+    * the SCAN→SEEK→LOCKED/dwell/capture recursion as a row-per-step
+      RECURSIVE CTE over those plain (ts, ema, peak) columns, all users
+      advancing in lockstep.
+
+    The obvious one-pass formulation — a single ``list_reduce`` with a
+    struct accumulator whose lambda compares two nested CASE
+    expressions — is deliberately AVOIDED: DuckDB 1.0.0's lambda engine
+    mis-evaluates such bodies (comparisons fire on wrong branches,
+    monotone counters decrease between prefixes). Plain-column
+    comparisons in a recursive CTE are reliable; thresholds 5.0/3.0/1.0
+    are exact binary doubles and 0.6 parses to the same nearest double
+    in both engines, timestamps are epoch_ns/1e9 on both sides, so the
+    trace is bit-identical, not approximately equal."""
+    phase = ("(CASE WHEN r.phase = 'SCAN' AND b.ema <= b.peak "
+             "- CAST(5.0 AS DOUBLE) THEN 'SEEK' "
+             "WHEN r.phase = 'SEEK' AND b.ema >= b.peak "
+             "- CAST(3.0 AS DOUBLE) THEN 'LOCKED' "
+             "WHEN r.phase = 'LOCKED' AND b.ema < b.peak "
+             "- CAST(3.0 AS DOUBLE) AND r.below IS NOT NULL "
+             "AND b.ts_sec - r.below >= CAST(0.6 AS DOUBLE) THEN 'SEEK' "
+             "ELSE r.phase END)")
+    capture = ("(r.phase = 'SEEK' AND b.ema >= b.peak "
+               "- CAST(3.0 AS DOUBLE) AND NOT r.captured)")
+    below = ("(CASE WHEN r.phase = 'LOCKED' AND b.ema < b.peak "
+             "- CAST(3.0 AS DOUBLE) "
+             "THEN CASE WHEN r.below IS NULL THEN b.ts_sec "
+             "WHEN b.ts_sec - r.below >= CAST(0.6 AS DOUBLE) "
+             "THEN CAST(NULL AS DOUBLE) ELSE r.below END "
+             "ELSE CAST(NULL AS DOUBLE) END)")
+    return f"""
+        WITH RECURSIVE ev AS (
+          SELECT user_id,
+                 list(struct_pack(
+                        ts_sec := epoch_ns(ts) / 1000000000.0,
+                        value := CAST(value AS DOUBLE))
+                      ORDER BY ts, event_id) AS evs
+          FROM events GROUP BY user_id),
+        idx AS (SELECT user_id, evs,
+                       unnest(generate_series(1, len(evs))) AS i FROM ev),
+        scal AS (
+          SELECT user_id, i, evs[i].ts_sec AS ts_sec,
+                 list_reduce(list_transform(evs[1:i], x -> x.value),
+                             (a, b) -> CAST(0.25 AS DOUBLE) * b
+                                     + CAST(0.75 AS DOUBLE) * a) AS ema
+          FROM idx),
+        emal AS (SELECT user_id, list(ema ORDER BY i) AS emas,
+                        list(ts_sec ORDER BY i) AS tss
+                 FROM scal GROUP BY user_id),
+        pp AS (SELECT user_id, emas, tss,
+                      unnest(generate_series(1, len(emas))) AS i FROM emal),
+        base AS (SELECT user_id, i, tss[i] AS ts_sec, emas[i] AS ema,
+                        list_reduce(emas[1:i],
+                          (p, e) -> CASE WHEN e > p + CAST(1.0 AS DOUBLE)
+                                         THEN e ELSE p END) AS peak
+                 FROM pp),
+        rec AS (
+          SELECT user_id, CAST(0 AS BIGINT) AS i, 'SCAN' AS phase,
+                 CAST(NULL AS DOUBLE) AS below, FALSE AS captured,
+                 CAST(0 AS BIGINT) AS n_scan, CAST(0 AS BIGINT) AS n_seek,
+                 CAST(0 AS BIGINT) AS n_locked,
+                 CAST(0 AS BIGINT) AS n_captures
+          FROM (SELECT DISTINCT user_id FROM base)
+          UNION ALL
+          SELECT b.user_id, b.i, {phase}, {below},
+                 r.captured OR {capture},
+                 r.n_scan + CASE WHEN {phase} = 'SCAN' THEN 1 ELSE 0 END,
+                 r.n_seek + CASE WHEN {phase} = 'SEEK' THEN 1 ELSE 0 END,
+                 r.n_locked + CASE WHEN {phase} = 'LOCKED'
+                                   THEN 1 ELSE 0 END,
+                 r.n_captures + CASE WHEN {capture} THEN 1 ELSE 0 END
+          FROM rec r JOIN base b
+            ON b.user_id = r.user_id AND b.i = r.i + 1),
+        last AS (SELECT user_id, MAX(i) AS mi FROM rec GROUP BY user_id),
+        fin AS (SELECT r.* FROM rec r
+                JOIN last l ON r.user_id = l.user_id AND r.i = l.mi),
+        phases AS (
+          SELECT user_id, p['phase'] AS phase, p['n'] AS n,
+                 CASE WHEN p['phase'] = 'LOCKED'
+                      THEN n_captures ELSE 0 END AS n_caps
+          FROM fin,
+               unnest([struct_pack(phase := 'SCAN', n := n_scan),
+                       struct_pack(phase := 'SEEK', n := n_seek),
+                       struct_pack(phase := 'LOCKED', n := n_locked)])
+               AS t(p))
+        SELECT CAST(user_id AS BIGINT) AS user_id, phase,
+               CAST(n AS BIGINT) AS n, CAST(n_caps AS BIGINT)
+                   AS n_captures
+        FROM phases WHERE n > 0
+        ORDER BY user_id, phase
+    """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2166,6 +2275,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash": _dhash_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
         "pagerank_dangling": _pagerank_oracle_sql(src_mod=15, dangling=True),
+        "phase_trace": _phase_trace_oracle_sql(),
         "outlinks_resolved": """
             -- planted (base, href) shapes; resolved URLs stated
             -- closed-form (no RFC 3986 logic in SQL). Pages doc_id%4=0
