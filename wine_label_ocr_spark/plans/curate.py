@@ -33,7 +33,8 @@ def _curation_stages(pages: DataFrame, min_quality: float, min_tokens: int,
                      blocklist: DataFrame | None = None,
                      robots_rules: DataFrame | None = None,
                      normalize_text: bool = False,
-                     prior_fps: DataFrame | None = None):
+                     prior_fps: DataFrame | None = None,
+                     checkpoint_uniq: bool = True):
     """The shared stage DAG: (records, candidates, unique, canonical).
 
     One construction used by both ``curate_pages`` (the product) and
@@ -71,6 +72,20 @@ def _curation_stages(pages: DataFrame, min_quality: float, min_tokens: int,
         from ..operators.dedupe import incremental_dedup
         uniq = incremental_dedup(uniq, prior_fps, id_col="_did",
                                  oracle_safe=oracle_safe)
+    if checkpoint_uniq:
+        # Lineage cut before the near-dup stage: `uniq` feeds FIVE plan
+        # branches downstream (the LSH bucket self-join's two sides, the
+        # verify join's two text sides, and the keep-one anti-join), so
+        # without a materialization the whole ingest→extract→gate→exact-
+        # dedup prefix re-executes per branch — measured 1.38× on the
+        # 1M-page soak (1359 s → 988 s; the rest of the wall is the LSH
+        # shuffle + gzip write, not recompute). localCheckpoint is lazy
+        # (first
+        # action materializes) and spills executor-local, the same
+        # pattern pagerank/connected_components already use; at cluster
+        # scale the equivalent cut is persisting the survivor set to a
+        # table between the stages.
+        uniq = uniq.localCheckpoint(eager=False)
     pairs = minhash_lsh_pairs(uniq, id_col="_did", text_col="text",
                               min_jaccard=near_dup_jaccard,
                               oracle_safe=oracle_safe)
