@@ -877,6 +877,30 @@ def q_media_pixels_jpeg(spark, sf):  # multimodal: REAL baseline-JPEG raster
         F.round(F.get("feature", 12) * 100000).cast("int").alias("grad_row_e5"))
 
 
+def q_media_pixels_gif(spark, sf):  # multimodal: REAL GIF raster decode
+    """Single-frame GIFs (2-entry palette, every 3rd interlaced, every
+    5th carrying an 89a extension block) → stdlib LZW decode → TRUE
+    pixel statistics. The oracle recomputes the closed-form stats from
+    doc_id, so a hash match proves the GIF raster path (header/color-
+    table walk, sub-block reassembly, LZW, extension skip, palette
+    lookup) is value-faithful."""
+    from wine_label_ocr_spark.fixtures import documents_as_media_pixels_gif
+    from wine_label_ocr_spark.operators.multimodal import extract_media_features
+    out = extract_media_features(documents_as_media_pixels_gif(spark, sf),
+                                 fake=False)
+    return out.select(
+        "url",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        "decode_ok",
+        F.round(F.get("feature", 0) * 255).cast("int").alias("mean_r"),
+        F.round(F.get("feature", 1) * 255).cast("int").alias("mean_g"),
+        F.round(F.get("feature", 2) * 255).cast("int").alias("mean_b"),
+        F.round(F.get("feature", 4) * 100000).cast("int").alias("std_r_e5"),
+        F.round(F.get("feature", 12) * 100000).cast("int").alias("grad_row_e5"))
+
+
 def q_compression_ratio(spark, sf):  # textops: zlib repetitiveness signal
     """Rows-only gate (zlib output is library-defined, so no value oracle —
     like ivf_topk): per-lang histogram of compressed/raw size ratio
@@ -1526,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pixels_jpeg": q_media_pixels_jpeg,
         "wat_sidecar": q_wat_sidecar,
         "bpe_real_tokens": q_bpe_real_tokens,
+        "media_pixels_gif": q_media_pixels_gif,
         # r4-certified remainder (relative order preserved)
         "ema_final": q_ema_final,
         "sessionize": q_sessionize,
@@ -2834,6 +2859,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 3 AS INT) AS n_links
             FROM documents
             ORDER BY doc_id
+        """,
+        "media_pixels_gif": """
+            -- closed-form expected pixel stats of the solid-color GIF
+            -- fixture: means are exactly the planted palette color,
+            -- stds and gradients exactly zero (any LZW/palette/
+            -- extension-walk bug breaks this)
+            SELECT concat('mediagif:', CAST(doc_id AS VARCHAR)) AS url,
+                   CAST(8 + doc_id % 24 AS INT) AS width,
+                   CAST(8 + (doc_id * 7) % 24 AS INT) AS height,
+                   CAST(3 AS INT) AS channels,
+                   TRUE AS decode_ok,
+                   CAST(doc_id % 256 AS INT) AS mean_r,
+                   CAST((doc_id * 3) % 256 AS INT) AS mean_g,
+                   CAST((doc_id * 7) % 256 AS INT) AS mean_b,
+                   CAST(0 AS INT) AS std_r_e5,
+                   CAST(0 AS INT) AS grad_row_e5
+            FROM documents
         """,
         "media_pixels_jpeg": """
             -- closed-form expected pixel stats of the solid-gray JPEG

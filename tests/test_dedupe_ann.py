@@ -769,3 +769,50 @@ def test_image_dhash_mixed_png_jpeg(spark):
     assert got["png:1"][1] and got["jpg:1"][1] and not got["bad:1"][1]
     assert got["png:1"][0] == got["jpg:1"][0]
     assert got["bad:1"][0] is None
+
+
+def test_gif_codec_roundtrip_paths():
+    import numpy as np
+    from wine_label_ocr_spark.operators.multimodal import (
+        decode_gif, encode_gif, parse_image_header)
+    rng = np.random.RandomState(5)
+    for ncol in (2, 16, 256):
+        pal = rng.randint(0, 256, (ncol, 3), dtype=np.uint8)
+        idx = rng.randint(0, ncol, (17, 23), dtype=np.uint8)
+        for il in (False, True):  # interlace must reorder rows correctly
+            g = encode_gif(idx, pal, interlace=il)
+            assert parse_image_header(g) == {
+                "format": "gif", "width": 23, "height": 17, "channels": 3}
+            assert np.array_equal(decode_gif(g), pal[idx]), (ncol, il)
+    # large random image exercises the 4096-code dictionary reset
+    pal = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.randint(0, 256, (120, 200), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(idx, pal)), pal[idx])
+    # 89a extension blocks are skipped; garbage is tolerated
+    g = bytearray(encode_gif(idx[:4, :4], pal))
+    cut = 13 + 3 * 256
+    g2 = bytes(g[:cut]) + b"\x21\xfe\x05hello\x00" + bytes(g[cut:])
+    assert np.array_equal(decode_gif(g2), pal[idx[:4, :4]])
+    assert decode_gif(b"GIF89a\x01\x00") is None
+    assert decode_gif(b"") is None
+
+
+def test_dhash_invariant_across_all_three_codecs():
+    """The SAME 8x8-block raster through PNG, quality-100 JPEG, and GIF
+    decodes byte-identically, so perceptual dedup is encoding-invariant
+    across every real decode path the engine has."""
+    import numpy as np
+    from wine_label_ocr_spark.operators.multimodal import (
+        decode_raster, dhash64_raster, encode_gif, encode_jpeg, encode_png)
+    rng = np.random.RandomState(13)
+    blocks = rng.randint(0, 256, (8, 9), dtype=np.uint8)
+    arr = np.kron(blocks, np.ones((8, 8), np.uint8))
+    rgb = arr[:, :, None].repeat(3, 2)
+    pal = np.arange(256, dtype=np.uint8)[:, None].repeat(3, 1)  # gray ramp
+    outs = [decode_raster(encode_png(rgb)),
+            decode_raster(encode_jpeg(rgb, quality=100)),
+            decode_raster(encode_gif(arr, pal))]
+    assert np.array_equal(outs[0], outs[1])
+    assert np.array_equal(outs[0], outs[2])
+    hashes = {dhash64_raster(o) for o in outs}
+    assert len(hashes) == 1

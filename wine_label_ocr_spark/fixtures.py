@@ -377,6 +377,50 @@ def documents_as_media_pixels_jpeg(spark, sf_dir: str):
         gen, schema="url string, payload binary, media_type string")
 
 
+def documents_as_media_pixels_gif(spark, sf_dir: str):
+    """documents.parquet → single-frame GIF payloads (real LZW streams),
+    built distributed in ``mapInPandas``.
+
+    Each doc is a solid-color image — color (doc_id%256, doc_id*3%256,
+    doc_id*7%256) through a 2-entry palette, size (8+doc_id%24) ×
+    (8+doc_id*7%24) — so the decoded raster is exact and the expected
+    pixel statistics stay a closed-form function of doc_id. Every 3rd
+    doc is 4-pass INTERLACED (same solid raster; a decoder that skips
+    the row reorder... still decodes the same solid color, so the
+    structural interlace path is additionally pinned by pytest on
+    non-uniform patterns) and every 5th doc prepends a GIF89a graphic-
+    control extension block the parser must skip."""
+    from collections.abc import Iterable, Iterator
+
+    from .operators.multimodal import encode_gif
+
+    def gen(batches: Iterable) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % 24, 8 + (i * 7) % 24
+                rgb = (i % 256, (i * 3) % 256, (i * 7) % 256)
+                pal = np.array([[1, 2, 3], list(rgb)], dtype=np.uint8)
+                idx = np.ones((h, w), dtype=np.uint8)
+                gif = encode_gif(idx, pal, interlace=(i % 3 == 0))
+                if i % 5 == 0:
+                    # splice a graphic-control extension after the
+                    # 13-byte header + 6-byte global color table
+                    cut = 13 + 6
+                    gif = (gif[:cut]
+                           + b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+                           + gif[cut:])
+                rows.append((f"mediagif:{i}", gif, "gif"))
+            yield pd.DataFrame(rows, columns=["url", "payload", "media_type"])
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return d.mapInPandas(
+        gen, schema="url string, payload binary, media_type string")
+
+
 # 8 deterministic 9-value luma patterns for the dHash gate: each image is
 # 8 rows × 9 two-pixel-wide blocks of constant gray, so the 8×9 block
 # means equal the pattern EXACTLY and the expected dHash is derivable

@@ -8,17 +8,19 @@ document, ``final_run_ocr.py:389-396``), generalized to any modality.
 Image METADATA decode is REAL: ``parse_image_header`` reads PNG IHDR,
 JPEG SOFn, and GIF logical-screen headers with pure stdlib byte walking —
 no codec library needed — yielding true width/height/channels. RASTER
-decode is REAL for PNG (``decode_png``: zlib inflate + per-row unfilter
-for all five filter types, palette, Adam7) AND baseline-sequential JPEG
-(``decode_jpeg``: Annex-K Huffman, dequant, exact float IDCT, chroma
-upsample, YCbCr→RGB), so both formats get true per-channel pixel
-statistics (``pixel_features``) and perceptual hashes. GIF raster
-(LZW) and audio/video resample remain the documented STUBS: their
-feature vector derives deterministically from the parsed header, and
-``decode_stub`` on a non-media payload raises ``NotImplementedError``
-unless ``fake=True``. The Spark-side plumbing — schema, batching,
-partitioning, UDF signature — is real and tested; a production deploy
-swaps the remaining stub kernels for Pillow/ffmpeg with no plan changes.
+decode is REAL for all three crawl formats: PNG (``decode_png``: zlib
+inflate + per-row unfilter for all five filter types, palette, Adam7),
+baseline-sequential JPEG (``decode_jpeg``: Annex-K Huffman, dequant,
+exact float IDCT, chroma upsample, YCbCr→RGB), and GIF (``decode_gif``:
+LZW with dict resets, interlace, first frame of animations) — each gets
+true per-channel pixel statistics (``pixel_features``) and perceptual
+hashes. Progressive JPEG and audio/video resample remain the documented
+STUBS: their feature vector derives deterministically from the parsed
+header, and ``decode_stub`` on a non-media payload raises
+``NotImplementedError`` unless ``fake=True``. The Spark-side plumbing —
+schema, batching, partitioning, UDF signature — is real and tested; a
+production deploy swaps the remaining stub kernels for Pillow/ffmpeg
+with no plan changes.
 """
 
 from __future__ import annotations
@@ -981,6 +983,202 @@ def _decode_scan(p, pos, scan, qts, huffs, hh, ww, dri):
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
+# ---------------------------------------------------------------------------
+# GIF (87a/89a): stdlib LZW encoder and decoder — the last of the three
+# real-crawl image formats. First frame only for animated files.
+
+def _lzw_compress(indices, min_code_size: int) -> bytes:
+    """Standard GIF LZW: variable-width codes, CLEAR/END, dict resets at
+    4096. Produces the raw code stream (caller packs into sub-blocks)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits          # GIF packs codes LSB-first
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    put(clear, width)
+    run: tuple = ()
+    for px in indices:
+        cand = run + (int(px),)
+        if cand in table:
+            run = cand
+            continue
+        put(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            put(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        run = (int(px),)
+    if run:
+        put(table[run], width)
+    put(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int, n_expected: int):
+    """GIF LZW decode → list of palette indices (None on corruption)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while len(out) < n_expected:
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes((i,)) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out[:n_expected] if len(out) >= n_expected else None
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(idx, palette, interlace: bool = False) -> bytes:
+    """GIF89a encoder (stdlib): (h, w) uint8 index plane + (n, 3)
+    palette → single-frame GIF with a global color table, real LZW
+    stream, optional interlace. Fixture builder for the raster gate."""
+    import numpy as np
+    a = np.asarray(idx, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = a.shape
+    bits = max(1, int(pal.shape[0] - 1).bit_length())
+    gct = bytearray()
+    for i in range(1 << bits):
+        gct += bytes(pal[i]) if i < pal.shape[0] else b"\x00\x00\x00"
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes(((0x80 | ((bits - 1) << 4) | (bits - 1)), 0, 0))
+    out += gct
+    out += b"\x2c" + b"\x00\x00\x00\x00"  # image descriptor at (0,0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes((0x40 if interlace else 0x00,))
+    if interlace:
+        rows = [r for off, step in _GIF_INTERLACE for r in range(off, h, step)]
+        a = a[rows]
+    mcs = max(2, bits)
+    out += bytes((mcs,))
+    stream = _lzw_compress(a.reshape(-1), mcs)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i:i + 255]
+        out += bytes((len(chunk),)) + chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """REAL GIF raster decode (stdlib): header + color tables + LZW +
+    both row orders (sequential and 4-pass interlace), first frame of
+    animated files, 89a extensions skipped. Returns (h, w, 3) uint8 via
+    the palette lookup, or None when not a decodable GIF (tolerant —
+    never raises)."""
+    import numpy as np
+    p = bytes(payload or b"")
+    if p[:6] not in (b"GIF87a", b"GIF89a") or len(p) < 13:
+        return None
+    try:
+        packed = p[10]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = np.frombuffer(p[pos:pos + 3 * n], np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        while pos < len(p):
+            b0 = p[pos]
+            if b0 == 0x3B:  # trailer
+                return None
+            if b0 == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(p) and p[pos] != 0:
+                    pos += 1 + p[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:
+                return None
+            w = int.from_bytes(p[pos + 5:pos + 7], "little")
+            h = int.from_bytes(p[pos + 7:pos + 9], "little")
+            ipk = p[pos + 9]
+            pos += 10
+            pal = gct
+            if ipk & 0x80:
+                n = 2 << (ipk & 0x07)
+                pal = np.frombuffer(p[pos:pos + 3 * n],
+                                    np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if pal is None or w == 0 or h == 0:
+                return None
+            mcs = p[pos]
+            pos += 1
+            stream = bytearray()
+            while pos < len(p) and p[pos] != 0:
+                ln = p[pos]
+                stream += p[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decompress(bytes(stream), mcs, w * h)
+            if idx is None:
+                return None
+            a = np.frombuffer(bytes(idx), np.uint8).reshape(h, w)
+            if ipk & 0x40:  # interlace: rows arrive in 4-pass order
+                rows = [r for off, step in _GIF_INTERLACE
+                        for r in range(off, h, step)]
+                grid = np.empty_like(a)
+                grid[rows] = a
+                a = grid
+            if int(a.max()) >= pal.shape[0]:
+                return None
+            return pal[a]
+        return None
+    except Exception:
+        return None  # tolerant parse (ST8): undecodable → header fallback
+
+
 def pixel_features(arr) -> list[float]:
     """REAL pixel statistics (16 dims, all in [0,1]-ish):
     [mean_c0..c3, std_c0..c3 (missing channels 0), overall mean, overall
@@ -1011,20 +1209,16 @@ def header_features(width: int, height: int, channels: int) -> list[float]:
 
 
 def decode_stub(payload: bytes, fake: bool = False) -> dict:
-    """Header-real decode, raster-real for PNG and baseline JPEG: a
+    """Header-real decode, raster-real for PNG / baseline JPEG / GIF: a
     payload with a decodable raster gets TRUE pixel statistics
-    (``decode_png``/``decode_jpeg`` → ``pixel_features``); header-only
-    or undecodable images (progressive JPEG, GIF raster) fall back to
-    header-derived features; otherwise the deterministic fake
-    (``fake=True``) or ``NotImplementedError`` (GIF raster and
-    audio/video resample still need Pillow/ffmpeg — the remaining seam)."""
+    (``decode_raster`` → ``pixel_features``); header-only or
+    undecodable images (progressive JPEG) fall back to header-derived
+    features; otherwise the deterministic fake (``fake=True``) or
+    ``NotImplementedError`` (audio/video resample still needs ffmpeg —
+    the remaining seam)."""
     hdr = parse_image_header(payload)
     if hdr is not None:
-        raster = None
-        if hdr["format"] == "png":
-            raster = decode_png(payload)
-        elif hdr["format"] == "jpeg":
-            raster = decode_jpeg(payload)
+        raster = decode_raster(payload)
         if raster is not None:
             h, w, c = raster.shape
             return {"width": w, "height": h, "channels": c,
@@ -1115,20 +1309,22 @@ def dhash64_raster(arr) -> int:
 
 
 def decode_raster(payload: bytes):
-    """Format-dispatched REAL raster decode: PNG (``decode_png``) or
-    baseline JPEG (``decode_jpeg``) → (h, w, c) uint8; None for
-    anything else (GIF raster remains the documented seam)."""
+    """Format-dispatched REAL raster decode: PNG (``decode_png``),
+    baseline JPEG (``decode_jpeg``), or GIF (``decode_gif``) →
+    (h, w, c) uint8; None for anything else."""
     p = bytes(payload or b"")
     if p[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(p)
     if p[:2] == b"\xff\xd8":
         return decode_jpeg(p)
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(p)
     return None
 
 
 def image_dhash(df: DataFrame, id_col: str = "url",
                 payload_col: str = "payload") -> DataFrame:
-    """PNG/JPEG payloads → perceptual dHash: ``(id, dhash, decode_ok)``
+    """PNG/JPEG/GIF payloads → perceptual dHash: ``(id, dhash, decode_ok)``
     via one Arrow-batched ``mapInPandas`` (pure map — inherits
     partitioning, zero Exchange). Non-decodable payloads come back with
     ``decode_ok=false`` and a NULL hash rather than vanishing (ST8
