@@ -1541,42 +1541,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "stratified_sample": q_stratified_sample,
         "training_funnel": q_training_funnel,
-        # (b) new or code-touched this round
+        # (b) new or behaviorally-touched this round (robots wildcard
+        # matching, href resolution, pagerank int-div/dangling, JPEG+GIF
+        # codecs + decode_stub dispatch, WAT gate, real BPE, phase_trace
+        # value oracle, curate lineage cut, warc _dechunk CRLF check)
         "robots_gate": q_robots_gate,
         "outlinks": q_outlinks,
         "outlinks_resolved": q_outlinks_resolved,
         "pagerank": q_pagerank,
         "pagerank_dangling": q_pagerank_dangling,
         "media_pixels_jpeg": q_media_pixels_jpeg,
+        "media_pixels_gif": q_media_pixels_gif,
+        "media_pixels": q_media_pixels,
+        "media_features": q_media_features,
+        "image_dhash": q_image_dhash,
         "wat_sidecar": q_wat_sidecar,
         "bpe_real_tokens": q_bpe_real_tokens,
-        "media_pixels_gif": q_media_pixels_gif,
-        # r4-certified remainder (relative order preserved)
+        "phase_trace": q_phase_trace,
+        "curation_funnel": q_curation_funnel,
+        "warc_extract": q_warc_extract,
+        # r4-certified remainder, untouched (relative order preserved)
         "ema_final": q_ema_final,
         "sessionize": q_sessionize,
-        "phase_trace": q_phase_trace,
         "salted_agg": q_salted_agg,
         "best_variant": q_best_variant,
         "vintage_fallback_grid": q_vintage_fallback_grid,
         "median_by_type": q_median_by_type,
         "union_names": q_union_names,
         "compression_ratio": q_compression_ratio,
-        "curation_funnel": q_curation_funnel,
         "url_canon": q_url_canon,
         "incremental_dedup": q_incremental_dedup,
         "tfidf_pruned": q_tfidf_pruned,
         "quality_classifier": q_quality_classifier,
         "blocklist_filter": q_blocklist_filter,
+        # ---- entries below here absorb the driver's ~50-entry cap ----
         "exact_substring": q_exact_substring,
         "text_fix": q_text_fix,
-        "image_dhash": q_image_dhash,
         "audio_features": q_audio_features,
-        "media_pixels": q_media_pixels,
         "interval_join": q_interval_join,
-        "warc_extract": q_warc_extract,
         "unigram_logprob": q_unigram_logprob,
         "minhash_lsh": q_minhash_lsh,
-        "media_features": q_media_features,
         # cap-absorbing tail: r4 hash-green, code untouched this round
         "lineitem_agg": q_lineitem_agg,
         "top_customer_per_nation": q_top_customer_per_nation,
