@@ -816,7 +816,10 @@ def q_wat_sidecar(spark, sf):  # warc: WAT metadata export, end-to-end
         f"{f}:{s.st_size}:{s.st_mtime_ns}" for f, s in sorted(
             (f, os.stat(os.path.join(doc_dir, f)))
             for f in os.listdir(doc_dir) if not f.startswith(".")))
-    tag = _h.md5((sf + stat + inspect.getsource(_warc_mod))
+    # the tag covers the planted-page construction too (this function's
+    # own source) — editing the fixture must never serve stale shards
+    tag = _h.md5((sf + stat + inspect.getsource(_warc_mod)
+                  + inspect.getsource(q_wat_sidecar))
                  .encode()).hexdigest()[:10]
     shard_dir = os.path.join(tempfile.gettempdir(), f"wlos_wat_{tag}")
     if not os.path.isdir(shard_dir):
@@ -2343,7 +2346,7 @@ def oracle_sql() -> dict[str, str]:
             -- disallowed; h2: empty robots; h3 (keyed h3.com:8080 in the
             -- rules table - normalization certified): /tmp/ disallowed;
             -- h4: no robots row; h5: Disallow /*.pdf$ + Allow /docs/keep*
-            -- (specificity 10 beats 7) + Disallow /docs/; h6: mid-pattern
+            -- (specificity 11 beats 7) + Disallow /docs/; h6: mid-pattern
             -- Disallow /a/*/secret, anchored /public/x$ (so /public/x/more
             -- stays allowed) and /priv$ (never matches /private/x).
             -- URLs carry :443 ports on doc_id%3=0 (host normalization).

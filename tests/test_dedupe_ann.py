@@ -816,3 +816,45 @@ def test_dhash_invariant_across_all_three_codecs():
     assert np.array_equal(outs[0], outs[2])
     hashes = {dhash64_raster(o) for o in outs}
     assert len(hashes) == 1
+
+
+def test_jpeg_noninterleaved_scan_falls_back():
+    """A 3-component SOF with a 1-component SOS (non-interleaved
+    baseline, legal per T.81) must return None — decoding only the
+    first scan would silently yield a luma-only raster."""
+    import numpy as np
+    from wine_label_ocr_spark.operators.multimodal import (
+        decode_jpeg, encode_jpeg)
+    j = bytearray(encode_jpeg(np.full((8, 8, 3), 50, np.uint8)))
+    sos = j.find(b"\xff\xda")
+    assert sos > 0
+    # rewrite the SOS to claim a single component (id 1, tables 0x00)
+    patched = (bytes(j[:sos]) + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+               + bytes(j[sos + 14:]))
+    assert decode_jpeg(patched) is None
+
+
+def test_gif_frame_offset_composites_onto_screen():
+    """A first frame smaller than the logical screen lands at its
+    (left, top) offset on a background-color canvas, keeping decode
+    dims consistent with parse_image_header."""
+    import numpy as np
+    from wine_label_ocr_spark.operators.multimodal import (
+        decode_gif, encode_gif, parse_image_header)
+    pal = np.array([[9, 9, 9], [200, 10, 30]], dtype=np.uint8)
+    g = bytearray(encode_gif(np.ones((4, 6), np.uint8), pal))
+    # logical screen 20x10 (header), bg index 0; frame at (5, 3)
+    g[6:8] = (20).to_bytes(2, "little")
+    g[8:10] = (10).to_bytes(2, "little")
+    desc = bytes(g).find(b"\x2c")
+    g[desc + 1:desc + 3] = (5).to_bytes(2, "little")
+    g[desc + 3:desc + 5] = (3).to_bytes(2, "little")
+    out = decode_gif(bytes(g))
+    assert parse_image_header(bytes(g))["width"] == 20
+    assert out is not None and out.shape == (10, 20, 3)
+    assert (out[3:7, 5:11] == pal[1]).all()      # the frame
+    assert (out[0, 0] == pal[0]).all()           # bg fill
+    assert (out[9, 19] == pal[0]).all()
+    # frame exceeding the screen -> None (not a garbled partial)
+    g[desc + 1:desc + 3] = (18).to_bytes(2, "little")
+    assert decode_gif(bytes(g)) is None

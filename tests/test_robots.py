@@ -18,11 +18,15 @@ def test_parse_robots_groups_and_rules():
     r3 = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
     assert parse_robots(r3, "b") == [(False, "/x")]
     assert parse_robots(r3, "z") == []
-    # empty Disallow is void; trailing * stripped; wildcard/$ rules kept
+    # empty Disallow is void; rule values kept VERBATIM (specificity
+    # counts wildcards - see the /dir-vs-/dir* tie-break test)
     assert parse_robots("User-agent: *\nDisallow:\n") == []
     assert parse_robots(
         "User-agent: *\nDisallow: /a*\nDisallow: /b$\nDisallow: /c*d\n"
-    ) == [(False, "/a"), (False, "/b$"), (False, "/c*d")]
+    ) == [(False, "/a*"), (False, "/b$"), (False, "/c*d")]
+    # UTF-8 BOM must not void the first group (fail-open otherwise)
+    assert parse_robots("\ufeffUser-agent: *\nDisallow: /private/\n") \
+        == [(False, "/private/")]
     # comments and junk lines tolerated
     assert parse_robots("# note\nUser-agent: * # inline\nDisallow: /q\nnoise\n") \
         == [(False, "/q")]
@@ -102,7 +106,7 @@ def test_robots_wildcard_and_anchor_matching(spark):
         "host string, robots_txt string")
     rules = parse_robots_rules(robots)
     urls = spark.createDataFrame(
-        [("https://w.com/docs/keep/f.pdf",),   # Allow len 10 beats /*.pdf$ 7
+        [("https://w.com/docs/keep/f.pdf",),   # Allow len 11 beats /*.pdf$ 7
          ("https://w.com/docs/old/f.pdf",),    # /*.pdf$ wins -> disallowed
          ("https://w.com/docs/old/f.txt",),    # /docs/ wins -> disallowed
          ("https://w.com/a/b/secret",),        # mid-pattern * hit
@@ -140,3 +144,18 @@ def test_robots_rules_host_normalized(spark):
     assert got == {"https://ex.com/no/x": False,
                    "https://ex.com:443/ok": True,
                    "https://deny.com/any": False}
+
+
+def test_robots_specificity_counts_wildcards(spark):
+    # RFC 9309: len('/dir*')=5 > len('/dir')=4, so the Disallow wins;
+    # stripping the redundant trailing * would flip this to allowed
+    robots = spark.createDataFrame(
+        [("t.com", "User-agent: *\nAllow: /dir\nDisallow: /dir*\n")],
+        "host string, robots_txt string")
+    rules = parse_robots_rules(robots)
+    urls = spark.createDataFrame(
+        [("https://t.com/dir/x",), ("https://t.com/other",)], "url string")
+    got = {r["url"]: r["allowed"]
+           for r in robots_allowed(urls, rules).collect()}
+    assert got == {"https://t.com/dir/x": False,
+                   "https://t.com/other": True}

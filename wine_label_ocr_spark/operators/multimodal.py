@@ -892,6 +892,12 @@ def decode_jpeg(payload: bytes):
                 if comps is None or not hh or not ww:
                     return None
                 ns = data[0]
+                if ns < len(comps):
+                    # non-interleaved baseline (one scan per component,
+                    # legal per T.81): decoding only the first scan would
+                    # silently return a luma-only raster — fall back to
+                    # header features instead
+                    return None
                 scan = []
                 for c in range(ns):
                     cs, tables = data[1 + 2 * c], data[2 + 2 * c]
@@ -1115,15 +1121,21 @@ def encode_gif(idx, palette, interlace: bool = False) -> bytes:
 def decode_gif(payload: bytes):
     """REAL GIF raster decode (stdlib): header + color tables + LZW +
     both row orders (sequential and 4-pass interlace), first frame of
-    animated files, 89a extensions skipped. Returns (h, w, 3) uint8 via
-    the palette lookup, or None when not a decodable GIF (tolerant —
-    never raises)."""
+    animated files, 89a extensions skipped. A first frame smaller than
+    the logical screen is COMPOSITED at its (left, top) offset onto a
+    background-color canvas (optimized animations ship such frames), so
+    the returned dimensions always match ``parse_image_header``.
+    Returns (h, w, 3) uint8 via the palette lookup, or None when not a
+    decodable GIF (tolerant — never raises)."""
     import numpy as np
     p = bytes(payload or b"")
     if p[:6] not in (b"GIF87a", b"GIF89a") or len(p) < 13:
         return None
     try:
+        screen_w = int.from_bytes(p[6:8], "little")
+        screen_h = int.from_bytes(p[8:10], "little")
         packed = p[10]
+        bg_idx = p[11]
         pos = 13
         gct = None
         if packed & 0x80:
@@ -1142,6 +1154,8 @@ def decode_gif(payload: bytes):
                 continue
             if b0 != 0x2C:
                 return None
+            left = int.from_bytes(p[pos + 1:pos + 3], "little")
+            top = int.from_bytes(p[pos + 3:pos + 5], "little")
             w = int.from_bytes(p[pos + 5:pos + 7], "little")
             h = int.from_bytes(p[pos + 7:pos + 9], "little")
             ipk = p[pos + 9]
@@ -1171,6 +1185,16 @@ def decode_gif(payload: bytes):
                 grid = np.empty_like(a)
                 grid[rows] = a
                 a = grid
+            if left or top or w != screen_w or h != screen_h:
+                if left + w > screen_w or top + h > screen_h \
+                        or not screen_w or not screen_h:
+                    return None  # frame exceeds the declared screen
+                canvas = np.full(
+                    (screen_h, screen_w),
+                    bg_idx if bg_idx < pal.shape[0] else 0,
+                    dtype=np.uint8)
+                canvas[top:top + h, left:left + w] = a
+                a = canvas
             if int(a.max()) >= pal.shape[0]:
                 return None
             return pal[a]

@@ -16,9 +16,10 @@ Robots Exclusion Protocol, RFC 9309):
   longest-match order — and on equal specificity Allow wins (the
   standard least-restrictive tie-break);
 * an empty ``Disallow:`` value means "allow all" (the rule is void);
-  a single trailing ``*`` is redundant and stripped; a ``$`` anywhere
-  but the end is a literal octet (the Googlebot reading — ``$`` is
-  only an anchor in final position).
+  rule values are kept verbatim — a trailing ``*`` is a matching no-op
+  but still counts toward specificity; a ``$`` anywhere but the end is
+  a literal octet (the Googlebot reading — ``$`` is only an anchor in
+  final position).
 
 Scale shape: parsing is per-host Python (genuinely line-oriented — the
 one ``mapInPandas`` here; robots files are ≤ a few KB and one per host,
@@ -70,13 +71,20 @@ def compile_rule(value: str) -> tuple[str, str | None]:
 
 
 def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
-    """robots.txt → [(allow, path_prefix)] for the best-matching agent
-    group. Pure function (tested directly; the Spark op maps it)."""
+    """robots.txt → [(allow, rule_value)] for the best-matching agent
+    group. Rule values are kept VERBATIM (wildcards included) — RFC 9309
+    specificity is the octet length of the rule as written, so stripping
+    even a redundant trailing ``*`` here would undercount it and flip
+    tie-breaks (``Allow: /dir`` vs ``Disallow: /dir*`` must disallow).
+    A leading UTF-8 BOM is stripped (common in the wild; without this
+    the first ``User-agent`` line is unrecognized and the whole first
+    group silently voids — the unsafe direction). Pure function (tested
+    directly; the Spark op maps it)."""
     groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[bool, str]] = []
     in_agents = False
-    for raw in (text or "").splitlines():
+    for raw in (text or "").removeprefix("\ufeff").splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
             continue
@@ -95,8 +103,6 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
                 continue  # rules before any user-agent line: void
             if field == "disallow" and value == "":
                 continue  # empty Disallow == allow everything (void rule)
-            if value.endswith("*"):
-                value = value[:-1]
             cur_rules.append((field == "allow", value))
         else:
             in_agents = False

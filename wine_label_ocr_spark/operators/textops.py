@@ -660,39 +660,48 @@ def resolve_href(base: Column, href: Column) -> Column:
     through ``remove_dot_segments`` exactly once (the candidate string
     is assembled first, then decomposed once). Fragments are stripped
     (never sent to a server); an empty href is the base itself. NULL
-    base or href → NULL."""
+    base or href → NULL.
+
+    Both inputs are ``let``-bound: ``base`` is referenced by four
+    decompositions across the branch arms, so a composite base (e.g.
+    the ``<base href>`` pickup, itself a ``resolve_href``) would
+    otherwise be inlined and re-evaluated per reference."""
     from ..functions import let
 
-    def build(h: Column) -> Column:
-        b_scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
-        root = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
-        b_path = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-        b_path = F.when(b_path == "", F.lit("/")).otherwise(b_path)
-        b_query = F.regexp_extract(base, r"^[^#]*?(\?[^#]*)", 1)
-        base_dir = F.regexp_replace(b_path, "[^/]*$", "")
-        cand = (
-            F.when(h.rlike("^(?i:https?)://"), h)
-             .when(h.startswith("//"), F.concat(b_scheme, F.lit(":"), h))
-             .when(h.startswith("/"), F.concat(root, h))
-             .when(h.startswith("?"), F.concat(root, b_path, h))
-             .when(h == "", F.concat(root, b_path, b_query))
-             .otherwise(F.concat(root, base_dir, h)))
+    def outer(b: Column) -> Column:
+        def build(h: Column) -> Column:
+            b_scheme = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+            root = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+            b_path = F.regexp_extract(b, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+            b_path = F.when(b_path == "", F.lit("/")).otherwise(b_path)
+            b_query = F.regexp_extract(b, r"^[^#]*?(\?[^#]*)", 1)
+            base_dir = F.regexp_replace(b_path, "[^/]*$", "")
+            cand = (
+                F.when(h.rlike("^(?i:https?)://"), h)
+                 .when(h.startswith("//"), F.concat(b_scheme, F.lit(":"), h))
+                 .when(h.startswith("/"), F.concat(root, h))
+                 .when(h.startswith("?"), F.concat(root, b_path, h))
+                 .when(h == "", F.concat(root, b_path, b_query))
+                 .otherwise(F.concat(root, base_dir, h)))
 
-        def assemble(c: Column) -> Column:
-            c_root = F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
-            c_path = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-            c_query = F.regexp_extract(c, r"^[^#]*?(\?[^#]*)", 1)
-            return F.concat(
-                c_root,
-                remove_dot_segments(
-                    F.when(c_path == "", F.lit("/")).otherwise(c_path)),
-                c_query)
+            def assemble(c: Column) -> Column:
+                c_root = F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+                c_path = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+                c_query = F.regexp_extract(c, r"^[^#]*?(\?[^#]*)", 1)
+                return F.concat(
+                    c_root,
+                    remove_dot_segments(
+                        F.when(c_path == "", F.lit("/")).otherwise(c_path)),
+                    c_query)
 
-        return F.when(
-            h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:") & ~h.rlike("^(?i:https?)://"),
-            h).otherwise(let(cand, assemble))
+            return F.when(
+                h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
+                & ~h.rlike("^(?i:https?)://"),
+                h).otherwise(let(cand, assemble))
 
-    return let(F.regexp_replace(F.trim(href), "#.*$", ""), build)
+        return let(F.regexp_replace(F.trim(href), "#.*$", ""), build)
+
+    return let(base, outer)
 
 
 _UDF_CACHE: dict = {}
