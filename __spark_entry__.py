@@ -1169,6 +1169,76 @@ def q_outlinks_resolved(spark, sf):  # graph: RFC 3986 href resolution
             .orderBy("src", "href"))
 
 
+def q_pq_topk(spark, sf):  # ann: product-quantization ADC top-k
+    """PQ encode + ADC search under a FULL value oracle: with the
+    deterministic fixed codebooks as plan literals, encoding (per-
+    subspace argmin) and ADC distances (table lookups + adds) are pure
+    closed-form float algebra whose op sequence the DuckDB twin replays
+    exactly — so unlike ivf_topk (learned Lloyd, rows-only) this PQ
+    path hash-gates. m=4 subspaces × 8 codes over the 64-dim vectors."""
+    from wine_label_ocr_spark.operators.ann import (
+        pq_adc_topk, pq_encode, pq_fixed_codebooks)
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: F.round(x.cast("double"), 3)).alias("embedding"))
+    books = pq_fixed_codebooks(4, 8, 64)
+    codes = e.select("vec_id",
+                     pq_encode(F.col("embedding"), books).alias("pq_code"))
+    q = (e.filter(F.col("vec_id") % 100 == 0)
+         .select(F.col("vec_id").alias("q_id"), "embedding"))
+    return pq_adc_topk(q, codes, books, k=5)
+
+
+def _pq_oracle_sql(m=4, ksub=8, dim=64, k=5) -> str:
+    """DuckDB twin of q_pq_topk: the same fixed-codebook literals, the
+    same left-fold distance op sequence (prepend-0 list_reduce ≡ Spark's
+    aggregate), argmin via list_position(list_min) ≡ array_min on
+    (dist, idx) structs — bit-identical doubles end to end."""
+    from wine_label_ocr_spark.operators.ann import pq_fixed_codebooks
+    books = pq_fixed_codebooks(m, ksub, dim)
+    sub = dim // m
+
+    def d2(vec_expr: str, j: int, c: int) -> str:
+        cent = "[" + ", ".join(repr(v) for v in books[j][c]) + "]"
+        return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list_transform(generate_series(1, {sub}), i -> "
+                f"({vec_expr}[{j * sub} + i] - {cent}[i]) "
+                f"* ({vec_expr}[{j * sub} + i] - {cent}[i]))), "
+                f"(a, b) -> a + b)")
+
+    def enc(j: int) -> str:
+        djs = "[" + ", ".join(d2("e", j, c) for c in range(ksub)) + "]"
+        return (f"(list_position({djs}, list_min({djs})) - 1)")
+
+    code = "[" + ", ".join(enc(j) for j in range(m)) + "]"
+    adc = " + ".join(
+        f"(CASE code[{j + 1}]"
+        + "".join(f" WHEN {c} THEN {d2('qe', j, c)}"
+                  for c in range(ksub))
+        + " END)"
+        for j in range(m))
+    return f"""
+        WITH r AS (SELECT vec_id,
+                          list_transform(embedding,
+                              x -> round(CAST(x AS DOUBLE), 3)) AS e
+                   FROM embeddings),
+        codes AS (SELECT vec_id AS c_id, {code} AS code FROM r),
+        q AS (SELECT vec_id AS q_id, e AS qe FROM r
+              WHERE vec_id % 100 = 0),
+        s AS (SELECT q_id, c_id, CAST(0.0 AS DOUBLE) + {adc} AS adc
+              FROM codes CROSS JOIN q)
+        SELECT q_id, c_id, ROUND(adc, 6) AS adc_dist, CAST(rank AS INT)
+                   AS rank
+        FROM (SELECT q_id, c_id, adc,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY adc ASC, c_id) AS rank
+              FROM s)
+        WHERE rank <= {k}
+        ORDER BY q_id, rank
+    """
+
+
 def q_pagerank(spark, sf):  # graph: exact fixed-point PageRank
     """Host PageRank over a deterministic edge list derived from
     documents (src h(doc_id%20) → dst h((doc_id·7+3)%20), distinct;
@@ -1560,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": q_image_dhash,
         "wat_sidecar": q_wat_sidecar,
         "bpe_real_tokens": q_bpe_real_tokens,
+        "pq_topk": q_pq_topk,
         "phase_trace": q_phase_trace,
         "curation_funnel": q_curation_funnel,
         "warc_extract": q_warc_extract,
@@ -2308,6 +2379,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_oracle_sql(),
         "pagerank_dangling": _pagerank_oracle_sql(src_mod=15, dangling=True),
         "phase_trace": _phase_trace_oracle_sql(),
+        "pq_topk": _pq_oracle_sql(),
         "outlinks_resolved": """
             -- planted (base, href) shapes; resolved URLs stated
             -- closed-form (no RFC 3986 logic in SQL). Pages doc_id%4=0

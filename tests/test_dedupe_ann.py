@@ -858,3 +858,75 @@ def test_gif_frame_offset_composites_onto_screen():
     # frame exceeding the screen -> None (not a garbled partial)
     g[desc + 1:desc + 3] = (18).to_bytes(2, "little")
     assert decode_gif(bytes(g)) is None
+
+
+def test_pq_encode_matches_numpy_reference(spark, emb):
+    import numpy as np
+    from wine_label_ocr_spark.operators.ann import (
+        pq_encode, pq_fixed_codebooks)
+    books = pq_fixed_codebooks(4, 8, 64)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 16
+    assert all(-1.0 <= v <= 1.0 for b in books for c in b for v in c)
+    assert books == pq_fixed_codebooks(4, 8, 64)  # deterministic
+    rows = emb.limit(20).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double"))
+        .alias("e")).collect()
+    df = spark.createDataFrame([(r["vec_id"], r["e"]) for r in rows],
+                               "vec_id bigint, e array<double>")
+    got = {r["vec_id"]: r["code"] for r in df.select(
+        "vec_id", pq_encode(F.col("e"), books).alias("code")).collect()}
+    B = np.array(books)                      # (m, ksub, sub)
+    for r in rows:
+        v = np.array(r["e"]).reshape(4, 16)  # (m, sub)
+        want = [int(((v[j][None, :] - B[j]) ** 2).sum(1).argmin())
+                for j in range(4)]
+        assert got[r["vec_id"]] == want, r["vec_id"]
+
+
+def test_pq_adc_distance_matches_numpy(spark, emb):
+    import numpy as np
+    from wine_label_ocr_spark.operators.ann import (
+        pq_adc_topk, pq_encode, pq_fixed_codebooks)
+    books = pq_fixed_codebooks(4, 8, 64)
+    e = emb.limit(50).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    codes = e.select("vec_id",
+                     pq_encode(F.col("embedding"), books).alias("pq_code"))
+    q = e.limit(2).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = pq_adc_topk(q, codes, books, k=50)
+    code_map = {r["vec_id"]: r["pq_code"] for r in codes.collect()}
+    qv = {r["q_id"]: np.array(r["embedding"]).reshape(4, 16)
+          for r in q.collect()}
+    B = np.array(books)
+    for r in out.collect():
+        cd = code_map[r["c_id"]]
+        want = sum(float(((qv[r["q_id"]][j] - B[j][cd[j]]) ** 2).sum())
+                   for j in range(4))
+        assert abs(r["adc_dist"] - want) < 1e-5, (r, want)
+
+
+def test_pq_trained_codebooks_beat_fixed_recall(spark, emb):
+    from wine_label_ocr_spark.operators.ann import (
+        cosine_topk, pq_adc_topk, pq_encode, pq_fixed_codebooks,
+        pq_train_codebooks)
+    e = emb.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("embedding")).cache()
+    q = e.limit(8).select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = {(r["q_id"], r["c_id"])
+             for r in cosine_topk(q, e, k=10).collect()}
+
+    def recall(books):
+        codes = e.select("vec_id", pq_encode(
+            F.col("embedding"), books).alias("pq_code"))
+        got = {(r["q_id"], r["c_id"])
+               for r in pq_adc_topk(q, codes, books, k=10).collect()}
+        return len(exact & got) / len(exact)
+
+    trained = pq_train_codebooks(e, m=4, ksub=16, iters=2, dim=64)
+    assert trained == pq_train_codebooks(e, m=4, ksub=16, iters=2, dim=64)
+    r_fixed = recall(pq_fixed_codebooks(4, 8, 64))
+    r_train = recall(trained)
+    # learned codebooks must materially beat the hash-random fixture set
+    assert r_train >= r_fixed
+    assert r_train >= 0.25, (r_fixed, r_train)

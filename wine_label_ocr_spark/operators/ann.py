@@ -10,6 +10,11 @@
   hamming-adjacent buckets (multi-probe), then exact cosine re-ranks.
 * ``embedding_near_dup`` — near-duplicate pairs by cosine within LSH
   buckets (the embedding flavor of operators.dedupe).
+* ``pq_encode``/``pq_adc_topk`` — product quantization: m-byte codes
+  per vector (the long-term embedding-store compression) searched via
+  per-query ADC lookup tables; codebooks either hash-derived plan
+  literals (``pq_fixed_codebooks`` — closed-form, the hash-gated
+  flavor) or learned per-subspace Lloyd (``pq_train_codebooks``).
 
 Scale notes: brute force is O(|Q|·|C|) — fine for |Q| small because the
 corpus is scanned once with the queries broadcast (no shuffle of the
@@ -308,6 +313,122 @@ def quantized_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "c_id", F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search"): split each vector into m subvectors, quantize each
+# against its own ksub-entry codebook → an m-byte code per vector (dim·4
+# bytes → m bytes, the long-term embedding-store compression), query via
+# ADC (asymmetric distance computation): per query, an m×ksub table of
+# exact subvector distances, corpus distance = m table lookups + adds.
+
+def pq_fixed_codebooks(m: int, ksub: int, dim: int,
+                       seed: int = 42) -> list[list[list[float]]]:
+    """Deterministic hash-derived codebooks (no RNG, no training) —
+    m × ksub × (dim//m) values in [-1, 1]. The fixture/gate flavor: with
+    codebooks as plan literals the whole encode+ADC path is closed-form
+    column algebra an SQL twin can replay bit-identically. (Production
+    uses ``pq_train_codebooks`` for real quantization error.)"""
+    sub = dim // m
+    books = []
+    for j in range(m):
+        rows = []
+        for c in range(ksub):
+            vals = []
+            for d in range(0, sub, 16):
+                h = hashlib.md5(f"{seed}:{j}:{c}:{d}".encode()).digest()
+                vals.extend(round(b / 127.5 - 1.0, 4)
+                            for b in h[:min(16, sub - d)])
+            rows.append(vals[:sub])
+        books.append(rows)
+    return books
+
+
+def pq_train_codebooks(corpus: DataFrame, m: int = 4, ksub: int = 16,
+                       iters: int = 3, c_vec: str = "embedding",
+                       dim: int | None = None,
+                       seed: int = 42) -> list[list[list[float]]]:
+    """Learned codebooks: one deterministic Lloyd run per subspace
+    (reusing ``ivf_train_centroids`` on the sliced subvectors — same
+    hash-ordered seeding, same shuffle shape, m independent runs)."""
+    if dim is None:
+        dim = len(corpus.select(c_vec).first()[0])
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = corpus.select(
+            F.slice(F.col(c_vec), j * sub + 1, sub).alias("_sub"))
+        books.append(ivf_train_centroids(sliced, k=ksub, iters=iters,
+                                         c_vec="_sub", seed=seed + j))
+    return books
+
+
+def _l2sq(a: Column, cent: list[float]) -> Column:
+    """Σ (a_i − c_i)² as a left fold — the exact op sequence the DuckDB
+    twin replays, so distances are bit-identical doubles."""
+    lit = F.array(*[F.lit(float(v)) for v in cent])
+    return F.aggregate(F.zip_with(a, lit, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_encode(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """vec → array<int> of length m: per subspace, the index of the
+    nearest codebook entry (ties → lowest index, the ``array_min`` on
+    (dist, idx) structs). Pure column algebra; codebooks are plan
+    literals (the broadcast-table shape)."""
+    from ..functions import let
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    def code_j(j: int) -> Column:
+        def pick(s: Column) -> Column:
+            dists = F.array(*[
+                F.struct(_l2sq(s, codebooks[j][c]).alias("d"),
+                         F.lit(c).alias("c"))
+                for c in range(len(codebooks[j]))])
+            return F.array_min(dists)["c"]
+        return let(F.slice(vec, j * sub + 1, sub), pick)
+
+    return F.array(*[code_j(j) for j in range(m)])
+
+
+def pq_adc_topk(queries: DataFrame, codes: DataFrame,
+                codebooks: list[list[list[float]]], k: int = 10,
+                q_id: str = "q_id", c_id: str = "vec_id",
+                q_vec: str = "embedding",
+                code_col: str = "pq_code") -> DataFrame:
+    """ADC top-k: queries carry their m×ksub distance tables (computed
+    ONCE per query, then broadcast); each corpus code costs m array
+    lookups + adds — the corpus side never touches floats or the
+    original vectors. Returns (q_id, c_id, adc_dist, rank); distances
+    are approximate (quantization error) but deterministic."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    from ..functions import let
+
+    def tables(vec: Column) -> Column:
+        def table_j(j: int) -> Column:
+            return let(F.slice(vec, j * sub + 1, sub),
+                       lambda s: F.array(*[_l2sq(s, codebooks[j][c])
+                                           for c in range(len(codebooks[j]))]))
+        return F.array(*[table_j(j) for j in range(m)])
+
+    q = queries.select(F.col(q_id).alias("q_id"),
+                       tables(F.col(q_vec)).alias("_tab"))
+    c = codes.select(F.col(c_id).alias("c_id"), F.col(code_col).alias("_code"))
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc + F.get(F.get(F.col("_tab"), j),
+                                   F.get(F.col("_code"), j)))
+    scored = (c.join(F.broadcast(q))
+              .select("q_id", "c_id", dist.alias("adc")))
+    w = W.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "c_id", F.round("adc", 6).alias("adc_dist"),
+                    "rank"))
 
 
 def ivf_index_write(corpus: DataFrame, path: str, n_cells: int = 16,
