@@ -1239,6 +1239,28 @@ def _pq_oracle_sql(m=4, ksub=8, dim=64, k=5) -> str:
     """
 
 
+def q_frontier_schedule(spark, sf):  # frontier: politeness fetch slots
+    """Crawl-frontier scheduling over planted URLs (10 hosts, zero-
+    padded paths so lexicographic order = doc order) with a crawl-delay
+    table covering half the hosts: per-host seq, host-sticky md5 worker
+    assignment, and delay-spaced fetch offsets — all closed-form in
+    doc_id for the oracle."""
+    from wine_label_ocr_spark.operators.frontier import schedule_frontier
+    d = _t(spark, sf, "documents").select("doc_id")
+    urls = d.select(
+        F.concat(F.lit("https://h"),
+                 F.pmod(F.col("doc_id"), F.lit(10)).cast("string"),
+                 F.lit(".com/p/"),
+                 F.lpad(F.col("doc_id").cast("string"), 9, "0"))
+        .alias("url"))
+    delays = spark.createDataFrame(
+        [(f"h{k}.com", 500 * (k + 1)) for k in range(5)],
+        "host string, delay_ms bigint")
+    return (schedule_frontier(urls, delays, default_delay_ms=1000,
+                              n_workers=16, oracle_safe=True)
+            .orderBy("url"))
+
+
 def q_pagerank(spark, sf):  # graph: exact fixed-point PageRank
     """Host PageRank over a deterministic edge list derived from
     documents (src h(doc_id%20) → dst h((doc_id·7+3)%20), distinct;
@@ -1631,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_sidecar": q_wat_sidecar,
         "bpe_real_tokens": q_bpe_real_tokens,
         "pq_topk": q_pq_topk,
+        "frontier_schedule": q_frontier_schedule,
         "phase_trace": q_phase_trace,
         "curation_funnel": q_curation_funnel,
         "warc_extract": q_warc_extract,
@@ -2380,6 +2403,28 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_dangling": _pagerank_oracle_sql(src_mod=15, dangling=True),
         "phase_trace": _phase_trace_oracle_sql(),
         "pq_topk": _pq_oracle_sql(),
+        "frontier_schedule": """
+            -- closed-form schedule: host = doc_id%10, per-host seq =
+            -- doc_id//10 + 1 (zero-padded paths make url order = doc
+            -- order), delay 500*(k+1) for hosts h0-h4 else 1000,
+            -- worker = md5-hash flavor of the host mod 16
+            SELECT 'https://h' || (doc_id % 10) || '.com/p/'
+                       || printf('%09d', doc_id) AS url,
+                   'h' || (doc_id % 10) || '.com' AS host,
+                   CAST(doc_id // 10 + 1 AS INT) AS seq,
+                   CAST(CAST(CAST(concat('0x', substr(md5(
+                         'h' || (doc_id % 10) || '.com' || '#0'), 1, 15))
+                         AS UBIGINT) AS BIGINT) % 16 AS INT) AS worker,
+                   CAST(CASE WHEN doc_id % 10 < 5
+                             THEN 500 * (doc_id % 10 + 1)
+                             ELSE 1000 END AS BIGINT) AS delay_ms,
+                   CAST((doc_id // 10) *
+                        CASE WHEN doc_id % 10 < 5
+                             THEN 500 * (doc_id % 10 + 1)
+                             ELSE 1000 END AS BIGINT) AS fetch_offset_ms
+            FROM documents
+            ORDER BY url
+        """,
         "outlinks_resolved": """
             -- planted (base, href) shapes; resolved URLs stated
             -- closed-form (no RFC 3986 logic in SQL). Pages doc_id%4=0

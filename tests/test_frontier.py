@@ -1,0 +1,49 @@
+"""Tests for crawl-frontier scheduling (operators/frontier.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wine_label_ocr_spark.operators.frontier import schedule_frontier
+
+
+def test_schedule_politeness_spacing_and_workers(spark):
+    urls = spark.createDataFrame(
+        [(f"https://a.com/p/{i}",) for i in range(4)]
+        + [(f"https://B.com:443/q/{i}",) for i in range(3)]
+        + [("mailto:x@y.z",), ("notaurl",)],
+        "url string")
+    delays = spark.createDataFrame([("a.com", 2000)],
+                                   "host string, delay_ms bigint")
+    rows = schedule_frontier(urls, delays, default_delay_ms=500,
+                             n_workers=4).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    # unfetchable rows dropped; port stripped into the same authority
+    assert set(by_host) == {"a.com", "b.com"}
+    a = sorted(by_host["a.com"], key=lambda r: r["seq"])
+    assert [r["seq"] for r in a] == [1, 2, 3, 4]
+    assert [r["fetch_offset_ms"] for r in a] == [0, 2000, 4000, 6000]
+    assert len({r["worker"] for r in a}) == 1       # host-sticky
+    b = sorted(by_host["b.com"], key=lambda r: r["seq"])
+    assert [r["fetch_offset_ms"] for r in b] == [0, 500, 1000]  # default
+    assert all(0 <= r["worker"] < 4 for r in rows)
+    # deterministic replan
+    again = schedule_frontier(urls, delays, default_delay_ms=500,
+                              n_workers=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_schedule_no_delay_table_and_flavors(spark):
+    urls = spark.createDataFrame(
+        [("https://h.com/1",), ("https://h.com/2",)], "url string")
+    out = schedule_frontier(urls).collect()
+    assert [r["delay_ms"] for r in sorted(out, key=lambda r: r["seq"])] \
+        == [1000, 1000]
+    # oracle_safe flavor changes only the worker hash, nothing else
+    fast = {r["url"]: (r["seq"], r["delay_ms"], r["fetch_offset_ms"])
+            for r in out}
+    safe = {r["url"]: (r["seq"], r["delay_ms"], r["fetch_offset_ms"])
+            for r in schedule_frontier(urls, oracle_safe=True).collect()}
+    assert fast == safe
