@@ -472,3 +472,53 @@ def test_dedup_stream_first_arrival_wins(spark, tmp_path):
     batch = exact_dedup(allrows.withColumn("doc_id", F.xxhash64("url")),
                         id_col="doc_id")
     assert batch.count() == 3
+
+
+def test_incremental_dedup_stream_equals_batch(spark, tmp_path):
+    """Streaming crawl-over-crawl dedup ≡ batch incremental_dedup on the
+    same arriving docs vs the same prior fingerprint store; stateless
+    (no watermark), so it works across micro-batches trivially."""
+    import glob
+    import shutil
+
+    base = ("the quick brown fox jumps over the lazy dog while autumn "
+            "wind carries dry leaves across the old stone bridge")
+    prior = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated prior page about spark "
+                        "shuffles and adaptive execution plans")],
+        "doc_id bigint, text string")
+    from wine_label_ocr_spark.operators.dedupe import (
+        incremental_dedup, snapshot_fingerprints)
+    fps = snapshot_fingerprints(prior).cache()
+
+    arriving = [
+        (10, base),                                   # exact dup of prior 1
+        (11, base.replace("quick", "rapid")),         # near dup -> band hit
+        (12, "genuinely new content about gzip warc shard manifests "
+             "and politeness scheduling for crawl frontiers"),
+        (13, "another fresh page mentioning product quantization codes "
+             "and asymmetric distance computation tables"),
+    ]
+    new_df = spark.createDataFrame(arriving, "doc_id bigint, text string")
+    want = {r["doc_id"] for r in incremental_dedup(new_df, fps).collect()}
+    assert 10 not in want and 12 in want and 13 in want
+
+    src = tmp_path / "inc_src"
+    src.mkdir()
+    stage = str(tmp_path / "inc_stage")
+    new_df.coalesce(1).write.parquet(stage)
+    shutil.copy(glob.glob(stage + "/part-*.parquet")[0],
+                str(src / "a.parquet"))
+
+    from wine_label_ocr_spark.streaming.extract_stream import (
+        incremental_dedup_stream)
+    st = spark.readStream.schema("doc_id bigint, text string") \
+        .parquet(str(src))
+    q = (incremental_dedup_stream(st, fps)
+         .writeStream.format("memory").queryName("inc_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "inc_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("select * from inc_out").collect()}
+    assert got == want

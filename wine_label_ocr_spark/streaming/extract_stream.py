@@ -93,3 +93,45 @@ def dedup_stream(stream_df: DataFrame, text_col: str = "text",
     else:
         out = keyed.dropDuplicates(["_ck"])
     return out.drop("_ck")
+
+
+def incremental_dedup_stream(stream_df: DataFrame, prior_fps: DataFrame,
+                             text_col: str = "text", k: int = 3,
+                             n_perm: int = 32, n_bands: int = 8,
+                             oracle_safe: bool = False) -> DataFrame:
+    """Streaming twin of ``dedupe.incremental_dedup``: drop arriving
+    documents that match the PRIOR crawl's fingerprint store (exact
+    content key, or any shared MinHash band — same conservative
+    no-verify contract as the batch op, same ``(kind, fp)`` store
+    written by ``snapshot_fingerprints``).
+
+    Structured Streaming does not support stream-static LEFT ANTI
+    joins, so each membership test is the classic anti-via-outer:
+    LEFT OUTER against the store slice, keep rows whose match column is
+    NULL. That makes the whole operator STATELESS (1 + n_bands
+    stream-static equi joins, no watermark, no state store) — every
+    micro-batch joins against the static store and appends survivors,
+    so it composes with ``dedup_stream`` (which handles within-stream
+    dups) for the full ingest chain. Batch-equivalence is pytest-pinned
+    per micro-batch."""
+    from ..operators.dedupe import content_key, lsh_bands, minhash_signature, shingles
+    rpb = n_perm // n_bands
+    exact_fps = (prior_fps.filter(F.col("kind") == "exact")
+                 .select(F.col("fp").alias("_fp_exact")).distinct())
+    keyed = stream_df.withColumn("_ck", content_key(F.col(text_col)))
+    out = (keyed.join(exact_fps, keyed["_ck"] == exact_fps["_fp_exact"],
+                      "left_outer")
+           .filter(F.col("_fp_exact").isNull())
+           .drop("_fp_exact"))
+    out = out.withColumn(
+        "_bands", lsh_bands(minhash_signature(
+            shingles(F.col(text_col), k), n_perm, oracle_safe),
+            n_bands, rpb))
+    for b in range(n_bands):
+        slice_b = (prior_fps.filter(F.col("kind") == f"band:{b}")
+                   .select(F.col("fp").alias(f"_fp_b{b}")).distinct())
+        bh = F.get(F.col("_bands"), b)["band_hash"]
+        out = (out.join(slice_b, bh == slice_b[f"_fp_b{b}"], "left_outer")
+               .filter(F.col(f"_fp_b{b}").isNull())
+               .drop(f"_fp_b{b}"))
+    return out.drop("_ck", "_bands")
