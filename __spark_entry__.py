@@ -1239,6 +1239,105 @@ def _pq_oracle_sql(m=4, ksub=8, dim=64, k=5) -> str:
     """
 
 
+def q_ivfadc_topk(spark, sf):  # ann: IVF x PQ (IVFADC) search, hash-gated
+    """The classic IVFADC composition under a FULL value oracle: fixed
+    hash-derived coarse centroids (8 cells) + PQ codebooks (4×8) make
+    cell assignment, residual encoding, probe selection, and ADC all
+    closed-form float algebra; the DuckDB twin replays the identical op
+    sequence. 2 probes, top-5."""
+    from wine_label_ocr_spark.operators.ann import (
+        ivfadc_index, ivfadc_topk, pq_fixed_codebooks)
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: F.round(x.cast("double"), 3)).alias("embedding"))
+    cents = pq_fixed_codebooks(1, 8, 64, seed=7)[0]
+    books = pq_fixed_codebooks(4, 8, 64)
+    idx = ivfadc_index(e, cents, books)
+    q = (e.filter(F.col("vec_id") % 100 == 0)
+         .select(F.col("vec_id").alias("q_id"), "embedding"))
+    return ivfadc_topk(q, idx, cents, books, k=5, n_probes=2)
+
+
+def _ivfadc_oracle_sql(n_cells=8, m=4, ksub=8, dim=64, k=5,
+                       n_probes=2) -> str:
+    """DuckDB twin of q_ivfadc_topk: same centroid/codebook literals,
+    same left-fold distances, argmin via list_position(list_min), probe
+    pick via list_sort on (d, c) structs (ties → lowest cell, matching
+    Spark's array_sort/array_min struct order)."""
+    from wine_label_ocr_spark.operators.ann import pq_fixed_codebooks
+    cents = pq_fixed_codebooks(1, n_cells, dim, seed=7)[0]
+    books = pq_fixed_codebooks(m, ksub, dim)
+    sub = dim // m
+    cs_flat = "[" + ", ".join(repr(v) for c in cents for v in c) + "]"
+
+    def d2full(vec: str, cent: list) -> str:
+        lit = "[" + ", ".join(repr(v) for v in cent) + "]"
+        return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list_transform(generate_series(1, {dim}), i -> "
+                f"({vec}[i] - {lit}[i]) * ({vec}[i] - {lit}[i]))), "
+                f"(a, b) -> a + b)")
+
+    def d2sub(vec: str, j: int, c: int) -> str:
+        lit = "[" + ", ".join(repr(v) for v in books[j][c]) + "]"
+        return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list_transform(generate_series(1, {sub}), i -> "
+                f"({vec}[{j * sub} + i] - {lit}[i]) "
+                f"* ({vec}[{j * sub} + i] - {lit}[i]))), "
+                f"(a, b) -> a + b)")
+
+    cell_djs = "[" + ", ".join(d2full("e", c) for c in cents) + "]"
+    cell = f"(list_position({cell_djs}, list_min({cell_djs})) - 1)"
+    probe_structs = "[" + ", ".join(
+        f"struct_pack(d := {d2full('e', c)}, c := {i})"
+        for i, c in enumerate(cents)) + "]"
+
+    def enc(j: int) -> str:
+        djs = "[" + ", ".join(d2sub("res", j, c) for c in range(ksub)) + "]"
+        return f"(list_position({djs}, list_min({djs})) - 1)"
+
+    code = "[" + ", ".join(enc(j) for j in range(m)) + "]"
+    adc = " + ".join(
+        f"(CASE code[{j + 1}]"
+        + "".join(f" WHEN {c} THEN {d2sub('res', j, c)}"
+                  for c in range(ksub))
+        + " END)"
+        for j in range(m))
+    return f"""
+        WITH r AS (SELECT vec_id,
+                          list_transform(embedding,
+                              x -> round(CAST(x AS DOUBLE), 3)) AS e
+                   FROM embeddings),
+        asg AS (SELECT vec_id AS c_id, e, {cell} AS cell FROM r),
+        cres AS (SELECT c_id, cell,
+                        list_transform(generate_series(1, {dim}),
+                            i -> e[i] - {cs_flat}[cell * {dim} + i]) AS res
+                 FROM asg),
+        codes AS (SELECT c_id, cell, {code} AS code FROM cres),
+        q AS (SELECT vec_id AS q_id, e FROM r WHERE vec_id % 100 = 0),
+        pl AS (SELECT q_id, e,
+                      list_sort({probe_structs})[1:{n_probes}] AS ps
+               FROM q),
+        probes AS (SELECT q_id, e, p['c'] AS cell
+                   FROM pl, unnest(ps) AS t(p)),
+        qres AS (SELECT q_id, cell,
+                        list_transform(generate_series(1, {dim}),
+                            i -> e[i] - {cs_flat}[cell * {dim} + i]) AS res
+                 FROM probes),
+        s AS (SELECT q_id, codes.c_id,
+                     CAST(0.0 AS DOUBLE) + {adc} AS adc
+              FROM codes JOIN qres USING (cell))
+        SELECT q_id, c_id, ROUND(adc, 6) AS adc_dist,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT q_id, c_id, adc,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY adc ASC, c_id) AS rank
+              FROM s)
+        WHERE rank <= {k}
+        ORDER BY q_id, rank
+    """
+
+
 def q_frontier_schedule(spark, sf):  # frontier: politeness fetch slots
     """Crawl-frontier scheduling over planted URLs (10 hosts, zero-
     padded paths so lexicographic order = doc order) with a crawl-delay
@@ -1653,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_sidecar": q_wat_sidecar,
         "bpe_real_tokens": q_bpe_real_tokens,
         "pq_topk": q_pq_topk,
+        "ivfadc_topk": q_ivfadc_topk,
         "frontier_schedule": q_frontier_schedule,
         "phase_trace": q_phase_trace,
         "curation_funnel": q_curation_funnel,
@@ -2403,6 +2503,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_dangling": _pagerank_oracle_sql(src_mod=15, dangling=True),
         "phase_trace": _phase_trace_oracle_sql(),
         "pq_topk": _pq_oracle_sql(),
+        "ivfadc_topk": _ivfadc_oracle_sql(),
         "frontier_schedule": """
             -- closed-form schedule: host = doc_id%10, per-host seq =
             -- doc_id//10 + 1 (zero-padded paths make url order = doc

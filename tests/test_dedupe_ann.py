@@ -930,3 +930,51 @@ def test_pq_trained_codebooks_beat_fixed_recall(spark, emb):
     # learned codebooks must materially beat the hash-random fixture set
     assert r_train >= r_fixed
     assert r_train >= 0.25, (r_fixed, r_train)
+
+
+def test_ivfadc_index_and_probe_pruning(spark, emb):
+    import numpy as np
+    from wine_label_ocr_spark.operators.ann import (
+        ivfadc_index, ivfadc_topk, pq_fixed_codebooks)
+    cents = pq_fixed_codebooks(1, 8, 64, seed=7)[0]
+    books = pq_fixed_codebooks(4, 8, 64)
+    e = emb.limit(120).select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("embedding")).cache()
+    idx = ivfadc_index(e, cents, books).cache()
+    C = np.array(cents)
+    cell_of = {}
+    for r in e.collect():
+        v = np.array(r["embedding"])
+        cell_of[r["vec_id"]] = int(((v[None, :] - C) ** 2).sum(1).argmin())
+    got = {r["c_id"]: r["cell"] for r in idx.collect()}
+    assert got == cell_of
+    # every returned candidate lives in one of the query's 2 probe cells
+    q = e.limit(4).select(F.col("vec_id").alias("q_id"), "embedding")
+    probe_cells = {}
+    for r in q.collect():
+        v = np.array(r["embedding"])
+        d = ((v[None, :] - C) ** 2).sum(1)
+        probe_cells[r["q_id"]] = set(np.argsort(d, kind="stable")[:2])
+    for r in ivfadc_topk(q, idx, cents, books, k=10, n_probes=2).collect():
+        assert cell_of[r["c_id"]] in probe_cells[r["q_id"]], r
+
+
+def test_ivfadc_adc_matches_numpy_residuals(spark, emb):
+    import numpy as np
+    from wine_label_ocr_spark.operators.ann import (
+        ivfadc_index, ivfadc_topk, pq_fixed_codebooks)
+    cents = pq_fixed_codebooks(1, 8, 64, seed=7)[0]
+    books = pq_fixed_codebooks(4, 8, 64)
+    e = emb.limit(60).select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("embedding")).cache()
+    idx = ivfadc_index(e, cents, books).cache()
+    codes = {r["c_id"]: (r["cell"], r["pq_code"]) for r in idx.collect()}
+    q = e.limit(2).select(F.col("vec_id").alias("q_id"), "embedding")
+    qv = {r["q_id"]: np.array(r["embedding"]) for r in q.collect()}
+    C, B = np.array(cents), np.array(books)
+    for r in ivfadc_topk(q, idx, cents, books, k=60, n_probes=8).collect():
+        cell, code = codes[r["c_id"]]
+        res = (qv[r["q_id"]] - C[cell]).reshape(4, 16)
+        want = sum(float(((res[j] - B[j][code[j]]) ** 2).sum())
+                   for j in range(4))
+        assert abs(r["adc_dist"] - want) < 1e-5, (r, want)

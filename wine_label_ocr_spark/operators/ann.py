@@ -15,6 +15,10 @@
   per-query ADC lookup tables; codebooks either hash-derived plan
   literals (``pq_fixed_codebooks`` — closed-form, the hash-gated
   flavor) or learned per-subspace Lloyd (``pq_train_codebooks``).
+* ``ivfadc_index``/``ivfadc_topk`` — the classic IVF × PQ composition
+  (IVFADC): coarse cell assignment + PQ-coded RESIDUALS, probes read
+  only their cells, candidates cost m lookups each — the production
+  10^12-vector architecture.
 
 Scale notes: brute force is O(|Q|·|C|) — fine for |Q| small because the
 corpus is scanned once with the queries broadcast (no shuffle of the
@@ -423,6 +427,105 @@ def pq_adc_topk(queries: DataFrame, codes: DataFrame,
         lambda acc, j: acc + F.get(F.get(F.col("_tab"), j),
                                    F.get(F.col("_code"), j)))
     scored = (c.join(F.broadcast(q))
+              .select("q_id", "c_id", dist.alias("adc")))
+    w = W.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "c_id", F.round("adc", 6).alias("adc_dist"),
+                    "rank"))
+
+
+def _argmin_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid (ties → lowest index)."""
+    dists = F.array(*[F.struct(_l2sq(vec, c).alias("d"),
+                               F.lit(i).alias("c"))
+                      for i, c in enumerate(centroids)])
+    return F.array_min(dists)["c"]
+
+
+def ivfadc_index(corpus: DataFrame, centroids: list[list[float]],
+                 codebooks: list[list[list[float]]],
+                 c_id: str = "vec_id",
+                 c_vec: str = "embedding") -> DataFrame:
+    """IVFADC index rows (Jégou et al.): each vector is assigned to its
+    nearest coarse cell and its RESIDUAL (vector − cell centroid) is
+    PQ-encoded → ``(cell, id, pq_code)``, m+ε bytes per vector. This is
+    the production 10^12-vector layout: partition/cluster the output BY
+    CELL (the ``ivf_index_write`` pattern) so a probe reads only its
+    cells' files, each row costing m table lookups at query time.
+
+    Pure column algebra: the centroid table is a plan literal indexed by
+    the computed cell (no per-cell CASE fan-out), so with fixed
+    centroids/codebooks the whole path is closed-form and hash-gates."""
+    from ..functions import let
+    cent_lit = F.array(*[F.array(*[F.lit(float(v)) for v in c])
+                         for c in centroids])
+
+    def build(vec: Column) -> Column:
+        cell = _argmin_cell(vec, centroids)
+
+        def with_cell(cl: Column) -> Column:
+            residual = F.zip_with(vec, F.get(cent_lit, cl),
+                                  lambda x, y: x - y)
+            return F.struct(cl.alias("cell"),
+                            pq_encode(residual, codebooks).alias("code"))
+
+        return let(cell, with_cell)
+
+    return corpus.select(
+        F.col(c_id).alias("c_id"),
+        let(F.col(c_vec), build).alias("_s")
+    ).select(F.col("_s.cell").alias("cell"), "c_id",
+             F.col("_s.code").alias("pq_code"))
+
+
+def ivfadc_topk(queries: DataFrame, index: DataFrame,
+                centroids: list[list[float]],
+                codebooks: list[list[list[float]]],
+                k: int = 10, n_probes: int = 2,
+                q_id: str = "q_id", q_vec: str = "embedding") -> DataFrame:
+    """IVFADC search: per query, the ``n_probes`` nearest cells; per
+    (query, cell), an ADC table over the QUERY RESIDUAL vs that cell's
+    centroid; candidates = index rows in the probed cells, each scored
+    with m lookups + adds. The query side explodes (queries ≪ corpus);
+    the index side shuffles only on ``cell``. Deterministic; with fixed
+    centroids/codebooks the DuckDB twin replays it bit-identically."""
+    from ..functions import let
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cent_lit = F.array(*[F.array(*[F.lit(float(v)) for v in c])
+                         for c in centroids])
+
+    def probes_of(vec: Column) -> Column:
+        dists = F.array(*[F.struct(_l2sq(vec, c).alias("d"),
+                                   F.lit(i).alias("c"))
+                          for i, c in enumerate(centroids)])
+        return F.slice(F.array_sort(dists), 1, n_probes)
+
+    q = queries.select(F.col(q_id).alias("q_id"), F.col(q_vec).alias("_qv"))
+    probed = q.select(
+        "q_id", "_qv",
+        F.explode(probes_of(F.col("_qv"))).alias("_p")
+    ).select("q_id", "_qv", F.col("_p.c").alias("cell"))
+
+    def tables(res: Column) -> Column:
+        def table_j(j: int) -> Column:
+            return let(F.slice(res, j * sub + 1, sub),
+                       lambda s: F.array(*[_l2sq(s, codebooks[j][c])
+                                           for c in range(len(codebooks[j]))]))
+        return F.array(*[table_j(j) for j in range(m)])
+
+    residual = F.zip_with(F.col("_qv"), F.get(cent_lit, F.col("cell")),
+                          lambda x, y: x - y)
+    qt = probed.select("q_id", "cell",
+                       let(residual, tables).alias("_tab"))
+
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc + F.get(F.get(F.col("_tab"), j),
+                                   F.get(F.col("pq_code"), j)))
+    scored = (index.join(F.broadcast(qt), "cell")
               .select("q_id", "c_id", dist.alias("adc")))
     w = W.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
