@@ -1768,10 +1768,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,
         "url_canon": q_url_canon,
         "incremental_dedup": q_incremental_dedup,
+        # ---- entries below here absorb the driver's ~50-entry cap ----
         "tfidf_pruned": q_tfidf_pruned,
         "quality_classifier": q_quality_classifier,
         "blocklist_filter": q_blocklist_filter,
-        # ---- entries below here absorb the driver's ~50-entry cap ----
         "exact_substring": q_exact_substring,
         "text_fix": q_text_fix,
         "audio_features": q_audio_features,
