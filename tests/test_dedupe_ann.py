@@ -853,7 +853,9 @@ def test_gif_frame_offset_composites_onto_screen():
     assert parse_image_header(bytes(g))["width"] == 20
     assert out is not None and out.shape == (10, 20, 3)
     assert (out[3:7, 5:11] == pal[1]).all()      # the frame
-    assert (out[0, 0] == pal[0]).all()           # bg fill
+    # bg fill comes from the GLOBAL color table at the header's
+    # Background Color Index (index 0 here -> pal[0])
+    assert (out[0, 0] == pal[0]).all()
     assert (out[9, 19] == pal[0]).all()
     # frame exceeding the screen -> None (not a garbled partial)
     g[desc + 1:desc + 3] = (18).to_bytes(2, "little")
@@ -978,3 +980,28 @@ def test_ivfadc_adc_matches_numpy_residuals(spark, emb):
         want = sum(float(((res[j] - B[j][code[j]]) ** 2).sum())
                    for j in range(4))
         assert abs(r["adc_dist"] - want) < 1e-5, (r, want)
+
+
+def test_gif_local_palette_frame_bg_from_global_table():
+    """A frame with its own LOCAL color table composites over a
+    background taken from the GLOBAL table (spec: Background Color
+    Index points into the GCT), not the local one."""
+    import numpy as np
+    from wine_label_ocr_spark.operators.multimodal import (
+        decode_gif, encode_gif)
+    palA = np.array([[10, 20, 30], [1, 1, 1]], dtype=np.uint8)   # global
+    palB = np.array([[5, 5, 5], [200, 100, 50]], dtype=np.uint8)  # local
+    g = bytearray(encode_gif(np.ones((4, 6), np.uint8), palA))
+    g[6:8] = (12).to_bytes(2, "little")   # logical screen 12x8
+    g[8:10] = (8).to_bytes(2, "little")
+    desc = bytes(g).find(b"\x2c")
+    g[desc + 1:desc + 3] = (2).to_bytes(2, "little")  # left=2
+    g[desc + 3:desc + 5] = (1).to_bytes(2, "little")  # top=1
+    g[desc + 9] |= 0x80                   # local color table, size 0 (2)
+    lct = palB.tobytes()
+    g = bytes(g[:desc + 10]) + lct + bytes(g[desc + 10:])
+    out = decode_gif(g)
+    assert out is not None and out.shape == (8, 12, 3)
+    assert (out[1:5, 2:8] == palB[1]).all()   # frame via LOCAL palette
+    assert (out[0, 0] == palA[0]).all()       # bg via GLOBAL palette
+    assert (out[7, 11] == palA[0]).all()

@@ -47,3 +47,22 @@ def test_schedule_no_delay_table_and_flavors(spark):
     safe = {r["url"]: (r["seq"], r["delay_ms"], r["fetch_offset_ms"])
             for r in schedule_frontier(urls, oracle_safe=True).collect()}
     assert fast == safe
+
+
+def test_delay_table_normalized_and_duplicates_resolve_polite(spark):
+    # ported/userinfo'd delay keys still govern; conflicting rows take
+    # the MAX delay (the polite direction) instead of fanning out
+    urls = spark.createDataFrame(
+        [("https://h.com/1",), ("https://h.com/2",),
+         ("https://u.com/1",)], "url string")
+    delays = spark.createDataFrame(
+        [("H.com:8080", 3000), ("h.com", 1000), ("bob@u.com", 700)],
+        "host string, delay_ms bigint")
+    rows = schedule_frontier(urls, delays).collect()
+    assert len(rows) == 3                    # no join fan-out
+    h = sorted((r for r in rows if r["host"] == "h.com"),
+               key=lambda r: r["seq"])
+    assert [r["delay_ms"] for r in h] == [3000, 3000]
+    assert [r["fetch_offset_ms"] for r in h] == [0, 3000]
+    u = [r for r in rows if r["host"] == "u.com"][0]
+    assert u["delay_ms"] == 700

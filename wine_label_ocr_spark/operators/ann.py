@@ -334,6 +334,8 @@ def pq_fixed_codebooks(m: int, ksub: int, dim: int,
     codebooks as plan literals the whole encode+ADC path is closed-form
     column algebra an SQL twin can replay bit-identically. (Production
     uses ``pq_train_codebooks`` for real quantization error.)"""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
     books = []
     for j in range(m):
@@ -357,7 +359,12 @@ def pq_train_codebooks(corpus: DataFrame, m: int = 4, ksub: int = 16,
     (reusing ``ivf_train_centroids`` on the sliced subvectors — same
     hash-ordered seeding, same shuffle shape, m independent runs)."""
     if dim is None:
-        dim = len(corpus.select(c_vec).first()[0])
+        row = corpus.select(c_vec).first()
+        if row is None:
+            raise ValueError("cannot train PQ codebooks on an empty corpus")
+        dim = len(row[0])
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
     books = []
     for j in range(m):
@@ -378,23 +385,39 @@ def _l2sq(a: Column, cent: list[float]) -> Column:
 
 def pq_encode(vec: Column, codebooks: list[list[list[float]]]) -> Column:
     """vec → array<int> of length m: per subspace, the index of the
-    nearest codebook entry (ties → lowest index, the ``array_min`` on
-    (dist, idx) structs). Pure column algebra; codebooks are plan
-    literals (the broadcast-table shape)."""
+    nearest codebook entry (ties → lowest index — ``_argmin_cell``, the
+    same argmin shape the IVF assignment uses). Pure column algebra;
+    codebooks are plan literals (the broadcast-table shape)."""
     from ..functions import let
     m = len(codebooks)
     sub = len(codebooks[0][0])
 
-    def code_j(j: int) -> Column:
-        def pick(s: Column) -> Column:
-            dists = F.array(*[
-                F.struct(_l2sq(s, codebooks[j][c]).alias("d"),
-                         F.lit(c).alias("c"))
-                for c in range(len(codebooks[j]))])
-            return F.array_min(dists)["c"]
-        return let(F.slice(vec, j * sub + 1, sub), pick)
+    # NB: plain single-arg closures — a default-arg lambda would be
+    # introspected by PySpark's HOF binding as a second lambda variable
+    def pick_for(j: int):
+        return lambda s: _argmin_cell(s, codebooks[j])
 
-    return F.array(*[code_j(j) for j in range(m)])
+    return F.array(*[
+        let(F.slice(vec, j * sub + 1, sub), pick_for(j))
+        for j in range(m)])
+
+
+def _adc_tables(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Per-query ADC tables: array of m arrays of ksub exact subvector
+    distances. ONE definition shared by ``pq_adc_topk`` and
+    ``ivfadc_topk`` — the op sequence must stay bit-identical to both
+    DuckDB twins, so there is exactly one copy to keep in sync."""
+    from ..functions import let
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    def table_for(j: int):
+        return lambda s: F.array(*[_l2sq(s, codebooks[j][c])
+                                   for c in range(len(codebooks[j]))])
+
+    return F.array(*[
+        let(F.slice(vec, j * sub + 1, sub), table_for(j))
+        for j in range(m)])
 
 
 def pq_adc_topk(queries: DataFrame, codes: DataFrame,
@@ -408,18 +431,8 @@ def pq_adc_topk(queries: DataFrame, codes: DataFrame,
     original vectors. Returns (q_id, c_id, adc_dist, rank); distances
     are approximate (quantization error) but deterministic."""
     m = len(codebooks)
-    sub = len(codebooks[0][0])
-    from ..functions import let
-
-    def tables(vec: Column) -> Column:
-        def table_j(j: int) -> Column:
-            return let(F.slice(vec, j * sub + 1, sub),
-                       lambda s: F.array(*[_l2sq(s, codebooks[j][c])
-                                           for c in range(len(codebooks[j]))]))
-        return F.array(*[table_j(j) for j in range(m)])
-
     q = queries.select(F.col(q_id).alias("q_id"),
-                       tables(F.col(q_vec)).alias("_tab"))
+                       _adc_tables(F.col(q_vec), codebooks).alias("_tab"))
     c = codes.select(F.col(c_id).alias("c_id"), F.col(code_col).alias("_code"))
     dist = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -465,10 +478,15 @@ def ivfadc_index(corpus: DataFrame, centroids: list[list[float]],
         cell = _argmin_cell(vec, centroids)
 
         def with_cell(cl: Column) -> Column:
+            # let-bound: pq_encode slices the residual once per
+            # subspace, and the 64-dim zip_with would otherwise be
+            # inlined (and recomputed) m times on the corpus-sized side
             residual = F.zip_with(vec, F.get(cent_lit, cl),
                                   lambda x, y: x - y)
-            return F.struct(cl.alias("cell"),
-                            pq_encode(residual, codebooks).alias("code"))
+            return let(residual,
+                       lambda r: F.struct(
+                           cl.alias("cell"),
+                           pq_encode(r, codebooks).alias("code")))
 
         return let(cell, with_cell)
 
@@ -492,7 +510,6 @@ def ivfadc_topk(queries: DataFrame, index: DataFrame,
     centroids/codebooks the DuckDB twin replays it bit-identically."""
     from ..functions import let
     m = len(codebooks)
-    sub = len(codebooks[0][0])
     cent_lit = F.array(*[F.array(*[F.lit(float(v)) for v in c])
                          for c in centroids])
 
@@ -508,17 +525,11 @@ def ivfadc_topk(queries: DataFrame, index: DataFrame,
         F.explode(probes_of(F.col("_qv"))).alias("_p")
     ).select("q_id", "_qv", F.col("_p.c").alias("cell"))
 
-    def tables(res: Column) -> Column:
-        def table_j(j: int) -> Column:
-            return let(F.slice(res, j * sub + 1, sub),
-                       lambda s: F.array(*[_l2sq(s, codebooks[j][c])
-                                           for c in range(len(codebooks[j]))]))
-        return F.array(*[table_j(j) for j in range(m)])
-
     residual = F.zip_with(F.col("_qv"), F.get(cent_lit, F.col("cell")),
                           lambda x, y: x - y)
     qt = probed.select("q_id", "cell",
-                       let(residual, tables).alias("_tab"))
+                       let(residual,
+                           lambda r: _adc_tables(r, codebooks)).alias("_tab"))
 
     dist = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),

@@ -53,8 +53,20 @@ def schedule_frontier(urls: DataFrame, delays: DataFrame | None = None,
                     registrable_host(F.col(url_col)).alias("_host")) \
             .filter(F.col("_host").isNotNull())
     if delays is not None:
-        d = delays.select(F.lower(F.col(host_col)).alias("_host"),
-                          F.col(delay_col).cast("bigint").alias("_delay"))
+        # the delay table's host key gets the SAME authority
+        # normalization as the URL side (lowercase, userinfo/port
+        # stripped — the robots.py rules-side treatment): a table keyed
+        # 'h.com:8080' must still govern 'h.com', or its URLs silently
+        # fall back to the default delay and over-fetch the host.
+        # Conflicting rows for one host resolve to the MAX delay (the
+        # polite direction) via an aggregate, so duplicates can never
+        # fan out the join and corrupt seq/fetch offsets.
+        d_host = F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(host_col)), "^[^/@]*@", ""),
+            ":[0-9]+$", "")
+        d = (delays.select(d_host.alias("_host"),
+                           F.col(delay_col).cast("bigint").alias("_d"))
+             .groupBy("_host").agg(F.max("_d").alias("_delay")))
         u = u.join(d, "_host", "left")
     else:
         u = u.withColumn("_delay", F.lit(None).cast("bigint"))

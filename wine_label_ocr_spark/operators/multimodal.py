@@ -1185,19 +1185,23 @@ def decode_gif(payload: bytes):
                 grid = np.empty_like(a)
                 grid[rows] = a
                 a = grid
+            if int(a.max()) >= pal.shape[0]:
+                return None
+            rgb = pal[a]
             if left or top or w != screen_w or h != screen_h:
                 if left + w > screen_w or top + h > screen_h \
                         or not screen_w or not screen_h:
                     return None  # frame exceeds the declared screen
-                canvas = np.full(
-                    (screen_h, screen_w),
-                    bg_idx if bg_idx < pal.shape[0] else 0,
-                    dtype=np.uint8)
-                canvas[top:top + h, left:left + w] = a
-                a = canvas
-            if int(a.max()) >= pal.shape[0]:
-                return None
-            return pal[a]
+                # spec: the Background Color Index points into the
+                # GLOBAL color table (not the frame's local one), so
+                # composite in RGB space with the GCT color
+                bg = gct[bg_idx] if gct is not None \
+                    and bg_idx < gct.shape[0] else np.zeros(3, np.uint8)
+                canvas = np.empty((screen_h, screen_w, 3), np.uint8)
+                canvas[:, :] = bg
+                canvas[top:top + h, left:left + w] = rgb
+                rgb = canvas
+            return rgb
         return None
     except Exception:
         return None  # tolerant parse (ST8): undecodable → header fallback
