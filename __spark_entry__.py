@@ -1127,8 +1127,10 @@ def q_audio_features(spark, sf):  # multimodal: real WAV decode + FFT
 
 def q_outlinks(spark, sf):  # graph: href extraction for frontier/link graph
     """Outlink extraction over planted html (absolute/uppercase-HREF/
-    fragment-only/relative shapes). Spark runs the real operator; the
-    DuckDB twin runs the IDENTICAL RE2-safe pattern."""
+    fragment-only/relative/UNQUOTED shapes, plus <abbr href> and
+    <basefont href> negatives for the tag-name boundary). Spark runs
+    the real operator; the DuckDB twin runs the IDENTICAL RE2-safe
+    pattern + quote-strip."""
     from wine_label_ocr_spark.operators.graph import extract_outlinks
     d = _t(spark, sf, "documents").select("doc_id")
     a = F.pmod(F.col("doc_id"), F.lit(20)).cast("string")
@@ -1137,7 +1139,9 @@ def q_outlinks(spark, sf):  # graph: href extraction for frontier/link graph
     html = F.concat(
         F.lit('<p>t</p><a href="https://site'), a, F.lit('.com/x/'), did,
         F.lit('">1</a><A HREF=\'https://site'), b, F.lit(".com/y'>2</A>"),
-        F.lit('<a href="#s">n</a><a href="/rel/'), did, F.lit('">r</a>'))
+        F.lit('<a href="#s">n</a><a href="/rel/'), did, F.lit('">r</a>'),
+        F.lit('<a href=/bare/'), did, F.lit('>u</a>'),
+        F.lit('<abbr href="no">z</abbr><basefont href="/bf/">'))
     pages = d.select(F.concat(F.lit("doc:"), did).alias("url"),
                      html.alias("html"))
     return extract_outlinks(pages).orderBy("src", "href")
@@ -1146,8 +1150,11 @@ def q_outlinks(spark, sf):  # graph: href extraction for frontier/link graph
 def q_outlinks_resolved(spark, sf):  # graph: RFC 3986 href resolution
     """Outlink extraction with RFC 3986 resolution over planted html:
     relative dot-segment hrefs, absolute paths, protocol-relative,
-    query-only, and a ``<base href>`` tag on every 4th page. The oracle
-    states each resolved URL closed-form (no RFC logic in SQL)."""
+    query-only, an UNQUOTED relative href, and a ``<base href>`` tag on
+    every 4th page — every page also opens with a ``<basefont href>``
+    decoy that must NOT be picked as the base (tag-name boundary). The
+    oracle states each resolved URL closed-form (no RFC logic in
+    SQL)."""
     from wine_label_ocr_spark.operators.graph import extract_outlinks
     d = _t(spark, sf, "documents").select("doc_id")
     did = F.col("doc_id").cast("string")
@@ -1156,11 +1163,13 @@ def q_outlinks_resolved(spark, sf):  # graph: RFC 3986 href resolution
     base_tag = F.when(F.pmod(F.col("doc_id"), F.lit(4)) == 0,
                       F.lit('<base href="/b/">')).otherwise(F.lit(""))
     html = F.concat(
+        F.lit('<basefont href="/evil/">'),
         base_tag,
         F.lit('<a href="x/../y'), did, F.lit('.html">1</a>'),
         F.lit('<a href="/abs/'), did, F.lit('">2</a>'),
         F.lit('<a href="//cdn'), k, F.lit('.com/lib.js">3</a>'),
-        F.lit('<a href="?q='), did, F.lit('">4</a>'))
+        F.lit('<a href="?q='), did, F.lit('">4</a>'),
+        F.lit('<a href=bare'), k, F.lit('.html>5</a>'))
     pages = d.select(
         F.concat(F.lit("https://ex"), h, F.lit(".com/dir/sub/page"),
                  did, F.lit(".html")).alias("url"),
@@ -1340,11 +1349,15 @@ def _ivfadc_oracle_sql(n_cells=8, m=4, ksub=8, dim=64, k=5,
 
 def q_frontier_schedule(spark, sf):  # frontier: politeness fetch slots
     """Crawl-frontier scheduling over planted URLs (10 hosts, zero-
-    padded paths so lexicographic order = doc order) with a crawl-delay
-    table covering half the hosts: per-host seq, host-sticky md5 worker
-    assignment, and delay-spaced fetch offsets — all closed-form in
-    doc_id for the oracle."""
+    padded paths so lexicographic order = doc order) with the delay
+    table coming from REAL robots.txt bytes: hosts h0–h4 carry
+    ``Crawl-delay: 0.5·(k+1)`` seconds (fractional-seconds parsing,
+    ms conversion, and the robots→frontier composition all under the
+    gate), the rest fall back to the 1000 ms default. Per-host seq,
+    host-sticky md5 worker assignment, and delay-spaced fetch offsets
+    — all closed-form in doc_id for the oracle."""
     from wine_label_ocr_spark.operators.frontier import schedule_frontier
+    from wine_label_ocr_spark.operators.robots import robots_directives
     d = _t(spark, sf, "documents").select("doc_id")
     urls = d.select(
         F.concat(F.lit("https://h"),
@@ -1352,11 +1365,15 @@ def q_frontier_schedule(spark, sf):  # frontier: politeness fetch slots
                  F.lit(".com/p/"),
                  F.lpad(F.col("doc_id").cast("string"), 9, "0"))
         .alias("url"))
-    delays = spark.createDataFrame(
-        [(f"h{k}.com", 500 * (k + 1)) for k in range(5)],
-        "host string, delay_ms bigint")
+    robots = spark.createDataFrame(
+        [(f"h{k}.com",
+          f"User-agent: *\nCrawl-delay: {0.5 * (k + 1)}\nDisallow: /tmp/\n"
+          "Sitemap: https://h.com/sm.xml\n") for k in range(5)],
+        "host string, robots_txt string")
+    delays = robots_directives(robots)
     return (schedule_frontier(urls, delays, default_delay_ms=1000,
-                              n_workers=16, oracle_safe=True)
+                              n_workers=16, delay_col="crawl_delay_ms",
+                              oracle_safe=True)
             .orderBy("url"))
 
 
@@ -2555,6 +2572,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT url, '?q=' || doc_id,
                      CASE WHEN hasbase THEN root || '/b/?q=' || doc_id
                           ELSE url || '?q=' || doc_id END
+              FROM b
+              UNION ALL
+              SELECT url, 'bare' || (doc_id % 3) || '.html',
+                     root || CASE WHEN hasbase THEN '/b/'
+                                  ELSE '/dir/sub/' END
+                          || 'bare' || (doc_id % 3) || '.html'
               FROM b)
             ORDER BY src, href
         """,
@@ -2601,12 +2624,16 @@ def oracle_sql() -> dict[str, str]:
                      || '.com/x/' || doc_id || '">1</a><A HREF=''https://site'
                      || ((doc_id * 3) % 20) || '.com/y''>2</A>'
                      || '<a href="#s">n</a><a href="/rel/' || doc_id
-                     || '">r</a>' AS html
+                     || '">r</a><a href=/bare/' || doc_id || '>u</a>'
+                     || '<abbr href="no">z</abbr><basefont href="/bf/">'
+                        AS html
               FROM documents)
             SELECT url AS src,
-                   unnest(regexp_extract_all(html,
-                     '<[aA][^>]*\\s(?i:href)\\s*=\\s*["'']([^"''#][^"'']*)["'']',
-                     1)) AS href
+                   unnest(list_transform(regexp_extract_all(html,
+                     '<[aA]\\s(?:[^>]*\\s)?(?i:href)\\s*=\\s*("[^"#][^"]*"|''[^''#][^'']*''|[^\\s"''>#][^\\s>]*)',
+                     1),
+                     v -> CASE WHEN v[1] = '"' OR v[1] = ''''
+                               THEN v[2:-2] ELSE v END)) AS href
             FROM base
             ORDER BY src, href
         """,

@@ -176,3 +176,33 @@ def test_pagerank_dangling_redistribution_conserves_mass(spark):
     leak = {x["host"]: x["rank_scaled"] for x in
             G.pagerank(edges, n_iters=4).collect()}
     assert sum(leak.values()) < total
+
+
+def test_extract_outlinks_unquoted_and_tag_boundaries(spark):
+    # unquoted href values (old hand-written HTML) extract to the first
+    # whitespace/'>'; <abbr href> / <basefont href> must NOT match the
+    # <a> pattern (tag-name boundary); quoted values keep inner quotes
+    html = ('<a href=/bare/1>u</a><a href=rel.html >s</a>'
+            '<a href=#frag>skip</a>'
+            '<abbr href="no">z</abbr><basefont href="/bf/">'
+            '<a data-href="decoy" href="/real">r</a>'
+            "<a href=\"it's fine\">q</a>")
+    df = spark.createDataFrame([("u1", html)], "url string, html string")
+    got = sorted(r["href"] for r in G.extract_outlinks(df).collect())
+    assert got == ["/bare/1", "/real", "it's fine", "rel.html"]
+
+
+def test_basefont_is_not_a_base_tag(spark):
+    # <basefont href> (deprecated-but-real HTML) must not hijack the
+    # effective base: relative links resolve against the page URL (or a
+    # REAL <base> when present, regardless of tag order)
+    df = spark.createDataFrame(
+        [("https://h.com/dir/page.html",
+          '<basefont href="/evil/"><a href="x.html">1</a>'),
+         ("https://h.com/dir/page2.html",
+          '<basefont href="/evil/"><base href="/b/"><a href="y.html">2</a>')],
+        "url string, html string")
+    got = {r["href"]: r["resolved"]
+           for r in G.extract_outlinks(df, resolve=True).collect()}
+    assert got == {"x.html": "https://h.com/dir/x.html",
+                   "y.html": "https://h.com/b/y.html"}

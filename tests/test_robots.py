@@ -159,3 +159,62 @@ def test_robots_specificity_counts_wildcards(spark):
            for r in robots_allowed(urls, rules).collect()}
     assert got == {"https://t.com/dir/x": False,
                    "https://t.com/other": True}
+
+
+def test_specificity_is_octets_not_codepoints(spark):
+    # RFC 9309 orders rules by OCTET length: 'Allow: /café' is 6 octets
+    # (5 codepoints) and must TIE 'Disallow: /caf*Z' (6 octets) on
+    # /caféZ — and on a tie Allow wins. Codepoint counting (5 < 6)
+    # would flip the verdict to disallowed.
+    robots = spark.createDataFrame(
+        [("h.com", "User-agent: *\nAllow: /café\nDisallow: /caf*Z\n")],
+        "host string, robots_txt string")
+    rules = parse_robots_rules(robots)
+    lens = {r["prefix"]: r["rule_len"] for r in rules.collect()}
+    assert lens["/café"] == 6 and lens["/caf"] == 6
+    urls = spark.createDataFrame([("https://h.com/caféZ",)], "url string")
+    [row] = robots_allowed(urls, rules).collect()
+    assert row["allowed"] is True
+
+
+def test_parse_robots_directives_crawl_delay_and_sitemap():
+    from wine_label_ocr_spark.operators.robots import parse_robots_directives
+    t = ("Sitemap: https://h.com/s1.xml\n"
+         "User-agent: *\nCrawl-delay: 0.5\nDisallow: /x\n\n"
+         "User-agent: bot\nCrawl-delay: 9\nCrawl-delay: 2\n"
+         "Sitemap: https://h.com/s2.xml\n")
+    # group-scoped delay (fractional seconds -> ms); sitemaps global
+    assert parse_robots_directives(t) == \
+        (500, ["https://h.com/s1.xml", "https://h.com/s2.xml"])
+    # several delays in the chosen group -> MAX (polite direction)
+    assert parse_robots_directives(t, "bot")[0] == 9000
+    # unparseable / negative / absent -> None (scheduler default)
+    assert parse_robots_directives("User-agent: *\nCrawl-delay: nope\n")[0] is None
+    assert parse_robots_directives("User-agent: *\nCrawl-delay: -1\n")[0] is None
+    assert parse_robots_directives("")[0] is None
+    # delay lines do not merge adjacent groups or leak across groups
+    assert parse_robots_directives(
+        "User-agent: a\nCrawl-delay: 3\nUser-agent: b\nCrawl-delay: 7\n",
+        "a")[0] == 3000
+
+
+def test_robots_directives_feed_frontier(spark):
+    from wine_label_ocr_spark.operators.frontier import schedule_frontier
+    from wine_label_ocr_spark.operators.robots import robots_directives
+    robots = spark.createDataFrame(
+        [("slow.com", "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"),
+         ("fast.com", "User-agent: *\nDisallow: /y\n")],
+        "host string, robots_txt string")
+    d = robots_directives(robots)
+    got = {r["host"]: (r["crawl_delay_ms"], r["sitemaps"])
+           for r in d.collect()}
+    assert got == {"slow.com": (2000, []), "fast.com": (None, [])}
+    urls = spark.createDataFrame(
+        [("https://slow.com/a",), ("https://slow.com/b",),
+         ("https://fast.com/a",), ("https://fast.com/b",)], "url string")
+    sched = schedule_frontier(urls, d, default_delay_ms=250,
+                              delay_col="crawl_delay_ms")
+    rows = {r["url"]: (r["delay_ms"], r["fetch_offset_ms"])
+            for r in sched.collect()}
+    assert rows["https://slow.com/b"] == (2000, 2000)
+    assert rows["https://fast.com/b"] == (250, 250)  # default fills NULL

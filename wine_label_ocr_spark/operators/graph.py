@@ -28,12 +28,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 # href extraction: RE2-compatible (no lookarounds), shared verbatim with
-# the DuckDB oracle. Captures the quoted value of href= inside <a ...>.
-HREF_PATTERN = r"<[aA][^>]*\s(?i:href)\s*=\s*[\"']([^\"'#][^\"']*)[\"']"
+# the DuckDB oracle.  `<a` must be followed by whitespace (tag-name
+# boundary), and the single capture group serves quoted AND unquoted
+# values by keeping the quotes in the capture — `href_values` strips
+# them.  Unquoted values (`href=/bare` — common in old hand-written
+# HTML; previously a silent drop) run to the first whitespace or `>`
+# per the HTML5 unquoted-attribute rule.  Fragment-only links (`#...`)
+# are excluded in every branch.
+HREF_PATTERN = (r"<[aA]\s(?:[^>]*\s)?(?i:href)\s*=\s*"
+                r"(\"[^\"#][^\"]*\"|'[^'#][^']*'|[^\s\"'>#][^\s>]*)")
 
 # <base href="..."> pickup: the FIRST base tag governs (HTML spec);
-# regexp_extract returns the first match.
-BASE_PATTERN = r"<[bB][aA][sS][eE][^>]*\s(?i:href)\s*=\s*[\"']([^\"']+)[\"']"
+# regexp_extract returns the first match.  `<base` must be followed by
+# whitespace — without the boundary, a deprecated-but-real
+# <basefont href=...> tag would hijack the base and mis-resolve every
+# relative link on the page.
+BASE_PATTERN = (r"<[bB][aA][sS][eE]\s(?:[^>]*\s)?(?i:href)\s*=\s*"
+                r"[\"']([^\"']+)[\"']")
+
+
+def _unquote(v):
+    """Strip one layer of surrounding quotes off a captured href value
+    (quoted captures keep their quotes so HREF_PATTERN needs only one
+    group). Pure column algebra; mirrored in the DuckDB oracle as
+    ``CASE WHEN v[1] IN ('\"', '''') THEN v[2:-2] ELSE v END``."""
+    q = v.substr(F.lit(1), F.lit(1))
+    return F.when((q == '"') | (q == "'"),
+                  v.substr(F.lit(2), F.length(v) - 2)).otherwise(v)
+
+
+def href_values(html_col) -> "F.Column":
+    """All href values in a page as an array<string> (quotes stripped,
+    fragment-only links excluded) — the one extraction every consumer
+    (outlinks, WAT sidecar, crawl cycle) shares."""
+    return F.transform(
+        F.regexp_extract_all(html_col, F.lit(HREF_PATTERN), 1), _unquote)
 
 PR_SCALE = 1_000_000_000_000  # 10^12: rank mass in integer micro-units
 
@@ -54,9 +83,7 @@ def extract_outlinks(df: DataFrame, id_col: str = "url",
                     *( [F.regexp_extract(F.col(html_col),
                                          BASE_PATTERN, 1).alias("_basetag")]
                        if resolve else [] ),
-                    F.explode(F.regexp_extract_all(
-                        F.col(html_col), F.lit(HREF_PATTERN), 1))
-                    .alias("href"))
+                    F.explode(href_values(F.col(html_col))).alias("href"))
     if not resolve:
         return out
     from .textops import resolve_href

@@ -70,19 +70,20 @@ def compile_rule(value: str) -> tuple[str, str | None]:
     return lit, pat
 
 
-def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
-    """robots.txt → [(allow, rule_value)] for the best-matching agent
-    group. Rule values are kept VERBATIM (wildcards included) — RFC 9309
-    specificity is the octet length of the rule as written, so stripping
-    even a redundant trailing ``*`` here would undercount it and flip
-    tie-breaks (``Allow: /dir`` vs ``Disallow: /dir*`` must disallow).
-    A leading UTF-8 BOM is stripped (common in the wild; without this
-    the first ``User-agent`` line is unrecognized and the whole first
-    group silently voids — the unsafe direction). Pure function (tested
-    directly; the Spark op maps it)."""
-    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+def _robots_groups(text: str):
+    """Shared robots.txt group walker → ``(groups, sitemaps)`` where
+    ``groups`` is ``[(agents, rules, crawl_delays)]`` (rules as
+    ``(allow, value)``, delays as raw string values) and ``sitemaps``
+    the file-global ``Sitemap:`` URLs (sitemaps.org scopes Sitemap to
+    the whole file, not a group). A leading UTF-8 BOM is stripped
+    (common in the wild; without this the first ``User-agent`` line is
+    unrecognized and the whole first group silently voids — the unsafe
+    direction)."""
+    groups: list[tuple[list[str], list[tuple[bool, str]], list[str]]] = []
+    sitemaps: list[str] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[bool, str]] = []
+    cur_delays: list[str] = []
     in_agents = False
     for raw in (text or "").removeprefix("\ufeff").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -93,8 +94,8 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
         if field == "user-agent":
             if not in_agents:
                 if cur_agents:
-                    groups.append((cur_agents, cur_rules))
-                cur_agents, cur_rules = [], []
+                    groups.append((cur_agents, cur_rules, cur_delays))
+                cur_agents, cur_rules, cur_delays = [], [], []
             cur_agents.append(value.lower())
             in_agents = True
         elif field in ("allow", "disallow"):
@@ -104,15 +105,60 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
             if field == "disallow" and value == "":
                 continue  # empty Disallow == allow everything (void rule)
             cur_rules.append((field == "allow", value))
+        elif field == "crawl-delay":
+            in_agents = False
+            if cur_agents:
+                cur_delays.append(value)
+        elif field == "sitemap":
+            in_agents = False
+            if value:
+                sitemaps.append(value)
         else:
             in_agents = False
     if cur_agents:
-        groups.append((cur_agents, cur_rules))
+        groups.append((cur_agents, cur_rules, cur_delays))
+    return groups, sitemaps
+
+
+def _chosen_groups(groups, agent: str):
     a = agent.lower()
     exact = [g for g in groups if a in g[0]]
     star = [g for g in groups if "*" in g[0]]
-    chosen = exact or star
-    return [r for g in chosen for r in g[1]]
+    return exact or star
+
+
+def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
+    """robots.txt → [(allow, rule_value)] for the best-matching agent
+    group. Rule values are kept VERBATIM (wildcards included) — RFC 9309
+    specificity is the octet length of the rule as written, so stripping
+    even a redundant trailing ``*`` here would undercount it and flip
+    tie-breaks (``Allow: /dir`` vs ``Disallow: /dir*`` must disallow).
+    Pure function (tested directly; the Spark op maps it)."""
+    groups, _ = _robots_groups(text)
+    return [r for g in _chosen_groups(groups, agent) for r in g[1]]
+
+
+def parse_robots_directives(text: str, agent: str = "*") \
+        -> "tuple[int | None, list[str]]":
+    """robots.txt → ``(crawl_delay_ms | None, sitemap_urls)``.
+
+    ``Crawl-delay`` is the de-facto extension most crawlers honor:
+    seconds (fractional allowed), scoped to the matched agent group
+    like Allow/Disallow; several values in the chosen group(s) resolve
+    to the MAX (the polite direction); unparseable or negative values
+    are ignored (fail toward the crawler's default, which
+    ``schedule_frontier`` supplies). ``Sitemap`` is file-global."""
+    groups, sitemaps = _robots_groups(text)
+    delays: list[int] = []
+    for g in _chosen_groups(groups, agent):
+        for v in g[2]:
+            try:
+                d = float(v)
+            except ValueError:
+                continue
+            if d >= 0:
+                delays.append(int(round(d * 1000)))
+    return (max(delays) if delays else None), sitemaps
 
 
 def parse_robots_rules(robots: DataFrame, host_col: str = "host",
@@ -121,8 +167,11 @@ def parse_robots_rules(robots: DataFrame, host_col: str = "host",
     """(host, robots_txt) → exploded rule rows
     ``(host, allow, prefix, rule_len, pattern)`` via one Arrow-batched
     map.  ``prefix`` is the rule's literal prefix (the whole rule for
-    wildcard-free rules), ``rule_len`` the RFC 9309 specificity (octet
-    length of the rule value, wildcards included), ``pattern`` the
+    wildcard-free rules), ``rule_len`` the RFC 9309 specificity — the
+    OCTET length of the rule value as UTF-8 (wildcards included): the
+    RFC orders rules by octets, so a non-ASCII rule like ``/café``
+    counts 6, not 5, and octet-vs-codepoint tie-breaks match a
+    compliant crawler — ``pattern`` the
     compiled regex for wildcard/``$`` rules — NULL when a plain prefix
     test suffices."""
     def run(batches: Iterable) -> Iterator:
@@ -132,7 +181,8 @@ def parse_robots_rules(robots: DataFrame, host_col: str = "host",
             for host, txt in zip(pdf[host_col], pdf[robots_col]):
                 for allow, value in parse_robots(txt or "", agent):
                     lit, pat = compile_rule(value)
-                    out.append((host, allow, lit, len(value), pat))
+                    out.append((host, allow, lit,
+                                len(value.encode("utf-8")), pat))
             yield pd.DataFrame(out, columns=[host_col, "allow", "prefix",
                                              "rule_len", "pattern"])
 
@@ -182,3 +232,33 @@ def robots_allowed(urls: DataFrame, rules: DataFrame,
            .withColumn("allowed", F.coalesce(F.col("_verdict"), F.lit(True)))
            .drop("_u", "_verdict", "_host", "_path"))
     return out
+
+
+def robots_directives(robots: DataFrame, host_col: str = "host",
+                      robots_col: str = "robots_txt",
+                      agent: str = "*") -> DataFrame:
+    """(host, robots_txt) → ``(host, crawl_delay_ms, sitemaps)`` — one
+    row per input row via one Arrow-batched map; ``crawl_delay_ms`` is
+    NULL when the file sets no ``Crawl-delay`` for the chosen agent
+    group (``schedule_frontier``'s default then applies), ``sitemaps``
+    the file-global Sitemap URLs.
+
+    This is the glue that lets the robots fetch feed the frontier
+    scheduler DIRECTLY — ``schedule_frontier(urls,
+    robots_directives(robots), delay_col="crawl_delay_ms")`` — instead
+    of a hand-built delay table (the r5 composition gap): the delay
+    comes from the same robots bytes the Allow/Disallow gate parsed."""
+    def run(batches: Iterable) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for host, txt in zip(pdf[host_col], pdf[robots_col]):
+                delay_ms, sitemaps = parse_robots_directives(
+                    txt or "", agent)
+                out.append((host, delay_ms, sitemaps))
+            yield pd.DataFrame(out, columns=[host_col, "crawl_delay_ms",
+                                             "sitemaps"])
+
+    return robots.select(host_col, robots_col).mapInPandas(
+        run, schema=f"{host_col} string, crawl_delay_ms bigint, "
+                    "sitemaps array<string>")

@@ -375,18 +375,17 @@ def build_wat_records(pages: DataFrame, url_col: str = "url",
     lang=null)``: per page, a JSON envelope in the Common-Crawl WAT
     shape — WARC header echo plus HTML metadata (head title, outlink
     list). Built ENTIRELY with JVM column algebra (``to_json`` over a
-    nested struct; links via the shared ``graph.HREF_PATTERN`` regex),
+    nested struct; links via the shared ``graph.href_values`` helper),
     so the sidecar derivation is a pure map feeding the same
     distributed shard writer as the corpus itself
     (``write_wat_shards``)."""
-    from ..operators.graph import HREF_PATTERN
+    from ..operators.graph import href_values
 
     html_str = F.col(html_col).cast("string")
     title = F.nullif(
         F.regexp_extract(html_str, r"(?i:<title[^>]*>)([^<]*)", 1), F.lit(""))
     links = F.transform(
-        F.regexp_extract_all(html_str, F.lit(HREF_PATTERN), 1),
-        lambda u: F.struct(u.alias("url")))
+        href_values(html_str), lambda u: F.struct(u.alias("url")))
     envelope = F.struct(
         F.struct(
             F.col(url_col).alias("WARC-Target-URI"),
