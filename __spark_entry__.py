@@ -1377,6 +1377,63 @@ def q_frontier_schedule(spark, sf):  # frontier: politeness fetch slots
             .orderBy("url"))
 
 
+def _crawl_cycle_inputs(spark, sf):
+    """Shared planted fixture for the crawl-cycle gates: pages on six
+    source hosts s0–s5, four extracted link shapes per page (absolute
+    with cross-doc duplicates, tracking-params, relative-with-dot-
+    segments, unquoted bare) plus a dropped fragment link; robots with
+    ``Disallow: /x/`` + fractional ``Crawl-delay`` on target hosts
+    t0–t4; a seen-URL store covering the doc_id%5==0 absolute
+    targets."""
+    from wine_label_ocr_spark.plans.crawl import seen_url_fps
+    d = _t(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id")
+    s = lambda m: F.pmod(did, F.lit(m)).cast("string")  # noqa: E731
+    html = F.concat(
+        F.lit('<a href="https://t'), s(10), F.lit(".com/p/"), s(250),
+        F.lit('">1</a><a href="https://t'), s(10), F.lit(".com/x/"), s(20),
+        F.lit('?utm_source=u&gclid=g">2</a><a href="r/../q'), s(8),
+        F.lit('.html">3</a><a href="#top">n</a><a href=/bare'), s(7),
+        F.lit(">5</a>"))
+    pages = d.select(
+        F.concat(F.lit("https://s"), s(6), F.lit(".com/d/"),
+                 did.cast("string")).alias("url"),
+        html.alias("html"))
+    robots = spark.createDataFrame(
+        [(f"t{k}.com",
+          f"User-agent: *\nDisallow: /x/\nCrawl-delay: {0.5 * (k + 1)}\n")
+         for k in range(5)],
+        "host string, robots_txt string")
+    prev = d.filter(F.pmod(did, F.lit(5)) == 0).select(
+        F.concat(F.lit("https://t"), s(10), F.lit(".com/p/"), s(250))
+        .alias("url"))
+    return pages, robots, seen_url_fps(prev, oracle_safe=True)
+
+
+def q_crawl_cycle(spark, sf):  # plans/crawl: composed crawl-cycle capstone
+    """The full crawl cycle under one value oracle: outlink extraction →
+    RFC 3986 resolution → URL canonicalization (tracking params drop) →
+    seen-store anti-join → robots Allow/Disallow → Crawl-delay-fed
+    frontier schedule. Certifies the cross-operator contracts (resolved
+    URL shape, host-key normalization, robots→scheduler delay plumbing)
+    that the per-operator gates cannot see."""
+    from wine_label_ocr_spark.plans.crawl import crawl_cycle
+    pages, robots, seen = _crawl_cycle_inputs(spark, sf)
+    return (crawl_cycle(pages, robots, seen, oracle_safe=True)
+            .orderBy("url"))
+
+
+def q_crawl_cycle_funnel(spark, sf):  # plans/crawl: per-stage survivors
+    """Survivor counts of the same composed cycle (outlinks →
+    candidates → unseen → allowed → scheduled), each closed-form in
+    doc_id for the oracle; scheduled == allowed pins the scheduler's
+    no-drop contract on canonical http(s) URLs."""
+    from wine_label_ocr_spark.plans.crawl import crawl_cycle_funnel
+    pages, robots, seen = _crawl_cycle_inputs(spark, sf)
+    return (crawl_cycle_funnel(pages, robots, seen, oracle_safe=True)
+            .orderBy("stage_idx"))
+
+
 def q_pagerank(spark, sf):  # graph: exact fixed-point PageRank
     """Host PageRank over a deterministic edge list derived from
     documents (src h(doc_id%20) → dst h((doc_id·7+3)%20), distinct;
@@ -1721,71 +1778,87 @@ def _phase_trace_oracle_sql() -> str:
     """
 
 
+def _crawl_cycle_oracle_cte() -> str:
+    """Shared CTEs for the crawl-cycle oracles: the planted candidate
+    set with per-URL seen/allowed flags stated closed-form (no RFC or
+    robots logic in SQL). seen is well-defined per URL because 5 | 250
+    makes doc_id%5 constant across the docs sharing a shape-1 URL."""
+    return """
+        cands AS (
+          SELECT DISTINCT
+                 'https://t' || (doc_id % 10) || '.com/p/' || (doc_id % 250)
+                     AS url,
+                 't' || (doc_id % 10) || '.com' AS host,
+                 doc_id % 5 = 0 AS seen, TRUE AS allowed
+          FROM documents
+          UNION
+          SELECT DISTINCT
+                 'https://t' || (doc_id % 10) || '.com/x/' || (doc_id % 20),
+                 't' || (doc_id % 10) || '.com',
+                 FALSE, doc_id % 10 >= 5
+          FROM documents
+          UNION
+          SELECT DISTINCT
+                 'https://s' || (doc_id % 6) || '.com/d/q' || (doc_id % 8)
+                     || '.html',
+                 's' || (doc_id % 6) || '.com', FALSE, TRUE
+          FROM documents
+          UNION
+          SELECT DISTINCT
+                 'https://s' || (doc_id % 6) || '.com/bare' || (doc_id % 7),
+                 's' || (doc_id % 6) || '.com', FALSE, TRUE
+          FROM documents),
+        surv AS (SELECT url, host FROM cands WHERE NOT seen AND allowed)"""
+
+
+def _crawl_cycle_oracle_sql() -> str:
+    return f"""
+        WITH {_crawl_cycle_oracle_cte()}
+        SELECT url, host, CAST(seq AS INT) AS seq, worker,
+               CAST(delay AS BIGINT) AS delay_ms,
+               CAST((seq - 1) * delay AS BIGINT) AS fetch_offset_ms
+        FROM (
+          SELECT url, host,
+                 ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) AS seq,
+                 CAST(CAST(CAST(concat('0x', substr(md5(host || '#0'), 1,
+                      15)) AS UBIGINT) AS BIGINT) % 16 AS INT) AS worker,
+                 CASE host WHEN 't0.com' THEN 500 WHEN 't1.com' THEN 1000
+                           WHEN 't2.com' THEN 1500 WHEN 't3.com' THEN 2000
+                           WHEN 't4.com' THEN 2500 ELSE 1000 END AS delay
+          FROM surv)
+        ORDER BY url
+    """
+
+
+def _crawl_cycle_funnel_oracle_sql() -> str:
+    return f"""
+        WITH {_crawl_cycle_oracle_cte()}
+        SELECT * FROM (
+          SELECT 0 AS stage_idx, 'outlinks' AS stage,
+                 CAST(4 * (SELECT COUNT(*) FROM documents) AS BIGINT)
+                     AS n_urls
+          UNION ALL
+          SELECT 1, 'candidates', CAST(COUNT(*) AS BIGINT) FROM cands
+          UNION ALL
+          SELECT 2, 'unseen', CAST(COUNT(*) AS BIGINT) FROM cands
+          WHERE NOT seen
+          UNION ALL
+          SELECT 3, 'allowed', (SELECT CAST(COUNT(*) AS BIGINT) FROM surv)
+          UNION ALL
+          SELECT 4, 'scheduled', (SELECT CAST(COUNT(*) AS BIGINT) FROM surv))
+        ORDER BY stage_idx
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order = driver certification priority: the driver artifact caps at
-    # ~50 entries, so (a) the 22 queries the r4 cap absorbed (last
-    # certified in r03) and (b) every query whose code/fixture changed
+    # ~50 entries, so (a) the 31 queries the r5 cap absorbed (last
+    # certified in r04) and (b) every query whose code/fixture changed
     # THIS round run first; the tail that absorbs any cap is exclusively
-    # r4-certified queries with untouched code (union-across-rounds
+    # r5-certified queries with untouched code (union-across-rounds
     # keeps those certified; nothing goes two rounds uncertified).
     return {
-        # (a) r4-cap-absorbed (r03-green, untouched since) — re-certify
-        "cosine_topk": q_cosine_topk,
-        "customers_with_orders": q_customers_with_orders,
-        "customers_without_orders": q_customers_without_orders,
-        "decontamination": q_decontamination,
-        "dedup_decisions": q_dedup_decisions,
-        "duplicate_passages": q_duplicate_passages,
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_quantized": q_embedding_quantized,
-        "exact_dedup": q_exact_dedup,
-        "host_stats": q_host_stats,
-        "ivf_topk": q_ivf_topk,
-        "latest_capture": q_latest_capture,
-        "lexical_diversity": q_lexical_diversity,
-        "near_dup_components": q_near_dup_components,
-        "paragraph_dedup": q_paragraph_dedup,
-        "pii_redaction": q_pii_redaction,
-        "repetition_stats": q_repetition_stats,
-        "rp_lsh_topk": q_rp_lsh_topk,
-        "simhash_fingerprints": q_simhash_fingerprints,
-        "simhash_pairs": q_simhash_pairs,
-        "stratified_sample": q_stratified_sample,
-        "training_funnel": q_training_funnel,
-        # (b) new or behaviorally-touched this round (robots wildcard
-        # matching, href resolution, pagerank int-div/dangling, JPEG+GIF
-        # codecs + decode_stub dispatch, WAT gate, real BPE, phase_trace
-        # value oracle, curate lineage cut, warc _dechunk CRLF check)
-        "robots_gate": q_robots_gate,
-        "outlinks": q_outlinks,
-        "outlinks_resolved": q_outlinks_resolved,
-        "pagerank": q_pagerank,
-        "pagerank_dangling": q_pagerank_dangling,
-        "media_pixels_jpeg": q_media_pixels_jpeg,
-        "media_pixels_gif": q_media_pixels_gif,
-        "media_pixels": q_media_pixels,
-        "media_features": q_media_features,
-        "image_dhash": q_image_dhash,
-        "wat_sidecar": q_wat_sidecar,
-        "bpe_real_tokens": q_bpe_real_tokens,
-        "pq_topk": q_pq_topk,
-        "ivfadc_topk": q_ivfadc_topk,
-        "frontier_schedule": q_frontier_schedule,
-        "phase_trace": q_phase_trace,
-        "curation_funnel": q_curation_funnel,
-        "warc_extract": q_warc_extract,
-        # r4-certified remainder, untouched (relative order preserved)
-        "ema_final": q_ema_final,
-        "sessionize": q_sessionize,
-        "salted_agg": q_salted_agg,
-        "best_variant": q_best_variant,
-        "vintage_fallback_grid": q_vintage_fallback_grid,
-        "median_by_type": q_median_by_type,
-        "union_names": q_union_names,
-        "compression_ratio": q_compression_ratio,
-        "url_canon": q_url_canon,
-        "incremental_dedup": q_incremental_dedup,
-        # ---- entries below here absorb the driver's ~50-entry cap ----
+        # (a) r5-cap-absorbed (r04-green, untouched since) — re-certify
         "tfidf_pruned": q_tfidf_pruned,
         "quality_classifier": q_quality_classifier,
         "blocklist_filter": q_blocklist_filter,
@@ -1795,7 +1868,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "unigram_logprob": q_unigram_logprob,
         "minhash_lsh": q_minhash_lsh,
-        # cap-absorbing tail: r4 hash-green, code untouched this round
         "lineitem_agg": q_lineitem_agg,
         "top_customer_per_nation": q_top_customer_per_nation,
         "orders_by_segment": q_orders_by_segment,
@@ -1818,6 +1890,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
+        # (b) new or behaviorally-touched this round (crawl-cycle
+        # capstone, href tag-boundary/unquoted values + WAT link reuse,
+        # robots octet specificity + Crawl-delay/Sitemap directives
+        # feeding the frontier, dedup_decisions value-oracle
+        # graduation, GIF multi-frame decode)
+        "crawl_cycle": q_crawl_cycle,
+        "crawl_cycle_funnel": q_crawl_cycle_funnel,
+        "outlinks": q_outlinks,
+        "outlinks_resolved": q_outlinks_resolved,
+        "robots_gate": q_robots_gate,
+        "frontier_schedule": q_frontier_schedule,
+        "wat_sidecar": q_wat_sidecar,
+        "dedup_decisions": q_dedup_decisions,
+        # ---- entries below here absorb the driver's ~50-entry cap ----
+        # cap-absorbing tail: r5 hash-green, code untouched this round
+        "cosine_topk": q_cosine_topk,
+        "customers_with_orders": q_customers_with_orders,
+        "customers_without_orders": q_customers_without_orders,
+        "decontamination": q_decontamination,
+        "duplicate_passages": q_duplicate_passages,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_quantized": q_embedding_quantized,
+        "exact_dedup": q_exact_dedup,
+        "host_stats": q_host_stats,
+        "ivf_topk": q_ivf_topk,
+        "latest_capture": q_latest_capture,
+        "lexical_diversity": q_lexical_diversity,
+        "near_dup_components": q_near_dup_components,
+        "paragraph_dedup": q_paragraph_dedup,
+        "pii_redaction": q_pii_redaction,
+        "repetition_stats": q_repetition_stats,
+        "rp_lsh_topk": q_rp_lsh_topk,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_pairs": q_simhash_pairs,
+        "stratified_sample": q_stratified_sample,
+        "training_funnel": q_training_funnel,
+        "pagerank": q_pagerank,
+        "pagerank_dangling": q_pagerank_dangling,
+        "media_pixels_jpeg": q_media_pixels_jpeg,
+        "media_pixels_gif": q_media_pixels_gif,
+        "media_pixels": q_media_pixels,
+        "media_features": q_media_features,
+        "image_dhash": q_image_dhash,
+        "bpe_real_tokens": q_bpe_real_tokens,
+        "pq_topk": q_pq_topk,
+        "ivfadc_topk": q_ivfadc_topk,
+        "phase_trace": q_phase_trace,
+        "curation_funnel": q_curation_funnel,
+        "warc_extract": q_warc_extract,
+        "ema_final": q_ema_final,
+        "sessionize": q_sessionize,
+        "salted_agg": q_salted_agg,
+        "best_variant": q_best_variant,
+        "vintage_fallback_grid": q_vintage_fallback_grid,
+        "median_by_type": q_median_by_type,
+        "union_names": q_union_names,
+        "compression_ratio": q_compression_ratio,
+        "url_canon": q_url_canon,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -2521,6 +2652,8 @@ def oracle_sql() -> dict[str, str]:
         "phase_trace": _phase_trace_oracle_sql(),
         "pq_topk": _pq_oracle_sql(),
         "ivfadc_topk": _ivfadc_oracle_sql(),
+        "crawl_cycle": _crawl_cycle_oracle_sql(),
+        "crawl_cycle_funnel": _crawl_cycle_funnel_oracle_sql(),
         "frontier_schedule": """
             -- closed-form schedule: host = doc_id%10, per-host seq =
             -- doc_id//10 + 1 (zero-padded paths make url order = doc

@@ -1,0 +1,140 @@
+"""End-to-end crawl cycle: fetched pages in → politeness-scheduled
+frontier out.
+
+The crawl-side capstone, mirror of ``plans/curate.py``: every stage is
+an existing operator, chained as ONE lazy DataFrame program —
+
+    pages ──extract_outlinks(resolve=True)──▶ hrefs     (pure map)
+      ──canonical_url──▶ candidate URLs, distinct       (1 shuffle)
+      ──anti-join seen-URL fingerprint store──▶ unseen  (equi join)
+      ──robots_allowed──▶ politeness-allowed            (host equi join)
+      ──schedule_frontier(robots_directives)──▶ slots   (host window)
+
+This is what a real crawler runs between fetch rounds, and composing
+it is what certifies the CROSS-operator contracts individual gates
+cannot see: the resolver's output feeds ``canonical_url`` (absolute
+http(s) URLs only), the robots gate and the frontier scheduler key on
+the SAME normalized authority (``registrable_host`` semantics on both
+join sides), and the crawl delay comes from the same robots bytes the
+Allow/Disallow verdict parsed (``robots_directives`` — no hand-built
+delay table). Reference analog: ``WineTracker.run()`` composing all
+stages (/root/reference/WineTracker.py:21-68), re-targeted at the
+fetch→expand→schedule loop.
+
+Scale shapes (the 100 TB read): outlink extraction + resolution +
+canonicalization are pure JVM maps (zero Exchange); the candidate
+``distinct`` and the seen-store anti-join shuffle only (url | 64-bit
+fp); robots rules are host-keyed and rules ≪ pages; the frontier
+window is host-keyed (politeness serializes a host anyway — see
+``operators/frontier.py``). The seen store is ID-free 64-bit
+fingerprints (``seen_url_fps``), the same store discipline as
+``dedupe.snapshot_fingerprints``: membership is all the next cycle
+asks, so at 10^12 URLs the store is 8 bytes a row and the anti-join
+never touches strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.dedupe import _hash64
+from ..operators.frontier import schedule_frontier
+from ..operators.graph import extract_outlinks
+from ..operators.robots import (parse_robots_rules, robots_allowed_map,
+                                robots_directives, robots_rules_by_host)
+from ..operators.textops import canonical_url
+
+
+def seen_url_fps(urls: DataFrame, url_col: str = "url",
+                 oracle_safe: bool = False) -> DataFrame:
+    """Fetched URLs → the ``(fp)`` seen-URL fingerprint store the next
+    ``crawl_cycle`` anti-joins against: canonicalize (so the stored key
+    matches what frontier expansion produces for the same page), hash
+    64-bit (xxhash64 production / md5 ``oracle_safe`` flavor — the
+    ``dedupe._hash64`` dispatch), distinct. Non-http(s) rows (NULL
+    canonical) are dropped — they were never frontier candidates."""
+    canon = canonical_url(F.col(url_col))
+    return (urls.select(canon.alias("_c"))
+            .filter(F.col("_c").isNotNull())
+            .select(_hash64(F.col("_c"), 0, oracle_safe).alias("fp"))
+            .distinct())
+
+
+def _crawl_stages(pages: DataFrame, robots: DataFrame,
+                  seen_fps: DataFrame | None,
+                  default_delay_ms: int, n_workers: int,
+                  agent: str, oracle_safe: bool):
+    """The shared stage DAG: (links, candidates, unseen, allowed,
+    schedule). One construction used by both ``crawl_cycle`` (the
+    product) and ``crawl_cycle_funnel`` (its per-stage survivor counts,
+    the driver gate), so the gate certifies the capstone's real stages,
+    not a twin — the ``plans/curate.py`` pattern."""
+    links = extract_outlinks(pages, resolve=True)
+    cand = (links.select(canonical_url(F.col("resolved")).alias("url"))
+            .filter(F.col("url").isNotNull())
+            .distinct())
+    unseen = cand
+    if seen_fps is not None:
+        keyed = cand.withColumn("_fp", _hash64(F.col("url"), 0, oracle_safe))
+        unseen = (keyed.join(seen_fps.select("fp"),
+                             keyed["_fp"] == F.col("fp"), "left_anti")
+                  .drop("_fp"))
+    # map-flavored verdict: one host-keyed equi join against the packed
+    # per-host rule table + per-row array algebra — the candidate set is
+    # never shuffled (robots_allowed's explode+groupBy(url) would
+    # shuffle it twice); semantics pytest-pinned identical
+    rules = robots_rules_by_host(parse_robots_rules(robots, agent=agent))
+    allowed = (robots_allowed_map(unseen, rules)
+               .filter(F.col("allowed")).drop("allowed"))
+    delays = robots_directives(robots, agent=agent)
+    sched = schedule_frontier(allowed, delays,
+                              default_delay_ms=default_delay_ms,
+                              n_workers=n_workers,
+                              delay_col="crawl_delay_ms",
+                              oracle_safe=oracle_safe)
+    return links, cand, unseen, allowed, sched
+
+
+def crawl_cycle(pages: DataFrame, robots: DataFrame,
+                seen_fps: DataFrame | None = None,
+                default_delay_ms: int = 1000, n_workers: int = 16,
+                agent: str = "*",
+                oracle_safe: bool = False) -> DataFrame:
+    """One crawl cycle: fetched ``pages (url, html)`` + per-host
+    ``robots (host, robots_txt)`` + the prior cycles' seen-URL store →
+    the next fetch schedule ``(url, host, seq, worker, delay_ms,
+    fetch_offset_ms)``.
+
+    Feed the returned URLs to the fetcher fleet, then
+    ``seen_url_fps(fetched).union(seen_fps).distinct()`` is the store
+    for the cycle after — the crawl-over-crawl loop."""
+    *_, sched = _crawl_stages(pages, robots, seen_fps,
+                              default_delay_ms, n_workers, agent,
+                              oracle_safe)
+    return sched
+
+
+def crawl_cycle_funnel(pages: DataFrame, robots: DataFrame,
+                       seen_fps: DataFrame | None = None,
+                       default_delay_ms: int = 1000, n_workers: int = 16,
+                       agent: str = "*",
+                       oracle_safe: bool = False) -> DataFrame:
+    """Per-stage survivor counts of the crawl cycle: ``(stage_idx,
+    stage, n_urls)`` for outlinks → candidates → unseen → allowed →
+    scheduled. ``scheduled == allowed`` is itself a pinned contract:
+    every allowed candidate has a parseable host (canonicalization
+    guarantees http(s)), so the scheduler drops nothing."""
+    links, cand, unseen, allowed, sched = _crawl_stages(
+        pages, robots, seen_fps, default_delay_ms, n_workers, agent,
+        oracle_safe)
+    cand, unseen = cand.cache(), unseen.cache()
+    stages = [("outlinks", links), ("candidates", cand),
+              ("unseen", unseen), ("allowed", allowed),
+              ("scheduled", sched)]
+    out = None
+    for i, (name, df) in enumerate(stages):
+        c = df.agg(F.count(F.lit(1)).alias("n_urls")).select(
+            F.lit(i).alias("stage_idx"), F.lit(name).alias("stage"),
+            "n_urls")
+        out = c if out is None else out.unionAll(c)
+    return out

@@ -135,3 +135,46 @@ def incremental_dedup_stream(stream_df: DataFrame, prior_fps: DataFrame,
                .filter(F.col(f"_fp_b{b}").isNull())
                .drop(f"_fp_b{b}"))
     return out.drop("_ck", "_bands")
+
+
+def crawl_candidates_stream(stream_pages: DataFrame, robots: DataFrame,
+                            seen_fps: DataFrame | None = None,
+                            agent: str = "*",
+                            oracle_safe: bool = False) -> DataFrame:
+    """Streaming twin of the crawl-cycle's candidate stages: pages
+    arriving on a stream → ``(url, allowed)`` frontier candidates.
+
+    Entirely STATELESS — the ``incremental_dedup_stream`` discipline:
+    outlink extraction, RFC 3986 resolution, and canonicalization are
+    pure maps; the seen-URL store test is anti-via-left-outer against
+    the static ``(fp)`` store (stream-static LEFT ANTI is unsupported);
+    the robots verdict is ``robots_allowed_map`` — one stream-static
+    host-keyed join plus per-row array algebra (the groupBy flavor
+    would need a stateful per-URL aggregation). No watermark, no state
+    store.
+
+    What stays batch-side BY DESIGN: global URL ``distinct`` and
+    politeness slot assignment (``schedule_frontier``'s per-host
+    window) are frontier-snapshot planning steps — run them per
+    micro-batch via ``foreachBatch`` (pytest pins per-micro-batch
+    stream ≡ batch on both verdicts and slots), or let the next
+    cycle's seen store absorb cross-batch repeats."""
+    from ..operators.dedupe import _hash64
+    from ..operators.graph import extract_outlinks
+    from ..operators.robots import (parse_robots_rules, robots_allowed_map,
+                                    robots_rules_by_host)
+    from ..operators.textops import canonical_url
+
+    links = extract_outlinks(stream_pages, resolve=True)
+    cand = (links.select(canonical_url(F.col("resolved")).alias("url"))
+            .filter(F.col("url").isNotNull()))
+    if seen_fps is not None:
+        keyed = cand.withColumn("_fp",
+                                _hash64(F.col("url"), 0, oracle_safe))
+        seen = seen_fps.select(F.col("fp").alias("_seen_fp")).distinct()
+        cand = (keyed.join(seen, keyed["_fp"] == seen["_seen_fp"],
+                           "left_outer")
+                .filter(F.col("_seen_fp").isNull())
+                .drop("_fp", "_seen_fp"))
+    rules = robots_rules_by_host(parse_robots_rules(robots, agent=agent))
+    return robots_allowed_map(cand, rules)
