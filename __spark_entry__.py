@@ -1547,18 +1547,46 @@ def q_robots_gate(spark, sf):  # robots: crawl politeness verdicts
             .orderBy("doc_id"))
 
 
-def q_dedup_decisions(spark, sf):  # J2/J3 fuzzy ingest decisions (rows-only)
+def q_dedup_decisions(spark, sf):  # J2/J3 fuzzy ingest decisions — value oracle
+    """Graduated from rows-only (r5 VERDICT #5): planted maker families
+    make every tier's score CLOSED-FORM without restating LCS in SQL —
+    token-set permutations score 100, shared-7-prefix near tokens score
+    200·7/16 = 87.5 (+5 same-vintage boost → 92.5 ≥ 85), partial token
+    overlap 200·4/20 = 40 (+5 → 45 < 85 → not seen), disjoint alphabets
+    0 (+5 → 5), and the zero-candidate full-store fallback both hitting
+    (identical maker at another vintage → 100, no boost, max-key
+    tie-break pinned) and missing (0). Every denominator is 2^a·5^b so
+    all doubles are exact. The scorer itself stays pinned to the
+    reference's own vectors in tests/test_similarity.py."""
     from wine_label_ocr_spark.operators.similarity import fuzzy_match_decisions
-    d = _t(spark, sf, "documents")
-    recs = d.select(
-        F.concat(F.upper(F.substring("text", 1, 16)), F.lit("|"),
-                 (F.lit(1900) + F.col("doc_id") % 50).cast("string")).alias("custom_id"),
-        F.upper(F.substring("text", 1, 16)).alias("maker_name"),
-        (F.lit(1900) + F.col("doc_id") % 50).cast("int").alias("vintage"))
-    store = recs.filter(F.col("vintage") < 1925)
-    new = recs.filter(F.col("vintage") >= 1920)
-    return fuzzy_match_decisions(new, store).select(
-        "custom_id", "decision", "matched_key", F.round("match_score", 2).alias("match_score"))
+    d = _t(spark, sf, "documents").select("doc_id")
+    r = F.pmod(F.col("doc_id"), F.lit(50))
+    year = (F.lit(1900) + r).cast("int")
+    maker_s = (F.when(r < 20, F.lit("ffff"))
+               .when(r == 20, F.lit("tttt"))
+               .when(r == 21, F.lit("pp rr"))
+               .when(r == 22, F.lit("mmmmmmmb"))
+               .when(r == 23, F.lit("aaaa bbbbbbbbbbb"))
+               .otherwise(F.lit("dddddddd")))
+    maker_n = (F.when(r == 20, F.lit("tttt"))
+               .when(r == 21, F.lit("rr pp"))
+               .when(r == 22, F.lit("mmmmmmmc"))
+               .when(r == 23, F.lit("aaaa ccccccccccc"))
+               .when(r == 24, F.lit("eeeeeeee"))
+               .when(r == 25, F.lit("ffff"))
+               .otherwise(F.lit("zzzz")))
+    store = (d.filter(r < 25)
+             .select(F.concat(maker_s, F.lit("|"), year.cast("string"))
+                     .alias("custom_id"),
+                     maker_s.alias("maker_name"), year.alias("vintage")))
+    new = (d.filter(r >= 20)
+           .select(F.concat(maker_n, F.lit("|"), year.cast("string"))
+                   .alias("custom_id"),
+                   maker_n.alias("maker_name"), year.alias("vintage")))
+    return (fuzzy_match_decisions(new, store)
+            .select("custom_id", "decision", "matched_key",
+                    F.round("match_score", 2).alias("match_score"))
+            .orderBy("custom_id"))
 
 
 def q_best_variant(spark, sf):  # E2/D7 — explode variant dim, max_by pick
@@ -2652,6 +2680,37 @@ def oracle_sql() -> dict[str, str]:
         "phase_trace": _phase_trace_oracle_sql(),
         "pq_topk": _pq_oracle_sql(),
         "ivfadc_topk": _ivfadc_oracle_sql(),
+        "dedup_decisions": """
+            -- planted maker families -> every score closed-form (see
+            -- q_dedup_decisions): r=20 exact key; 21 token-set perm
+            -- (100); 22 near token (92.5 boosted); 23 partial (45,
+            -- below 85); 24 disjoint (5); 25 fallback hit at another
+            -- vintage (100, max-key tie-break 'ffff|1919'); >=26
+            -- fallback miss (0)
+            WITH v AS (SELECT doc_id % 50 AS r FROM documents
+                       WHERE doc_id % 50 >= 20)
+            SELECT CASE WHEN r = 20 THEN 'tttt|1920'
+                        WHEN r = 21 THEN 'rr pp|1921'
+                        WHEN r = 22 THEN 'mmmmmmmc|1922'
+                        WHEN r = 23 THEN 'aaaa ccccccccccc|1923'
+                        WHEN r = 24 THEN 'eeeeeeee|1924'
+                        WHEN r = 25 THEN 'ffff|1925'
+                        ELSE 'zzzz|' || (1900 + r) END AS custom_id,
+                   CASE WHEN r = 20 THEN 'seen-exact'
+                        WHEN r IN (21, 22, 25) THEN 'seen-fuzzy'
+                        ELSE 'not seen' END AS decision,
+                   CASE WHEN r = 20 THEN 'tttt|1920'
+                        WHEN r = 21 THEN 'pp rr|1921'
+                        WHEN r = 22 THEN 'mmmmmmmb|1922'
+                        WHEN r = 25 THEN 'ffff|1919'
+                        ELSE NULL END AS matched_key,
+                   CAST(CASE WHEN r IN (20, 21, 25) THEN 100.0
+                             WHEN r = 22 THEN 92.5
+                             WHEN r = 23 THEN 45.0
+                             WHEN r = 24 THEN 5.0
+                             ELSE 0.0 END AS DOUBLE) AS match_score
+            FROM v ORDER BY custom_id
+        """,
         "crawl_cycle": _crawl_cycle_oracle_sql(),
         "crawl_cycle_funnel": _crawl_cycle_funnel_oracle_sql(),
         "frontier_schedule": """
