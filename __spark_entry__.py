@@ -904,6 +904,23 @@ def q_media_pixels_gif(spark, sf):  # multimodal: REAL GIF raster decode
         F.round(F.get("feature", 12) * 100000).cast("int").alias("grad_row_e5"))
 
 
+def q_media_frames(spark, sf):  # multimodal: ANIMATED GIF multi-frame decode
+    """Animated GIFs (2–4 frames, disposal 1 and 2, Netscape app
+    extension) → per-frame composited rasters with EXACT integer
+    channel sums. The oracle restates each frame's sums closed-form
+    from (doc_id, frame_idx), so a hash match proves the animation
+    semantics (GCE parse, compositing, restore-to-background) are
+    value-faithful. Per-frame dHash is pytest-pinned separately
+    (frame-sampling + keyframe near-dup)."""
+    from wine_label_ocr_spark.fixtures import documents_as_media_frames
+    from wine_label_ocr_spark.operators.multimodal import gif_frames
+    pages = documents_as_media_frames(spark, sf)
+    return (gif_frames(pages)
+            .select("url", "frame_idx", "n_frames", "height", "width",
+                    "sum_r", "sum_g", "sum_b", "decode_ok")
+            .orderBy("url", "frame_idx"))
+
+
 def q_compression_ratio(spark, sf):  # textops: zlib repetitiveness signal
     """Rows-only gate (zlib output is library-defined, so no value oracle —
     like ivf_topk): per-lang histogram of compressed/raw size ratio
@@ -1931,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule": q_frontier_schedule,
         "wat_sidecar": q_wat_sidecar,
         "dedup_decisions": q_dedup_decisions,
+        "media_frames": q_media_frames,
         # ---- entries below here absorb the driver's ~50-entry cap ----
         # cap-absorbing tail: r5 hash-green, code untouched this round
         "cosine_topk": q_cosine_topk,
@@ -2680,6 +2698,41 @@ def oracle_sql() -> dict[str, str]:
         "phase_trace": _phase_trace_oracle_sql(),
         "pq_topk": _pq_oracle_sql(),
         "ivfadc_topk": _ivfadc_oracle_sql(),
+        "media_frames": """
+            -- closed-form per-frame channel sums (see q_media_frames):
+            -- pal = [[10,20,30],[40,50,60],[70,80,90],[200,210,220]],
+            -- frame 0 = 256*pal[c0]; k>=1 = 192*pal[c0] + 64*pal[ck]
+            -- (disposal 1) or 192*pal[3] + 64*pal[ck] (disposal 2,
+            -- every 5th doc); c0 = doc_id%3, ck = (doc_id+k)%3
+            WITH ks AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(k)),
+            f AS (SELECT doc_id, k, 2 + doc_id % 3 AS n,
+                         CAST(doc_id % 3 AS INT) AS c0,
+                         CAST((doc_id + k) % 3 AS INT) AS ck,
+                         doc_id % 5 = 0 AS d2
+                  FROM documents CROSS JOIN ks
+                  WHERE k < 2 + doc_id % 3)
+            SELECT 'mediaframes:' || printf('%09d', doc_id) AS url,
+                   CAST(k AS INT) AS frame_idx, CAST(n AS INT) AS n_frames,
+                   16 AS height, 16 AS width,
+                   CAST(CASE WHEN k = 0 THEN 256 * [10,40,70][c0 + 1]
+                        WHEN d2 THEN 192 * 200 + 64 * [10,40,70][ck + 1]
+                        ELSE 192 * [10,40,70][c0 + 1]
+                             + 64 * [10,40,70][ck + 1] END AS BIGINT)
+                       AS sum_r,
+                   CAST(CASE WHEN k = 0 THEN 256 * [20,50,80][c0 + 1]
+                        WHEN d2 THEN 192 * 210 + 64 * [20,50,80][ck + 1]
+                        ELSE 192 * [20,50,80][c0 + 1]
+                             + 64 * [20,50,80][ck + 1] END AS BIGINT)
+                       AS sum_g,
+                   CAST(CASE WHEN k = 0 THEN 256 * [30,60,90][c0 + 1]
+                        WHEN d2 THEN 192 * 220 + 64 * [30,60,90][ck + 1]
+                        ELSE 192 * [30,60,90][c0 + 1]
+                             + 64 * [30,60,90][ck + 1] END AS BIGINT)
+                       AS sum_b,
+                   TRUE AS decode_ok
+            FROM f
+            ORDER BY url, frame_idx
+        """,
         "dedup_decisions": """
             -- planted maker families -> every score closed-form (see
             -- q_dedup_decisions): r=20 exact key; 21 token-set perm

