@@ -508,3 +508,31 @@ def test_pack_sequences_with_real_bpe_budget(spark):
         assert got[i][0] == n
         assert got[i][1] == cum // 4
         cum += n
+
+
+def test_bpe_large_merge_table_path_matches_literal_path(spark):
+    """Past literal_pair_threshold the merge table ships as ONE packed
+    str_to_map literal (ADVICE r5: no 2x|merges| plan nodes); results
+    must be identical to the create_map path, padded inert pairs must
+    not perturb tokenization, and the plan must stay O(1) nodes in
+    |merges|."""
+    from pyspark.sql import functions as F
+
+    from wine_label_ocr_spark.operators.textops import bpe_tokenize
+
+    merges = [("t", "h"), ("th", "e"), ("e", "r"), ("the", "r"),
+              ("h", "e"), ("l", "l"), ("he", "ll"), ("o", "r")]
+    big = merges + [(f"q{i}", f"z{i}") for i in range(3000)]
+    df = spark.createDataFrame(
+        [("the theme therefore",), ("hello there, 42 worlds!",)],
+        "text string")
+    small_out = [r[0] for r in
+                 df.select(bpe_tokenize(F.col("text"), merges)).collect()]
+    big_out = [r[0] for r in
+               df.select(bpe_tokenize(F.col("text"), big)).collect()]
+    assert small_out == big_out
+    # the packed literal is one string node: forcing the big table
+    # through the literal path would blow the plan up ~40x
+    packed_plan = df.select(bpe_tokenize(F.col("text"), big)) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "str_to_map" in packed_plan or len(packed_plan) < 200_000

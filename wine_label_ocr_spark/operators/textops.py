@@ -74,7 +74,8 @@ def _bpe_word_tokens(word: Column, ranks: Column) -> Column:
                             F.element_at(
                                 ranks,
                                 F.concat_ws(" ", F.get(a, i),
-                                            F.get(a, i + 1))).alias("r"),
+                                            F.get(a, i + 1)))
+                            .cast("int").alias("r"),
                             i.alias("i"))),
                     lambda p: p["r"].isNotNull())
                 best = F.array_min(pairs)
@@ -106,7 +107,8 @@ def _bpe_word_tokens(word: Column, ranks: Column) -> Column:
     return let(word, run)
 
 
-def bpe_tokenize(text: Column, merges: list[tuple[str, str]]) -> Column:
+def bpe_tokenize(text: Column, merges: list[tuple[str, str]],
+                 literal_pair_threshold: int = 2000) -> Column:
     """REAL byte-pair-encoding tokenization under a published-format
     merge table (``merges.txt`` lines ``"a b"``, rank = line order, the
     GPT-2 layout — no end-of-word marker): pre-tokenize with
@@ -116,20 +118,39 @@ def bpe_tokenize(text: Column, merges: list[tuple[str, str]]) -> Column:
     map (the merge table is a plan literal — the broadcast-table shape;
     no Python in the hot path), so token budgets from this column match
     what the same merge table produces in a reference BPE tokenizer
-    (pytest-pinned against an independent Python implementation)."""
-    ranks = F.create_map(
-        *[x for r, (a, b) in enumerate(merges)
-          for x in (F.lit(f"{a} {b}"), F.lit(r))])
+    (pytest-pinned against an independent Python implementation).
+
+    Merge-table size (ADVICE r5): small tables inline as ``create_map``
+    literal pairs; past ``literal_pair_threshold`` that shape would put
+    2·|merges| expression nodes in the plan (a production GPT-2
+    ``merges.txt`` is ~50k pairs → ~100k nodes, slow to analyze), so
+    large tables switch to ``str_to_map`` over ONE packed string
+    literal (0x01/0x02 separators, impossible in merge tokens), which
+    Catalyst constant-folds into a single map literal — plan size O(1)
+    in |merges| and per-pair lookups identical (rank values cast to int
+    either way). Per-word cost is O(len²) merge rounds × O(len) scans,
+    bounded because ``BPE_ISH_PATTERN`` pre-tokens are word-length —
+    the per-DOCUMENT cost is linear in words either way."""
+    if len(merges) <= literal_pair_threshold:
+        ranks = F.create_map(
+            *[x for r, (a, b) in enumerate(merges)
+              for x in (F.lit(f"{a} {b}"), F.lit(r))])
+    else:
+        packed = "\x01".join(f"{a} {b}\x02{r}"
+                             for r, (a, b) in enumerate(merges))
+        ranks = F.str_to_map(F.lit(packed), F.lit("\x01"), F.lit("\x02"))
     words = F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
     return F.flatten(
         F.transform(words, lambda w: _bpe_word_tokens(w, ranks)))
 
 
-def bpe_token_count(text: Column, merges: list[tuple[str, str]]) -> Column:
+def bpe_token_count(text: Column, merges: list[tuple[str, str]],
+                    literal_pair_threshold: int = 2000) -> Column:
     """Token count under a real BPE merge table — the budget column for
     ``chunk_documents``/``pack_sequences`` when counts must match an
     actual tokenizer rather than the regex heuristic."""
-    return F.size(bpe_tokenize(text, merges))
+    return F.size(bpe_tokenize(text, merges,
+                               literal_pair_threshold))
 
 
 def quality_features(text: Column) -> dict[str, Column]:
