@@ -228,3 +228,35 @@ def test_interval_join_rejects_outer_and_bad_bounds(spark):
     with pytest.raises(ValueError, match="millisecond"):
         bucketed_interval_join(df, df, ["k"], bound_sec=5.0005)
     assert bucketed_interval_join(df, df, ["k"], bound_sec=5.0).count() == 3
+
+
+def test_pagerank_lineage_is_cut(spark):
+    """Each iteration localCheckpoints, so the returned plan is a
+    checkpoint scan — NOT a k-times-unrolled join chain (O(1) lineage,
+    the property that keeps iteration k from re-running iterations
+    1..k-1 from source)."""
+    from wine_label_ocr_spark.operators.graph import pagerank
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src_host string, dst_host string")
+    plan = plan_of(pagerank(edges, n_iters=3))
+    assert "ExistingRDD" in plan
+    assert plan.count("Join") == 0, plan
+
+
+def test_robots_map_flavor_has_no_per_url_aggregation(spark):
+    """robots_allowed_map must verdict via per-row array algebra after
+    ONE host join — no max_by / per-URL HashAggregate (the groupBy
+    flavor's two wide shuffles of the page set)."""
+    from wine_label_ocr_spark.operators.robots import (
+        parse_robots_rules, robots_allowed_map, robots_rules_by_host)
+    robots = spark.createDataFrame(
+        [("h.com", "User-agent: *\nDisallow: /x\n")],
+        "host string, robots_txt string")
+    urls = spark.createDataFrame([("https://h.com/x",)], "url string")
+    plan = plan_of(robots_allowed_map(
+        urls, robots_rules_by_host(parse_robots_rules(robots))))
+    assert "max_by" not in plan
+    assert "array_max" in plan
+    # only the (tiny) rules side aggregates: exactly one grouping, on host
+    assert plan.count("HashAggregate") <= 2  # partial+final of ONE groupBy

@@ -137,6 +137,60 @@ def main() -> None:
          "quality folds to integer micro-units before the sum so the "
          "result is order-free (and oracle-exact).",
          E.q_host_stats(spark, SF)),
+        ("pagerank — O(1) lineage: per-iteration localCheckpoint",
+         "The visible plan is ONE iteration's shape (dst-keyed partial "
+         "aggregation of rank div deg + a left join back onto the node "
+         "list) reading the PREVIOUS iteration from a checkpoint scan — "
+         "lineage does not grow with k (pinned: no repeated edge-distinct "
+         "subtrees). All rank math is bigint div: engine-exact.",
+         __import__("wine_label_ocr_spark.operators.graph",
+                    fromlist=["pagerank"]).pagerank(
+             docs.select(
+                 F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"))
+                 .alias("src_host"),
+                 F.concat(F.lit("h"), ((F.col("doc_id") * 7 + 3) % 20)
+                          .cast("string")).alias("dst_host")).distinct(),
+             n_iters=2)),
+        ("pq_adc_topk — corpus side scans integer codes only",
+         "Deliberate broadcast-nested-loop over the tiny query side: the "
+         "corpus column is the m-byte PQ code array; every distance is an "
+         "ADC table lookup + adds. The flat form is the brute baseline — "
+         "ivfadc_topk is the scale path.",
+         E.q_pq_topk(spark, SF)),
+        ("ivfadc_topk — cell-keyed probes, residual ADC per (query,cell)",
+         "The index shuffles only on `cell`; the query side (queries ≪ "
+         "corpus) explodes to its n_probes cells and broadcasts; with the "
+         "partitioned index write the probe prune is file-level.",
+         E.q_ivfadc_topk(spark, SF)),
+        ("frontier_schedule — robots-fed delays, host-keyed window",
+         "Crawl-delay comes from robots_directives (one Arrow map over "
+         "the tiny robots table), MAX-aggregated per host, left-joined on "
+         "host; the per-host seq window is one narrow shuffle. A hot "
+         "host's single-reducer sort is fine by construction: politeness "
+         "serializes the host anyway.",
+         E.q_frontier_schedule(spark, SF)),
+        ("robots_gate — rules ≪ pages equi join, most-specific pick",
+         "Exploded-rules flavor (the certified gate): host equi join, "
+         "literal-prefix pre-filter + regexp only for wildcard rules, "
+         "max_by(struct(rule_len, allow)) per URL.",
+         E.q_robots_gate(spark, SF)),
+        ("crawl_cycle — composed crawl capstone",
+         "outlinks → resolve → canonical (all pure maps) → one distinct → "
+         "fp anti-join against the seen store → robots_allowed_map (ONE "
+         "host equi join + array algebra — the page set is never shuffled "
+         "for the verdict) → frontier schedule. The only wide shuffles "
+         "are the candidate distinct and the host window.",
+         E.q_crawl_cycle(spark, SF)),
+        ("gif_frames — multi-frame decode is a pure map",
+         "The frame explode happens INSIDE the Arrow kernel (one input "
+         "row → n_frames output rows): zero Exchange, partitioning "
+         "inherited; channel sums are exact integers (the value-oracle "
+         "currency).",
+         __import__("wine_label_ocr_spark.operators.multimodal",
+                    fromlist=["gif_frames"]).gif_frames(
+             __import__("wine_label_ocr_spark.fixtures",
+                        fromlist=["documents_as_media_frames"])
+             .documents_as_media_frames(spark, SF))),
         ("paragraph_dedup — boilerplate key set broadcast anti join",
          "Paragraph keys count distinct docs (one shuffle, map-side "
          "partials); the >=min_docs boilerplate set is small by "
