@@ -111,11 +111,12 @@ def main():
             t0 = time.time()
             run(build())
             walls.append(time.time() - t0)
-        walls = walls[1:]  # discard JIT/warmup rep
+        warmup, walls = walls[0], walls[1:]  # JIT/codegen rep separate
         walls.sort()
         med = walls[len(walls) // 2]
         results[name] = {"median_sec": round(med, 3),
                          "docs_per_sec": round(n_pages / med, 1),
+                         "warmup_sec": round(warmup, 3),
                          "reps": [round(w, 3) for w in walls]}
     results["jvm_over_python"] = round(
         results["python_extract"]["median_sec"]
