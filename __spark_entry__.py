@@ -904,6 +904,32 @@ def q_media_pixels_gif(spark, sf):  # multimodal: REAL GIF raster decode
         F.round(F.get("feature", 12) * 100000).cast("int").alias("grad_row_e5"))
 
 
+def q_media_pixels_webp(spark, sf):  # multimodal: REAL WebP (VP8L) decode
+    """Solid-color WebP-lossless payloads → stdlib VP8L decode (RIFF
+    walk, LSB-first bitstream, prefix codes) → TRUE pixel statistics.
+    The oracle restates the closed-form stats from doc_id; the richer
+    decoder paths (normal codes, LZ77 refs, color cache, palette
+    bundling, subtract-green) are pytest-pinned on hand-built
+    streams."""
+    from wine_label_ocr_spark.fixtures import documents_as_media_pixels_webp
+    from wine_label_ocr_spark.operators.multimodal import (
+        extract_media_features)
+    out = extract_media_features(documents_as_media_pixels_webp(spark, sf),
+                                 fake=False)
+    return out.select(
+        "url",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        "decode_ok",
+        F.round(F.get("feature", 0) * 255).cast("int").alias("mean_r"),
+        F.round(F.get("feature", 1) * 255).cast("int").alias("mean_g"),
+        F.round(F.get("feature", 2) * 255).cast("int").alias("mean_b"),
+        F.round(F.get("feature", 4) * 100000).cast("int").alias("std_r_e5"),
+        F.round(F.get("feature", 12) * 100000).cast("int")
+         .alias("grad_row_e5"))
+
+
 def q_media_frames(spark, sf):  # multimodal: ANIMATED GIF multi-frame decode
     """Animated GIFs (2–4 frames, disposal 1 and 2, Netscape app
     extension) → per-frame composited rasters with EXACT integer
@@ -1949,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_sidecar": q_wat_sidecar,
         "dedup_decisions": q_dedup_decisions,
         "media_frames": q_media_frames,
+        "media_pixels_webp": q_media_pixels_webp,
         # ---- entries below here absorb the driver's ~50-entry cap ----
         # cap-absorbing tail: r5 hash-green, code untouched this round
         "cosine_topk": q_cosine_topk,
@@ -3356,6 +3383,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 3 AS INT) AS n_links
             FROM documents
             ORDER BY doc_id
+        """,
+        "media_pixels_webp": """
+            -- closed-form expected pixel stats of the solid-color
+            -- VP8L fixture: means are exactly the planted color, stds
+            -- and gradients exactly zero (any bitreader/prefix-code/
+            -- container-walk bug breaks this)
+            SELECT concat('mediawebp:', printf('%09d', doc_id)) AS url,
+                   CAST(8 + doc_id % 24 AS INT) AS width,
+                   CAST(8 + (doc_id * 7) % 24 AS INT) AS height,
+                   CAST(3 AS INT) AS channels,
+                   TRUE AS decode_ok,
+                   CAST(doc_id % 256 AS INT) AS mean_r,
+                   CAST((doc_id * 3) % 256 AS INT) AS mean_g,
+                   CAST((doc_id * 7) % 256 AS INT) AS mean_b,
+                   CAST(0 AS INT) AS std_r_e5,
+                   CAST(0 AS INT) AS grad_row_e5
+            FROM documents
+            ORDER BY url
         """,
         "media_pixels_gif": """
             -- closed-form expected pixel stats of the solid-color GIF

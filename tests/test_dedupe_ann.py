@@ -1103,3 +1103,276 @@ def test_gif_frames_tolerant_on_garbage(spark):
         "url string, payload binary")
     got = {r["url"]: r["decode_ok"] for r in gif_frames(df).collect()}
     assert got == {"bad": False, "notgif": False}
+
+
+def _vp8l_container(stream: bytes) -> bytes:
+    chunk = b"VP8L" + len(stream).to_bytes(4, "little") + stream
+    if len(stream) & 1:
+        chunk += b"\x00"
+    return (b"RIFF" + (4 + len(chunk)).to_bytes(4, "little")
+            + b"WEBP" + chunk)
+
+
+def _lz77_prefix_bits(value: int):
+    """(prefix_symbol, n_extra, extra) for a VP8L LZ77 length/distance
+    value — inverse of _lz77_value."""
+    if value <= 4:
+        return value - 1, 0, 0
+    for sym in range(4, 40):
+        eb = (sym - 2) >> 1
+        off = (2 + (sym & 1)) << eb
+        if off + 1 <= value <= off + (1 << eb):
+            return sym, eb, value - off - 1
+    raise ValueError(value)
+
+
+def test_webp_roundtrip_and_dhash_invariance():
+    """encode_webp_lossless -> decode_webp roundtrip, and the SAME
+    raster through PNG / GIF / WebP must produce the SAME dHash
+    (encoding-invariant perceptual fingerprint across all four
+    supported formats)."""
+    import numpy as np
+
+    from wine_label_ocr_spark.operators.multimodal import (
+        decode_raster, decode_webp, dhash64_raster, encode_gif,
+        encode_png, encode_webp_lossless, parse_image_header)
+
+    a = np.zeros((16, 18, 3), np.uint8)
+    a[:8] = (200, 40, 90)
+    a[8:] = (10, 40, 250)
+    wp = encode_webp_lossless(a)
+    assert parse_image_header(wp) == {"format": "webp", "width": 18,
+                                      "height": 16, "channels": 3}
+    assert (decode_webp(wp) == a).all()
+    pal = np.array([[200, 40, 90], [10, 40, 250]], np.uint8)
+    idx = np.zeros((16, 18), np.uint8)
+    idx[8:] = 1
+    gif = encode_gif(idx, pal)
+    png = encode_png(a)
+    hashes = {dhash64_raster(decode_raster(p)) for p in (wp, gif, png)}
+    assert len(hashes) == 1
+
+
+def test_webp_normal_code_and_lz77_paths():
+    """Hand-built VP8L stream: NORMAL (code-length-coded) green code
+    with two symbols (a literal and a length-4 symbol) + an LZ77
+    backward reference at 1-D distance — paths the simple-code encoder
+    cannot emit."""
+    import numpy as np
+
+    from wine_label_ocr_spark.operators.multimodal import (
+        _VP8LBitWriter, decode_webp)
+
+    w, h, lit = 130, 1, 77
+    bw = _VP8LBitWriter()
+    bw.put(0x2F, 8)
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(0, 1)
+    bw.put(0, 3)
+    bw.put(0, 1)  # no transforms
+    bw.put(0, 1)  # no cache
+    bw.put(0, 1)  # no meta
+    # green: NORMAL code, lengths 1 for {lit, 259=len-prefix-3}
+    bw.put(0, 1)          # not simple
+    bw.put(0, 4)          # num_code_lengths = 4 -> order 17,18,0,1
+    for v in (0, 1, 0, 1):    # clc lengths: sym18=1, sym1=1
+        bw.put(v, 3)
+    bw.put(1, 1)          # use max_symbol: it counts code-length
+    bw.put(0, 3)          # ENTRIES read (5 here), not a symbol ceiling
+    bw.put(3, 2)          # max_symbol = 2+3 = 5 entries
+    # clc canonical: sym1 -> bit 0, sym18 -> bit 1
+    bw.put(1, 1)          # 18: skip zeros
+    bw.put(lit - 11, 7)   # 11+extra = lit zeros -> next symbol = lit
+    bw.put(0, 1)          # 1: lengths[lit] = 1
+    bw.put(1, 1)          # 18: skip zeros (7-bit extra caps at 138,
+    bw.put(127, 7)        # so the 181-zero run splits in two)
+    bw.put(1, 1)          # 18 again
+    bw.put(181 - 138 - 11, 7)
+    bw.put(0, 1)          # 1: lengths[259] = 1
+    # green canonical: lit -> 0, 259 -> 1
+    for v in (5, 9, 255):  # red, blue, alpha: simple 1-symbol codes
+        bw.put(1, 1)
+        bw.put(0, 1)
+        bw.put(1, 1)
+        bw.put(v, 8)
+    # distance code: simple 1-symbol (the length/extra bits follow
+    # inline in the pixel stream)
+    dsym, deb, dextra = _lz77_prefix_bits(126 + 120)  # 1-D distance 126
+    bw.put(1, 1)
+    bw.put(0, 1)
+    bw.put(1, 1)
+    bw.put(dsym, 8)
+    # pixels: 126 literals, then one length-4 copy at distance 126
+    for _ in range(126):
+        bw.put(0, 1)      # green sym = lit
+    bw.put(1, 1)          # green sym = 259 -> length prefix 3 -> len 4
+    if deb:
+        bw.put(dextra, deb)
+    out = decode_webp(_vp8l_container(bw.bytes()))
+    assert out is not None and out.shape == (1, 130, 3)
+    expect = np.full((1, 130, 3), (5, lit, 9), np.uint8)
+    assert (out == expect).all()
+
+
+def test_webp_cache_subgreen_and_palette_paths():
+    """Hand-built streams: (a) color cache hit + subtract-green
+    inverse; (b) color-indexing palette with 8-pixels-per-byte
+    bundling."""
+    import numpy as np
+
+    from wine_label_ocr_spark.operators.multimodal import (
+        _VP8LBitWriter, decode_webp)
+
+    # (a) subtract-green + color cache: 1x3 image [A, B, A] where the
+    # third pixel comes from the cache
+    bw = _VP8LBitWriter()
+    bw.put(0x2F, 8)
+    bw.put(2, 14)   # w=3
+    bw.put(0, 14)   # h=1
+    bw.put(0, 1)
+    bw.put(0, 3)
+    bw.put(1, 1)    # transform present
+    bw.put(2, 2)    # SUBTRACT_GREEN
+    bw.put(0, 1)    # no more transforms
+    bw.put(1, 1)    # color cache
+    bw.put(4, 4)    # cache_bits = 4
+    bw.put(0, 1)    # no meta
+    # green: simple 2 symbols {10, 30}; cache syms unused in code table
+    bw.put(1, 1); bw.put(1, 1); bw.put(1, 1); bw.put(10, 8); bw.put(30, 8)
+    for v in (100, 7, 255, 0):  # red, blue, alpha, distance 1-sym
+        bw.put(1, 1); bw.put(0, 1); bw.put(1, 1); bw.put(v, 8)
+    # wait: cache syms must be DECODABLE -> green alphabet includes
+    # 280+cache; simple code covers only 8-bit symbols, so instead of a
+    # cache-hit symbol we just test insert+subgreen on 3 literals
+    bw.put(0, 1)  # green 10
+    bw.put(1, 1)  # green 30
+    bw.put(0, 1)  # green 10
+    out = decode_webp(_vp8l_container(bw.bytes()))
+    assert out is not None and out.shape == (1, 3, 3)
+    # subtract-green inverse: r=(100+g)%256, b=(7+g)%256
+    assert tuple(out[0, 0]) == (110, 10, 17)
+    assert tuple(out[0, 1]) == (130, 30, 37)
+    assert tuple(out[0, 2]) == (110, 10, 17)
+
+    # (b) palette with bundling: w=12, ct_size=2 -> width_bits=3,
+    # packed width ceil(12/8)=2, indices in green bits LSB-first
+    bw = _VP8LBitWriter()
+    bw.put(0x2F, 8)
+    bw.put(11, 14)  # w=12
+    bw.put(0, 14)   # h=1
+    bw.put(0, 1)
+    bw.put(0, 3)
+    bw.put(1, 1)    # transform
+    bw.put(3, 2)    # COLOR_INDEXING
+    bw.put(1, 8)    # ct_size-1=1 -> 2 colors
+    # palette image (2x1), delta-coded: first (a,r,g,b)=(255,5,6,7),
+    # second delta (0,10,10,10) -> color1=(255,15,16,17)
+    bw.put(0, 1)    # no cache (palette sub-image)
+    # green simple 2 syms {6,16->delta 10}: values 6 and 10
+    bw.put(1, 1); bw.put(1, 1); bw.put(1, 1); bw.put(6, 8); bw.put(10, 8)
+    # red simple 2 {5,10}; blue 2 {7,10}; alpha 2 {255,0}; dist 1 {0}
+    bw.put(1, 1); bw.put(1, 1); bw.put(1, 1); bw.put(5, 8); bw.put(10, 8)
+    bw.put(1, 1); bw.put(1, 1); bw.put(1, 1); bw.put(7, 8); bw.put(10, 8)
+    bw.put(1, 1); bw.put(1, 1); bw.put(1, 1); bw.put(255, 8); bw.put(0, 8)
+    bw.put(1, 1); bw.put(0, 1); bw.put(1, 1); bw.put(0, 8)
+    # palette pixel 0: g=6,r=5,b=7,a=255 ; pixel 1: deltas 10,10,10,0
+    bw.put(0, 1); bw.put(0, 1); bw.put(0, 1); bw.put(0, 1)
+    bw.put(1, 1); bw.put(1, 1); bw.put(1, 1); bw.put(1, 1)
+    bw.put(0, 1)    # no more transforms
+    # spatial (packed 2x1): no cache, no meta
+    bw.put(0, 1)
+    bw.put(0, 1)
+    # green simple 2 syms: byte0 = 0b10101010 (alternating), byte1 =
+    # 0b00001111 (first 4 = color1, last 4 = color0)
+    bw.put(1, 1); bw.put(1, 1); bw.put(1, 1); bw.put(0b10101010, 8)
+    bw.put(0b00001111, 8)
+    for v in (0, 0, 255, 0):  # red, blue, alpha, distance 1-sym
+        bw.put(1, 1); bw.put(0, 1); bw.put(1, 1); bw.put(v, 8)
+    bw.put(0, 1)  # packed pixel 0 -> 0b10101010
+    bw.put(1, 1)  # packed pixel 1 -> 0b00001111
+    out = decode_webp(_vp8l_container(bw.bytes()))
+    assert out is not None and out.shape == (1, 12, 3)
+    c0, c1 = (5, 6, 7), (15, 16, 17)
+    expect = [c0, c1] * 4 + [c1] * 4
+    assert [tuple(p) for p in out[0]] == expect
+
+
+def test_webp_color_cache_hit_path():
+    """Hand-built stream with a REAL cache-hit symbol (>= 280): pixel 0
+    inserts into the color cache, pixel 1 is recalled purely from it."""
+    import numpy as np
+
+    from wine_label_ocr_spark.operators.multimodal import (
+        _VP8LBitWriter, decode_webp)
+
+    a_, r_, g_, b_ = 255, 100, 10, 7
+    cache_bits = 4
+    argb = (a_ << 24) | (r_ << 16) | (g_ << 8) | b_
+    ci = ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+    hit_sym = 280 + ci
+
+    bw = _VP8LBitWriter()
+    bw.put(0x2F, 8)
+    bw.put(1, 14)   # w=2
+    bw.put(0, 14)   # h=1
+    bw.put(0, 1)
+    bw.put(0, 3)
+    bw.put(0, 1)    # no transforms
+    bw.put(1, 1)    # color cache on
+    bw.put(cache_bits, 4)
+    bw.put(0, 1)    # no meta
+    # green: NORMAL code, lengths 1 at {g_, hit_sym}
+    entries = []    # (clc_sym, extra_bits, extra_val)
+
+    def skip(n):
+        while n:
+            if n >= 14:
+                take = min(n, 138)
+                entries.append((18, 7, take - 11))
+                n -= take
+            elif n >= 3:
+                take = min(n, 10)
+                entries.append((17, 3, take - 3))
+                n -= take
+            else:
+                entries.append((0, 0, 0))
+                n -= 1
+
+    skip(g_)
+    entries.append((1, 0, 0))
+    skip(hit_sym - g_ - 1)
+    entries.append((1, 0, 0))
+    bw.put(0, 1)    # not simple
+    bw.put(4, 4)    # 8 code-length codes -> order 17,18,0,1,2,3,4,5
+    # clc lengths: used syms {0,1,17,18} -> all length 2
+    for v in (2, 2, 2, 2, 0, 0, 0, 0):
+        bw.put(v, 3)
+    bw.put(1, 1)
+    bw.put(3, 3)    # length_nbits = 8
+    bw.put(len(entries) - 2, 8)
+    # clc canonical (all len 2, symbol order): 0->00, 1->01, 17->10, 18->11
+    cmap = {0: 0b00, 1: 0b01, 17: 0b10, 18: 0b11}
+    for sym, eb, ev in entries:
+        bw.put((cmap[sym] >> 1) & 1, 1)
+        bw.put(cmap[sym] & 1, 1)
+        if eb:
+            bw.put(ev, eb)
+    for v in (r_, b_, a_, 0):  # red, blue, alpha, distance: 1-sym simple
+        bw.put(1, 1)
+        bw.put(0, 1)
+        bw.put(1, 1)
+        bw.put(v, 8)
+    # pixels: green canonical: g_ -> 0, hit_sym -> 1
+    bw.put(0, 1)    # pixel 0: literal (inserted into cache)
+    bw.put(1, 1)    # pixel 1: cache hit
+    stream = bw.bytes()
+    chunk = b"VP8L" + len(stream).to_bytes(4, "little") + stream
+    if len(stream) & 1:
+        chunk += b"\x00"
+    payload = (b"RIFF" + (4 + len(chunk)).to_bytes(4, "little")
+               + b"WEBP" + chunk)
+    out = decode_webp(payload)
+    assert out is not None and out.shape == (1, 2, 3)
+    assert tuple(out[0, 0]) == (r_, g_, b_)
+    assert tuple(out[0, 1]) == (r_, g_, b_)

@@ -421,6 +421,39 @@ def documents_as_media_pixels_gif(spark, sf_dir: str):
         gen, schema="url string, payload binary, media_type string")
 
 
+def documents_as_media_pixels_webp(spark, sf_dir: str):
+    """documents.parquet → WebP-lossless (VP8L) payloads, built
+    distributed in ``mapInPandas``. Each doc is a solid-color image —
+    color (doc_id%256, doc_id*3%256, doc_id*7%256), size
+    (8+doc_id%24) × (8+doc_id*7%24) — so the decoded raster is exact
+    and the expected pixel statistics stay a closed-form function of
+    doc_id (the GIF/PNG gate pattern; two-tone and the richer decoder
+    paths — normal codes, LZ77, cache, palette bundling — are
+    pytest-pinned on hand-built streams)."""
+    from collections.abc import Iterable, Iterator
+
+    from .operators.multimodal import encode_webp_lossless
+
+    def gen(batches: Iterable) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % 24, 8 + (i * 7) % 24
+                rgb = np.zeros((h, w, 3), np.uint8)
+                rgb[:, :] = (i % 256, (i * 3) % 256, (i * 7) % 256)
+                rows.append((f"mediawebp:{i:09d}",
+                             encode_webp_lossless(rgb), "webp"))
+            yield pd.DataFrame(rows, columns=["url", "payload",
+                                              "media_type"])
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return d.mapInPandas(
+        gen, schema="url string, payload binary, media_type string")
+
+
 def documents_as_media_frames(spark, sf_dir: str):
     """documents.parquet → ANIMATED GIF payloads (2–4 frames each),
     built distributed in ``mapInPandas``.

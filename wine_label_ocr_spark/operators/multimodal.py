@@ -105,6 +105,25 @@ def parse_image_header(payload: bytes) -> dict | None:
                 "width": int.from_bytes(p[6:8], "little"),
                 "height": int.from_bytes(p[8:10], "little"),
                 "channels": 3}
+    if p[:4] == b"RIFF" and len(p) >= 30 and p[8:12] == b"WEBP":
+        four = p[12:16]
+        if four == b"VP8L" and p[20] == 0x2F:
+            le = int.from_bytes(p[21:25], "little")
+            return {"format": "webp",
+                    "width": (le & 0x3FFF) + 1,
+                    "height": ((le >> 14) & 0x3FFF) + 1,
+                    "channels": 4 if (le >> 28) & 1 else 3}
+        if four == b"VP8X" and len(p) >= 30:
+            return {"format": "webp",
+                    "width": int.from_bytes(p[24:27], "little") + 1,
+                    "height": int.from_bytes(p[27:30], "little") + 1,
+                    "channels": 4 if p[20] & 0x10 else 3}
+        if four == b"VP8 " and len(p) >= 30 \
+                and p[23:26] == b"\x9d\x01\x2a":
+            return {"format": "webp",
+                    "width": int.from_bytes(p[26:28], "little") & 0x3FFF,
+                    "height": int.from_bytes(p[28:30], "little") & 0x3FFF,
+                    "channels": 3}
     return None
 
 
@@ -1444,6 +1463,349 @@ def gif_frames(df: DataFrame, id_col: str = "url",
                     "sum_b bigint, dhash bigint, decode_ok boolean")
 
 
+# ---------------------------------------------------------------------------
+# WebP lossless (VP8L) — the modern-web raster format (RFC 9649 subset)
+# ---------------------------------------------------------------------------
+
+class _VP8LBits:
+    """LSB-first bit reader over bytes (VP8L convention)."""
+
+    __slots__ = ("d", "pos")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte = self.d[self.pos >> 3]
+            v |= ((byte >> (self.pos & 7)) & 1) << i
+            self.pos += 1
+        return v
+
+
+class _VP8LBitWriter:
+    __slots__ = ("bits", "n")
+
+    def __init__(self):
+        self.bits = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int):
+        self.bits |= (value & ((1 << nbits) - 1)) << self.n
+        self.n += nbits
+
+    def bytes(self) -> bytes:
+        out = bytearray()
+        b, n = self.bits, self.n
+        while n > 0:
+            out.append(b & 0xFF)
+            b >>= 8
+            n -= 8
+        return bytes(out)
+
+
+class _Prefix:
+    """Canonical prefix code (DEFLATE-style assignment; bits read
+    MSB-of-code-first, matching VP8L)."""
+
+    __slots__ = ("table", "only")
+
+    def __init__(self, lengths: list[int]):
+        self.only = None
+        nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
+        if len(nz) == 1:
+            self.only = nz[0][1]  # single symbol: zero-bit code
+            self.table = {}
+            return
+        # canonical: count per length, ascending symbol order
+        max_len = max((l for l, _ in nz), default=0)
+        bl_count = [0] * (max_len + 1)
+        for l, _ in nz:
+            bl_count[l] += 1
+        code = 0
+        next_code = [0] * (max_len + 2)
+        for l in range(1, max_len + 1):
+            code = (code + bl_count[l - 1]) << 1
+            next_code[l] = code
+        table = {}
+        for s, l in enumerate(lengths):
+            if l > 0:
+                table[(l, next_code[l])] = s
+                next_code[l] += 1
+        self.table = table
+
+    @classmethod
+    def simple(cls, symbols: list[int]):
+        p = cls.__new__(cls)
+        if len(symbols) == 1:
+            p.only = symbols[0]
+            p.table = {}
+        else:
+            p.only = None
+            p.table = {(1, 0): symbols[0], (1, 1): symbols[1]}
+        return p
+
+    def decode(self, br: _VP8LBits) -> int:
+        if self.only is not None:
+            return self.only
+        acc, ln = 0, 0
+        while ln < 16:
+            acc = (acc << 1) | br.read(1)
+            ln += 1
+            s = self.table.get((ln, acc))
+            if s is not None:
+                return s
+        raise ValueError("bad prefix code")
+
+
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
+              11, 12, 13, 14, 15, 16)
+
+
+def _vp8l_read_prefix(br: _VP8LBits, alphabet: int) -> _Prefix:
+    if br.read(1):  # simple code
+        n_syms = br.read(1) + 1
+        first_8 = br.read(1)
+        sym0 = br.read(8 if first_8 else 1)
+        syms = [sym0] + ([br.read(8)] if n_syms == 2 else [])
+        return _Prefix.simple(syms)
+    num_clc = br.read(4) + 4
+    clc_lens = [0] * 19
+    for i in range(num_clc):
+        clc_lens[_CLC_ORDER[i]] = br.read(3)
+    clc = _Prefix(clc_lens)
+    if br.read(1):  # explicit max symbol
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    symbol, prev = 0, 8  # default repeat length per libwebp
+    while symbol < alphabet:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        cl = clc.decode(br)
+        if cl < 16:
+            lengths[symbol] = cl
+            symbol += 1
+            if cl:
+                prev = cl
+        elif cl == 16:
+            for _ in range(3 + br.read(2)):
+                if symbol < alphabet:
+                    lengths[symbol] = prev
+                    symbol += 1
+        elif cl == 17:
+            symbol += 3 + br.read(3)
+        else:
+            symbol += 11 + br.read(7)
+    return _Prefix(lengths)
+
+
+def _lz77_value(prefix_sym: int, br: _VP8LBits) -> int:
+    if prefix_sym < 4:
+        return prefix_sym + 1
+    extra = (prefix_sym - 2) >> 1
+    offset = (2 + (prefix_sym & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _vp8l_entropy_image(br: _VP8LBits, w: int, h: int,
+                        top_level: bool = False):
+    """Decode one VP8L entropy-coded ARGB image → list of (a,r,g,b)
+    tuples, or None on an unsupported feature (meta prefix codes,
+    short-distance 2D codes — the documented seams)."""
+    use_cache = br.read(1)
+    cache_bits = br.read(4) if use_cache else 0
+    if use_cache and not (1 <= cache_bits <= 11):
+        return None
+    cache_size = (1 << cache_bits) if use_cache else 0
+    if top_level and br.read(1):
+        return None  # meta prefix codes: documented seam
+    green = _vp8l_read_prefix(br, 256 + 24 + cache_size)
+    red = _vp8l_read_prefix(br, 256)
+    blue = _vp8l_read_prefix(br, 256)
+    alpha = _vp8l_read_prefix(br, 256)
+    dist = _vp8l_read_prefix(br, 40)
+    cache = [0] * cache_size
+    out: list = []
+    n = w * h
+
+    def insert(px):
+        if cache_size:
+            argb = (px[0] << 24) | (px[1] << 16) | (px[2] << 8) | px[3]
+            cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+
+    while len(out) < n:
+        s = green.decode(br)
+        if s < 256:
+            px = (alpha.decode(br), red.decode(br), s, blue.decode(br))
+            out.append(px)
+            insert(px)
+        elif s < 280:
+            length = _lz77_value(s - 256, br)
+            dval = _lz77_value(dist.decode(br), br)
+            if dval <= 120:
+                return None  # 2D neighbor distance map: documented seam
+            d = dval - 120
+            if d > len(out):
+                return None
+            for _ in range(length):
+                px = out[-d]
+                out.append(px)
+                insert(px)
+        else:
+            if s - 280 >= cache_size:
+                return None
+            out.append(cache[s - 280])
+    return out[:n]
+
+
+def decode_webp(payload: bytes):
+    """REAL WebP-LOSSLESS (VP8L) raster decode, stdlib-only, for the
+    common subset: simple AND normal (code-length-coded) prefix codes,
+    LZ77 backward references (1-D distances), the color cache, the
+    subtract-green transform, and color-indexing (palette) including
+    sub-byte pixel bundling. Documented seams (tolerant → None, the
+    progressive-JPEG policy): predictor/cross-color transforms, meta
+    prefix codes, 2-D short-distance codes, and lossy VP8. Returns
+    (h, w, 3) uint8 RGB or None."""
+    import numpy as np
+    p = bytes(payload or b"")
+    if len(p) < 30 or p[:4] != b"RIFF" or p[8:12] != b"WEBP":
+        return None
+    try:
+        # walk RIFF chunks to the VP8L payload
+        pos = 12
+        data = None
+        while pos + 8 <= len(p):
+            four = p[pos:pos + 4]
+            ln = int.from_bytes(p[pos + 4:pos + 8], "little")
+            if four == b"VP8L":
+                data = p[pos + 8:pos + 8 + ln]
+                break
+            pos += 8 + ln + (ln & 1)
+        if data is None or not data or data[0] != 0x2F:
+            return None
+        br = _VP8LBits(data)
+        br.read(8)  # signature
+        w = br.read(14) + 1
+        h = br.read(14) + 1
+        br.read(1)  # alpha hint
+        if br.read(3) != 0:
+            return None  # version must be 0
+        transforms = []
+        palette = None
+        w_eff = w
+        while br.read(1):
+            t = br.read(2)
+            if t == 2:  # subtract green
+                transforms.append(("subgreen",))
+            elif t == 3:  # color indexing
+                ct_size = br.read(8) + 1
+                pal_px = _vp8l_entropy_image(br, ct_size, 1)
+                if pal_px is None:
+                    return None
+                # palette entries are delta-coded bytewise per channel
+                pal = []
+                prev = (0, 0, 0, 0)
+                for px in pal_px:
+                    cur = tuple((prev[i] + px[i]) & 0xFF for i in range(4))
+                    pal.append(cur)
+                    prev = cur
+                palette = pal
+                wb = 3 if ct_size <= 2 else 2 if ct_size <= 4 \
+                    else 1 if ct_size <= 16 else 0
+                transforms.append(("palette", wb))
+                w_eff = (w + (1 << wb) - 1) >> wb
+            else:
+                return None  # predictor / cross-color: documented seam
+        px = _vp8l_entropy_image(br, w_eff, h, top_level=True)
+        if px is None:
+            return None
+        for t in reversed(transforms):
+            if t[0] == "palette":
+                wb = t[1]
+                xcount, bits = 1 << wb, 8 >> wb
+                mask = (1 << bits) - 1
+                unpacked = []
+                for y in range(h):
+                    row = px[y * w_eff:(y + 1) * w_eff]
+                    line = []
+                    for packed in row:
+                        g = packed[2]
+                        for k in range(xcount):
+                            idx = (g >> (k * bits)) & mask
+                            if idx >= len(palette):
+                                return None
+                            line.append(palette[idx])
+                    unpacked.extend(line[:w])
+                px = unpacked
+                w_eff = w
+            elif t[0] == "subgreen":
+                px = [(a, (r + g) & 0xFF, g, (b + g) & 0xFF)
+                      for a, r, g, b in px]
+        arr = np.array([(r, g, b) for a, r, g, b in px],
+                       np.uint8).reshape(h, w, 3)
+        return arr
+    except Exception:
+        return None  # tolerant parse (ST8): undecodable → None
+
+
+def encode_webp_lossless(rgb) -> bytes:
+    """Minimal LEGAL VP8L encoder (stdlib): literal-only stream, no
+    transforms, no color cache, SIMPLE prefix codes — which constrains
+    each channel to ≤2 distinct values (the fixture regime; a solid or
+    two-tone image costs ≤1 bit/channel/pixel). Fixture builder for the
+    WebP gate; richer decoder paths (normal codes, LZ77, cache,
+    palette) are exercised by hand-built streams in pytest."""
+    import numpy as np
+    a = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = a.shape
+    bw = _VP8LBitWriter()
+    bw.put(0x2F, 8)
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(0, 1)  # alpha unused
+    bw.put(0, 3)  # version
+    bw.put(0, 1)  # no transforms
+    bw.put(0, 1)  # no color cache
+    bw.put(0, 1)  # no meta prefix codes
+    chans = [sorted({int(v) for v in a[:, :, c].reshape(-1)})
+             for c in (1, 0, 2)]  # green, red, blue (green code first)
+    for vals in chans:
+        if len(vals) > 2:
+            raise ValueError("simple-code encoder: ≤2 distinct values "
+                             "per channel required")
+    codes = []
+    for vals in chans + [[255], [0]]:  # + alpha, distance
+        bw.put(1, 1)                   # simple code
+        bw.put(len(vals) - 1, 1)
+        bw.put(1, 1)                   # first symbol in 8 bits
+        bw.put(vals[0], 8)
+        if len(vals) == 2:
+            bw.put(vals[1], 8)
+        codes.append({v: i for i, v in enumerate(vals)})
+    gmap, rmap, bmap = codes[0], codes[1], codes[2]
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in a[y, x])
+            if len(gmap) == 2:
+                bw.put(gmap[g], 1)
+            if len(rmap) == 2:
+                bw.put(rmap[r], 1)
+            if len(bmap) == 2:
+                bw.put(bmap[b], 1)
+    stream = bw.bytes()
+    chunk = b"VP8L" + len(stream).to_bytes(4, "little") + stream
+    if len(stream) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
 def pixel_features(arr) -> list[float]:
     """REAL pixel statistics (16 dims, all in [0,1]-ish):
     [mean_c0..c3, std_c0..c3 (missing channels 0), overall mean, overall
@@ -1474,7 +1836,8 @@ def header_features(width: int, height: int, channels: int) -> list[float]:
 
 
 def decode_stub(payload: bytes, fake: bool = False) -> dict:
-    """Header-real decode, raster-real for PNG / baseline JPEG / GIF: a
+    """Header-real decode, raster-real for PNG / baseline JPEG / GIF /
+    WebP-lossless: a
     payload with a decodable raster gets TRUE pixel statistics
     (``decode_raster`` → ``pixel_features``); header-only or
     undecodable images (progressive JPEG) fall back to header-derived
@@ -1505,7 +1868,7 @@ def decode_stub(payload: bytes, fake: bool = False) -> dict:
     if fake:
         return _fake_decode(payload)
     raise NotImplementedError(
-        "payload is not a PNG/JPEG/GIF; full media decode requires "
+        "payload is not a PNG/JPEG/GIF/WebP; full media decode requires "
         "Pillow/ffmpeg (not in this container); pass fake=True for the "
         "deterministic stand-in")
 
@@ -1578,8 +1941,10 @@ def dhash64_raster(arr) -> int:
 
 def decode_raster(payload: bytes):
     """Format-dispatched REAL raster decode: PNG (``decode_png``),
-    baseline JPEG (``decode_jpeg``), or GIF (``decode_gif``) →
-    (h, w, c) uint8; None for anything else."""
+    baseline JPEG (``decode_jpeg``), GIF (``decode_gif``), or
+    WebP-lossless (``decode_webp``) → (h, w, c) uint8; None for
+    anything else (lossy VP8 and the documented VP8L seams fall back
+    to the header path)."""
     p = bytes(payload or b"")
     if p[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(p)
@@ -1587,12 +1952,14 @@ def decode_raster(payload: bytes):
         return decode_jpeg(p)
     if p[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(p)
+    if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        return decode_webp(p)
     return None
 
 
 def image_dhash(df: DataFrame, id_col: str = "url",
                 payload_col: str = "payload") -> DataFrame:
-    """PNG/JPEG/GIF payloads → perceptual dHash: ``(id, dhash, decode_ok)``
+    """PNG/JPEG/GIF/WebP payloads → perceptual dHash: ``(id, dhash, decode_ok)``
     via one Arrow-batched ``mapInPandas`` (pure map — inherits
     partitioning, zero Exchange). Non-decodable payloads come back with
     ``decode_ok=false`` and a NULL hash rather than vanishing (ST8
