@@ -930,6 +930,42 @@ def q_media_pixels_webp(spark, sf):  # multimodal: REAL WebP (VP8L) decode
          .alias("grad_row_e5"))
 
 
+def q_media_mp4_meta(spark, sf):  # multimodal: ISO-BMFF video metadata
+    """Planted minimal-legal MP4 skeletons (real box sizes, 16.16
+    dimensions, mvhd timescale/duration) → recursive box-walk parse.
+    Every 9th doc is a corrupt payload (truncated moov) that must come
+    back parse_ok=false, not vanish (ST8 policy). The oracle restates
+    width/height/duration closed-form from doc_id. Frame DECODE stays
+    the documented codec seam — this certifies the metadata surface a
+    pipeline filters and shards on."""
+    from collections.abc import Iterator
+
+    from wine_label_ocr_spark.operators.multimodal import mp4_metadata
+
+    def gen(batches) -> Iterator:
+        import pandas as pd
+
+        from wine_label_ocr_spark.operators.multimodal import (
+            encode_mp4_header)
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 16 * (2 + i % 9), 16 * (1 + i % 7)
+                dur = 1000 + (i * 37) % 9000
+                p = encode_mp4_header(w, h, dur)
+                if i % 9 == 0:
+                    p = p[:24]  # truncated container: parse_ok=false
+                rows.append((f"mediamp4:{i:09d}", p, "video"))
+            yield pd.DataFrame(rows, columns=["url", "payload",
+                                              "media_type"])
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    pages = d.mapInPandas(
+        gen, schema="url string, payload binary, media_type string")
+    return mp4_metadata(pages).orderBy("url")
+
+
 def q_media_frames(spark, sf):  # multimodal: ANIMATED GIF multi-frame decode
     """Animated GIFs (2–4 frames, disposal 1 and 2, Netscape app
     extension) → per-frame composited rasters with EXACT integer
@@ -1976,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decisions": q_dedup_decisions,
         "media_frames": q_media_frames,
         "media_pixels_webp": q_media_pixels_webp,
+        "media_mp4_meta": q_media_mp4_meta,
         # ---- entries below here absorb the driver's ~50-entry cap ----
         # cap-absorbing tail: r5 hash-green, code untouched this round
         "cosine_topk": q_cosine_topk,
@@ -3383,6 +3420,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 3 AS INT) AS n_links
             FROM documents
             ORDER BY doc_id
+        """,
+        "media_mp4_meta": """
+            -- closed-form mvhd/tkhd metadata from doc_id; every 9th
+            -- doc is truncated -> parse_ok=false with NULL fields
+            SELECT 'mediamp4:' || printf('%09d', doc_id) AS url,
+                   CASE WHEN doc_id % 9 != 0
+                        THEN CAST(16 * (2 + doc_id % 9) AS INT) END
+                       AS width,
+                   CASE WHEN doc_id % 9 != 0
+                        THEN CAST(16 * (1 + doc_id % 7) AS INT) END
+                       AS height,
+                   CASE WHEN doc_id % 9 != 0
+                        THEN CAST(1000 + (doc_id * 37) % 9000 AS BIGINT)
+                       END AS duration_ms,
+                   CASE WHEN doc_id % 9 != 0 THEN CAST(1 AS INT) END
+                       AS n_video_tracks,
+                   doc_id % 9 != 0 AS parse_ok
+            FROM documents
+            ORDER BY url
         """,
         "media_pixels_webp": """
             -- closed-form expected pixel stats of the solid-color

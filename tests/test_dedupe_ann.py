@@ -1376,3 +1376,24 @@ def test_webp_color_cache_hit_path():
     assert out is not None and out.shape == (1, 2, 3)
     assert tuple(out[0, 0]) == (r_, g_, b_)
     assert tuple(out[0, 1]) == (r_, g_, b_)
+
+
+def test_mp4_header_walk_and_tolerance():
+    from wine_label_ocr_spark.operators.multimodal import (
+        encode_mp4_header, parse_mp4_header)
+    p = encode_mp4_header(640, 360, 12500)
+    m = parse_mp4_header(p)
+    assert m == {"format": "mp4", "width": 640, "height": 360,
+                 "duration_ms": 12500, "n_video_tracks": 1}
+    # truncated / garbage / non-bmff all parse tolerantly
+    assert parse_mp4_header(p[:24])["width"] is None
+    assert parse_mp4_header(
+        b"\x00\x00\x00\x08free\x00\x00\x00\x08skip") == {
+        "format": "mp4", "width": None, "height": None,
+        "duration_ms": None, "n_video_tracks": 0}
+    assert parse_mp4_header(b"notmp4") is None
+    assert parse_mp4_header(b"") is None
+    # decode_stub picks up real dimensions without a codec
+    from wine_label_ocr_spark.operators.multimodal import decode_stub
+    r = decode_stub(p)
+    assert (r["width"], r["height"]) == (640, 360)

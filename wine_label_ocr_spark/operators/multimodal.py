@@ -1463,6 +1463,80 @@ def gif_frames(df: DataFrame, id_col: str = "url",
                     "sum_b bigint, dhash bigint, decode_ok boolean")
 
 
+def parse_mp4_header(payload: bytes) -> dict | None:
+    """REAL ISO-BMFF (MP4/MOV) metadata decode: recursive box walk to
+    ``mvhd`` (timescale + duration) and the video ``tkhd`` boxes
+    (16.16-fixed width/height). Returns ``{format, width, height,
+    duration_ms, n_video_tracks}`` or None when the bytes are not an
+    ISO-BMFF container. Pure header walk — SAMPLE DATA IS NEVER
+    DECODED (H.264/H.265/AV1 need a real codec; the documented seam) —
+    so a crawl pipeline still gets real dimensions/durations to
+    filter, sample, and shard on."""
+    p = bytes(payload or b"")
+    if len(p) < 16 or p[4:8] not in (b"ftyp", b"moov", b"mdat", b"free",
+                                     b"wide", b"skip"):
+        return None
+    out = {"format": "mp4", "width": None, "height": None,
+           "duration_ms": None, "n_video_tracks": 0}
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        pos = lo
+        while pos + 8 <= hi and depth < 8:
+            size = int.from_bytes(p[pos:pos + 4], "big")
+            box = p[pos + 4:pos + 8]
+            if size == 1 or size == 0 or pos + size > hi or size < 8:
+                return  # 64-bit/to-end sizes: unsupported, stop cleanly
+            body_lo, body_hi = pos + 8, pos + size
+            if box in (b"moov", b"trak", b"mdia"):
+                walk(body_lo, body_hi, depth + 1)
+            elif box == b"mvhd" and body_hi - body_lo >= 20:
+                ver = p[body_lo]
+                if ver == 0:
+                    ts = int.from_bytes(p[body_lo + 12:body_lo + 16], "big")
+                    dur = int.from_bytes(p[body_lo + 16:body_lo + 20], "big")
+                else:
+                    ts = int.from_bytes(p[body_lo + 20:body_lo + 24], "big")
+                    dur = int.from_bytes(p[body_lo + 24:body_lo + 32], "big")
+                if ts:
+                    out["duration_ms"] = dur * 1000 // ts
+            elif box == b"tkhd" and body_hi - body_lo >= 12:
+                w = int.from_bytes(p[body_hi - 8:body_hi - 4], "big") >> 16
+                h = int.from_bytes(p[body_hi - 4:body_hi], "big") >> 16
+                if w and h:
+                    out["n_video_tracks"] += 1
+                    if out["width"] is None:
+                        out["width"], out["height"] = w, h
+            pos += size
+
+    try:
+        walk(0, len(p), 0)
+    except Exception:
+        return None  # tolerant parse (ST8)
+    return out
+
+
+def encode_mp4_header(width: int, height: int, duration_ms: int,
+                      timescale: int = 1000) -> bytes:
+    """Minimal legal ISO-BMFF skeleton (ftyp + moov{mvhd, trak{tkhd}}
+    + empty mdat) for fixtures — real box sizes, versions, and
+    16.16-fixed dimensions; no sample data."""
+    def box(four: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + four + body
+
+    ftyp = box(b"ftyp", b"isom" + (0x200).to_bytes(4, "big")
+               + b"isomiso2mp41")
+    dur = duration_ms * timescale // 1000
+    mvhd = box(b"mvhd", bytes(4) + bytes(8)
+               + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big")
+               + bytes(80))
+    tkhd = box(b"tkhd", bytes(4) + bytes(8) + (1).to_bytes(4, "big")
+               + bytes(4) + dur.to_bytes(4, "big") + bytes(52)
+               + (width << 16).to_bytes(4, "big")
+               + (height << 16).to_bytes(4, "big"))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov + box(b"mdat", b"")
+
+
 # ---------------------------------------------------------------------------
 # WebP lossless (VP8L) — the modern-web raster format (RFC 9649 subset)
 # ---------------------------------------------------------------------------
@@ -1662,6 +1736,37 @@ def _vp8l_entropy_image(br: _VP8LBits, w: int, h: int,
                 return None
             out.append(cache[s - 280])
     return out[:n]
+
+
+def mp4_metadata(df: DataFrame, id_col: str = "url",
+                 payload_col: str = "payload") -> DataFrame:
+    """Video payloads → container metadata rows ``(id, width, height,
+    duration_ms, n_video_tracks, parse_ok)`` via one Arrow-batched
+    ``mapInPandas`` (pure map, zero Exchange) — the filter/sample/shard
+    columns a crawl pipeline needs from video BEFORE any codec runs
+    (frame decode is the documented seam; ``frame_sample_plan``
+    consumes the downstream frame counts once a decoder exists)."""
+    def run(batches: Iterable) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for key, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_mp4_header(
+                    bytes(payload) if payload is not None else b"")
+                if m is None or m["width"] is None:
+                    out.append((key, None, None, None, None, False))
+                else:
+                    out.append((key, m["width"], m["height"],
+                                m["duration_ms"], m["n_video_tracks"],
+                                True))
+            yield pd.DataFrame(out, columns=[
+                id_col, "width", "height", "duration_ms",
+                "n_video_tracks", "parse_ok"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} string, width int, height int, "
+                    "duration_ms bigint, n_video_tracks int, "
+                    "parse_ok boolean")
 
 
 def decode_webp(payload: bytes):
@@ -1865,6 +1970,12 @@ def decode_stub(payload: bytes, fake: bool = False) -> dict:
                 "feature": header_features(wav["sample_rate"] % 65536,
                                            wav["duration_ms"] or 0,
                                            wav["channels"])}
+    mp4 = parse_mp4_header(payload)
+    if mp4 is not None and mp4["width"]:
+        # real container metadata; sample decode is the documented seam
+        return {"width": mp4["width"], "height": mp4["height"],
+                "channels": 3, "n_frames": 1,
+                "feature": header_features(mp4["width"], mp4["height"], 3)}
     if fake:
         return _fake_decode(payload)
     raise NotImplementedError(
