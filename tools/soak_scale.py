@@ -51,8 +51,10 @@ def run_capstone(n_pages: int) -> dict:
     from wine_label_ocr_spark.session import get_spark
     from wine_label_ocr_spark.sources.warc import write_warc_shards
 
+    import os
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
     spark = get_spark(app="soak_capstone", master="local[32]",
-                      shuffle_partitions=64)
+                      shuffle_partitions=256)
     spark.sparkContext.setLogLevel("ERROR")
     base = tempfile.mkdtemp(prefix="wlos_soak_")
     raw, out = os.path.join(base, "raw"), os.path.join(base, "wet")
