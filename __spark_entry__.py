@@ -816,9 +816,14 @@ def q_wat_sidecar(spark, sf):  # warc: WAT metadata export, end-to-end
         f"{f}:{s.st_size}:{s.st_mtime_ns}" for f, s in sorted(
             (f, os.stat(os.path.join(doc_dir, f)))
             for f in os.listdir(doc_dir) if not f.startswith(".")))
-    # the tag covers the planted-page construction too (this function's
-    # own source) — editing the fixture must never serve stale shards
+    from wine_label_ocr_spark.operators import graph as _graph_mod
+
+    # the tag covers the planted-page construction (this function's own
+    # source) AND graph.py (href_values/HREF_PATTERN — the link
+    # extraction build_wat_records shares) — editing either must never
+    # serve stale shards
     tag = _h.md5((sf + stat + inspect.getsource(_warc_mod)
+                  + inspect.getsource(_graph_mod)
                   + inspect.getsource(q_wat_sidecar))
                  .encode()).hexdigest()[:10]
     shard_dir = os.path.join(tempfile.gettempdir(), f"wlos_wat_{tag}")
@@ -1206,10 +1211,10 @@ def q_audio_features(spark, sf):  # multimodal: real WAV decode + FFT
 
 def q_outlinks(spark, sf):  # graph: href extraction for frontier/link graph
     """Outlink extraction over planted html (absolute/uppercase-HREF/
-    fragment-only/relative/UNQUOTED shapes, plus <abbr href> and
-    <basefont href> negatives for the tag-name boundary). Spark runs
-    the real operator; the DuckDB twin runs the IDENTICAL RE2-safe
-    pattern + quote-strip."""
+    fragment-only/relative/UNQUOTED/<area image-map> shapes, plus
+    <abbr href> and <basefont href> negatives for the tag-name
+    boundary). Spark runs the real operator; the DuckDB twin runs the
+    IDENTICAL RE2-safe pattern + quote-strip."""
     from wine_label_ocr_spark.operators.graph import extract_outlinks
     d = _t(spark, sf, "documents").select("doc_id")
     a = F.pmod(F.col("doc_id"), F.lit(20)).cast("string")
@@ -1220,6 +1225,7 @@ def q_outlinks(spark, sf):  # graph: href extraction for frontier/link graph
         F.lit('">1</a><A HREF=\'https://site'), b, F.lit(".com/y'>2</A>"),
         F.lit('<a href="#s">n</a><a href="/rel/'), did, F.lit('">r</a>'),
         F.lit('<a href=/bare/'), did, F.lit('>u</a>'),
+        F.lit('<area shape="rect" href="/map/'), b, F.lit('">'),
         F.lit('<abbr href="no">z</abbr><basefont href="/bf/">'))
     pages = d.select(F.concat(F.lit("doc:"), did).alias("url"),
                      html.alias("html"))
@@ -2934,12 +2940,14 @@ def oracle_sql() -> dict[str, str]:
                      || ((doc_id * 3) % 20) || '.com/y''>2</A>'
                      || '<a href="#s">n</a><a href="/rel/' || doc_id
                      || '">r</a><a href=/bare/' || doc_id || '>u</a>'
+                     || '<area shape="rect" href="/map/'
+                     || ((doc_id * 3) % 20) || '">'
                      || '<abbr href="no">z</abbr><basefont href="/bf/">'
                         AS html
               FROM documents)
             SELECT url AS src,
                    unnest(list_transform(regexp_extract_all(html,
-                     '<[aA]\\s(?:[^>]*\\s)?(?i:href)\\s*=\\s*("[^"#][^"]*"|''[^''#][^'']*''|[^\\s"''>#][^\\s>]*)',
+                     '<(?i:a|area)\\s(?:[^>]*\\s)?(?i:href)\\s*=\\s*("[^"#][^"]*"|''[^''#][^'']*''|[^\\s"''>#][^\\s>]*)',
                      1),
                      v -> CASE WHEN v[1] = '"' OR v[1] = ''''
                                THEN v[2:-2] ELSE v END)) AS href

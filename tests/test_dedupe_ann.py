@@ -1397,3 +1397,21 @@ def test_mp4_header_walk_and_tolerance():
     from wine_label_ocr_spark.operators.multimodal import decode_stub
     r = decode_stub(p)
     assert (r["width"], r["height"]) == (640, 360)
+
+
+def test_gif_frames_reports_true_total_past_cap(spark):
+    """Rows are capped at max_frames but n_frames is the TRUE
+    structural count (no silent cap)."""
+    import numpy as np
+
+    from wine_label_ocr_spark.operators.multimodal import (
+        encode_gif_animated, gif_frames)
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    frames = [(np.zeros((4, 4), np.uint8), 0, 0) for _ in range(6)]
+    gif = encode_gif_animated(frames, pal, bg_idx=0, screen=(4, 4),
+                              disposals=[1] * 6)
+    df = spark.createDataFrame([("g", bytearray(gif))],
+                               "url string, payload binary")
+    rows = gif_frames(df, max_frames=4).collect()
+    assert len(rows) == 4
+    assert all(r["n_frames"] == 6 for r in rows)

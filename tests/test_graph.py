@@ -185,11 +185,14 @@ def test_extract_outlinks_unquoted_and_tag_boundaries(spark):
     html = ('<a href=/bare/1>u</a><a href=rel.html >s</a>'
             '<a href=#frag>skip</a>'
             '<abbr href="no">z</abbr><basefont href="/bf/">'
+            '<area shape="rect" coords="0,0,1,1" href="/map/x">'
+            '<AREA HREF=/map/y>'
             '<a data-href="decoy" href="/real">r</a>'
             "<a href=\"it's fine\">q</a>")
     df = spark.createDataFrame([("u1", html)], "url string, html string")
     got = sorted(r["href"] for r in G.extract_outlinks(df).collect())
-    assert got == ["/bare/1", "/real", "it's fine", "rel.html"]
+    assert got == ["/bare/1", "/map/x", "/map/y", "/real",
+                   "it's fine", "rel.html"]
 
 
 def test_basefont_is_not_a_base_tag(spark):

@@ -218,3 +218,15 @@ def test_robots_directives_feed_frontier(spark):
             for r in sched.collect()}
     assert rows["https://slow.com/b"] == (2000, 2000)
     assert rows["https://fast.com/b"] == (250, 250)  # default fills NULL
+
+
+def test_crawl_delay_hostile_values_ignored_or_clamped():
+    from wine_label_ocr_spark.operators.robots import parse_robots_directives
+    # non-finite values are ignored (default applies), huge finite
+    # values clamp to one day -- neither may overflow the bigint column
+    assert parse_robots_directives("User-agent: *\nCrawl-delay: inf\n")[0] is None
+    assert parse_robots_directives("User-agent: *\nCrawl-delay: nan\n")[0] is None
+    assert parse_robots_directives(
+        "User-agent: *\nCrawl-delay: 1e300\n")[0] == 86_400_000
+    assert parse_robots_directives(
+        "User-agent: *\nCrawl-delay: 999999\n")[0] == 86_400_000

@@ -28,14 +28,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 # href extraction: RE2-compatible (no lookarounds), shared verbatim with
-# the DuckDB oracle.  `<a` must be followed by whitespace (tag-name
-# boundary), and the single capture group serves quoted AND unquoted
-# values by keeping the quotes in the capture — `href_values` strips
-# them.  Unquoted values (`href=/bare` — common in old hand-written
-# HTML; previously a silent drop) run to the first whitespace or `>`
-# per the HTML5 unquoted-attribute rule.  Fragment-only links (`#...`)
-# are excluded in every branch.
-HREF_PATTERN = (r"<[aA]\s(?:[^>]*\s)?(?i:href)\s*=\s*"
+# the DuckDB oracle.  The tag name must be `a` or `area` (image-map
+# links) followed by whitespace — the boundary keeps <abbr>/<basefont>
+# out without dropping <area href> navigation — and the single capture
+# group serves quoted AND unquoted values by keeping the quotes in the
+# capture; `href_values` strips them.  Unquoted values (`href=/bare` —
+# common in old hand-written HTML; previously a silent drop) run to the
+# first whitespace or `>` per the HTML5 unquoted-attribute rule.
+# Fragment-only links (`#...`) are excluded in every branch.
+HREF_PATTERN = (r"<(?i:a|area)\s(?:[^>]*\s)?(?i:href)\s*=\s*"
                 r"(\"[^\"#][^\"]*\"|'[^'#][^']*'|[^\s\"'>#][^\s>]*)")
 
 # <base href="..."> pickup: the FIRST base tag governs (HTML spec);

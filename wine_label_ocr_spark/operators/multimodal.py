@@ -1446,7 +1446,11 @@ def gif_frames(df: DataFrame, id_col: str = "url",
                     out.append((key, None, None, None, None,
                                 None, None, None, None, False))
                     continue
-                n = len(fr)
+                # n_frames is the TRUE structural count even when the
+                # emitted rows are capped at max_frames (no-silent-cap:
+                # a 100-frame GIF yields 64 rows that SAY n_frames=100,
+                # so frame_sample_plan sees the real total)
+                n = gif_frame_count(payload) or len(fr)
                 for k, arr in enumerate(fr):
                     h, w, _ = arr.shape
                     sums = arr.sum(axis=(0, 1), dtype="int64")
@@ -1716,7 +1720,13 @@ def _vp8l_entropy_image(br: _VP8LBits, w: int, h: int,
     while len(out) < n:
         s = green.decode(br)
         if s < 256:
-            px = (alpha.decode(br), red.decode(br), s, blue.decode(br))
+            # spec channel order after green: red, blue, alpha (the
+            # tuple is built in that READ order — Python evaluates
+            # left-to-right, so the names force the bit order)
+            r_ = red.decode(br)
+            b_ = blue.decode(br)
+            a_ = alpha.decode(br)
+            px = (a_, r_, s, b_)
             out.append(px)
             insert(px)
         elif s < 280:

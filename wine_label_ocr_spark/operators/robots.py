@@ -145,9 +145,13 @@ def parse_robots_directives(text: str, agent: str = "*") \
     ``Crawl-delay`` is the de-facto extension most crawlers honor:
     seconds (fractional allowed), scoped to the matched agent group
     like Allow/Disallow; several values in the chosen group(s) resolve
-    to the MAX (the polite direction); unparseable or negative values
-    are ignored (fail toward the crawler's default, which
-    ``schedule_frontier`` supplies). ``Sitemap`` is file-global."""
+    to the MAX (the polite direction); unparseable, negative, or
+    non-finite values are ignored (fail toward the crawler's default,
+    which ``schedule_frontier`` supplies), and accepted values clamp
+    to one day — ``inf``/``1e300`` in a hostile robots.txt must not
+    overflow the int64 delay column or stall a host forever.
+    ``Sitemap`` is file-global."""
+    import math
     groups, sitemaps = _robots_groups(text)
     delays: list[int] = []
     for g in _chosen_groups(groups, agent):
@@ -156,8 +160,8 @@ def parse_robots_directives(text: str, agent: str = "*") \
                 d = float(v)
             except ValueError:
                 continue
-            if d >= 0:
-                delays.append(int(round(d * 1000)))
+            if math.isfinite(d) and d >= 0:
+                delays.append(int(round(min(d, 86_400.0) * 1000)))
     return (max(delays) if delays else None), sitemaps
 
 

@@ -127,7 +127,11 @@ def crawl_cycle_funnel(pages: DataFrame, robots: DataFrame,
     links, cand, unseen, allowed, sched = _crawl_stages(
         pages, robots, seen_fps, default_delay_ms, n_workers, agent,
         oracle_safe)
-    cand, unseen = cand.cache(), unseen.cache()
+    # no cache(): the shared prefix re-executes per count branch, but
+    # every stage here is cheap maps + hash joins (unlike curate.py's
+    # funnel, where extraction dominates), and a session-lifetime cache
+    # pin would leak across the driver's ~50 gate queries. Production
+    # counting composes observe() on ONE pass (plans/funnel.py form).
     stages = [("outlinks", links), ("candidates", cand),
               ("unseen", unseen), ("allowed", allowed),
               ("scheduled", sched)]
