@@ -1415,3 +1415,55 @@ def test_gif_frames_reports_true_total_past_cap(spark):
     rows = gif_frames(df, max_frames=4).collect()
     assert len(rows) == 4
     assert all(r["n_frames"] == 6 for r in rows)
+
+
+def test_webp_hostile_dimensions_rejected():
+    """A tiny VP8L payload declaring 16383x16383 (~268M px) must be
+    rejected right after the 14-bit dims are read — before any LZ77 /
+    color-cache expansion can allocate (ADVICE r6)."""
+    from wine_label_ocr_spark.operators.multimodal import (
+        _VP8LBitWriter, decode_webp)
+
+    bw = _VP8LBitWriter()
+    bw.put(0x2F, 8)
+    bw.put(16382, 14)   # w = 16383
+    bw.put(16382, 14)   # h = 16383
+    bw.put(0, 1)
+    bw.put(0, 3)
+    assert decode_webp(_vp8l_container(bw.bytes())) is None
+    # at/under the 4M-px cap the decode proceeds (and then fails
+    # tolerantly on the truncated stream — not on the dims)
+    bw2 = _VP8LBitWriter()
+    bw2.put(0x2F, 8)
+    bw2.put(2047, 14)   # 2048x2048 = exactly 4M px: allowed
+    bw2.put(2047, 14)
+    bw2.put(0, 1)
+    bw2.put(0, 3)
+    assert decode_webp(_vp8l_container(bw2.bytes())) is None  # truncated
+
+
+def test_mp4_truncated_v1_mvhd_omits_duration():
+    """A version-1 mvhd with only a v0-sized body (20 bytes) must
+    tolerantly omit duration_ms, not read empty slices as 0 (ADVICE
+    r6)."""
+    from wine_label_ocr_spark.operators.multimodal import \
+        parse_mp4_header
+
+    def box(four: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + four + body
+
+    # v1 flag byte, then 19 more bytes — too short for the 64-bit
+    # creation/modification + timescale + 64-bit duration layout
+    short_v1 = box(b"mvhd", b"\x01" + bytes(19))
+    p = box(b"ftyp", b"isom" + bytes(8)) + box(b"moov", short_v1)
+    m = parse_mp4_header(p)
+    assert m is not None and m["duration_ms"] is None
+    # a full-size v1 mvhd parses: timescale 1000 at +20, duration
+    # 90000 as 64-bit at +24
+    body = (b"\x01" + bytes(3) + bytes(16)
+            + (1000).to_bytes(4, "big") + (90000).to_bytes(8, "big")
+            + bytes(76))
+    p2 = box(b"ftyp", b"isom" + bytes(8)) + box(b"moov",
+                                                box(b"mvhd", body))
+    m2 = parse_mp4_header(p2)
+    assert m2 is not None and m2["duration_ms"] == 90000

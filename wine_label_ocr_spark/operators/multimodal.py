@@ -1494,13 +1494,20 @@ def parse_mp4_header(payload: bytes) -> dict | None:
             if box in (b"moov", b"trak", b"mdia"):
                 walk(body_lo, body_hi, depth + 1)
             elif box == b"mvhd" and body_hi - body_lo >= 20:
+                # v0 needs 20 body bytes (32-bit times); v1 needs 32
+                # (64-bit creation/modification + 32-bit timescale +
+                # 64-bit duration). A truncated v1 would read empty
+                # slices (int.from_bytes(b"") == 0) and emit garbage —
+                # tolerantly omit duration instead.
                 ver = p[body_lo]
                 if ver == 0:
                     ts = int.from_bytes(p[body_lo + 12:body_lo + 16], "big")
                     dur = int.from_bytes(p[body_lo + 16:body_lo + 20], "big")
-                else:
+                elif body_hi - body_lo >= 32:
                     ts = int.from_bytes(p[body_lo + 20:body_lo + 24], "big")
                     dur = int.from_bytes(p[body_lo + 24:body_lo + 32], "big")
+                else:
+                    ts = dur = 0
                 if ts:
                     out["duration_ms"] = dur * 1000 // ts
             elif box == b"tkhd" and body_hi - body_lo >= 12:
@@ -1809,6 +1816,12 @@ def decode_webp(payload: bytes):
         br.read(8)  # signature
         w = br.read(14) + 1
         h = br.read(14) + 1
+        # Hostile-input bound: a 5-byte header can declare 16383x16383
+        # (~268M px) and LZ77/color-cache-expand into multi-GB Python
+        # lists inside the Arrow worker. Same policy as GIF max_frames
+        # and the robots crawl-delay clamp: tolerant None past the cap.
+        if w * h > 4_194_304:  # 4M px (~2048x2048)
+            return None
         br.read(1)  # alpha hint
         if br.read(3) != 0:
             return None  # version must be 0
