@@ -1965,13 +1965,59 @@ def _crawl_cycle_funnel_oracle_sql() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order = driver certification priority: the driver artifact caps at
-    # ~50 entries, so (a) the 31 queries the r5 cap absorbed (last
-    # certified in r04) and (b) every query whose code/fixture changed
-    # THIS round run first; the tail that absorbs any cap is exclusively
-    # r5-certified queries with untouched code (union-across-rounds
-    # keeps those certified; nothing goes two rounds uncertified).
+    # ~50 entries, so (a) the 34 queries the r6 cap absorbed (last
+    # hash-certified in r05, code untouched since) and (b) every query
+    # whose code/fixture changed THIS round (r7) run first; the tail
+    # that absorbs any cap is exclusively r6-certified queries with
+    # untouched code (union-across-rounds keeps those certified;
+    # nothing goes two rounds uncertified).
     return {
-        # (a) r5-cap-absorbed (r04-green, untouched since) — re-certify
+        # (a) r6-cap-absorbed (r05 hash-green, untouched) — re-certify
+        "best_variant": q_best_variant,
+        "bpe_real_tokens": q_bpe_real_tokens,
+        "curation_funnel": q_curation_funnel,
+        "ema_final": q_ema_final,
+        "host_stats": q_host_stats,
+        "image_dhash": q_image_dhash,
+        "incremental_dedup": q_incremental_dedup,
+        "ivfadc_topk": q_ivfadc_topk,
+        "latest_capture": q_latest_capture,
+        "lexical_diversity": q_lexical_diversity,
+        "media_features": q_media_features,
+        "media_pixels": q_media_pixels,
+        "media_pixels_gif": q_media_pixels_gif,
+        "media_pixels_jpeg": q_media_pixels_jpeg,
+        "median_by_type": q_median_by_type,
+        "near_dup_components": q_near_dup_components,
+        "pagerank": q_pagerank,
+        "pagerank_dangling": q_pagerank_dangling,
+        "paragraph_dedup": q_paragraph_dedup,
+        "phase_trace": q_phase_trace,
+        "pii_redaction": q_pii_redaction,
+        "pq_topk": q_pq_topk,
+        "repetition_stats": q_repetition_stats,
+        "rp_lsh_topk": q_rp_lsh_topk,
+        "salted_agg": q_salted_agg,
+        "sessionize": q_sessionize,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_pairs": q_simhash_pairs,
+        "stratified_sample": q_stratified_sample,
+        "training_funnel": q_training_funnel,
+        "union_names": q_union_names,
+        "url_canon": q_url_canon,
+        "vintage_fallback_grid": q_vintage_fallback_grid,
+        "warc_extract": q_warc_extract,
+        # rows-only-by-design (iterative Lloyd / zlib-defined) — cheap,
+        # keep their rows check fresh alongside the rotation
+        "ivf_topk": q_ivf_topk,
+        "compression_ratio": q_compression_ratio,
+        # (b) new or behaviorally-touched this round (r7): WebP
+        # hostile-dims guard + mvhd v1 guard touched the media decode
+        # path; new r7 gates append here as they land
+        "media_pixels_webp": q_media_pixels_webp,
+        "media_mp4_meta": q_media_mp4_meta,
+        # ---- entries below here absorb the driver's ~50-entry cap ----
+        # cap-absorbing tail: r6 hash-green, code untouched this round
         "tfidf_pruned": q_tfidf_pruned,
         "quality_classifier": q_quality_classifier,
         "blocklist_filter": q_blocklist_filter,
@@ -2003,11 +2049,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
-        # (b) new or behaviorally-touched this round (crawl-cycle
-        # capstone, href tag-boundary/unquoted values + WAT link reuse,
-        # robots octet specificity + Crawl-delay/Sitemap directives
-        # feeding the frontier, dedup_decisions value-oracle
-        # graduation, GIF multi-frame decode)
         "crawl_cycle": q_crawl_cycle,
         "crawl_cycle_funnel": q_crawl_cycle_funnel,
         "outlinks": q_outlinks,
@@ -2017,10 +2058,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_sidecar": q_wat_sidecar,
         "dedup_decisions": q_dedup_decisions,
         "media_frames": q_media_frames,
-        "media_pixels_webp": q_media_pixels_webp,
-        "media_mp4_meta": q_media_mp4_meta,
-        # ---- entries below here absorb the driver's ~50-entry cap ----
-        # cap-absorbing tail: r5 hash-green, code untouched this round
         "cosine_topk": q_cosine_topk,
         "customers_with_orders": q_customers_with_orders,
         "customers_without_orders": q_customers_without_orders,
@@ -2029,42 +2066,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_quantized": q_embedding_quantized,
         "exact_dedup": q_exact_dedup,
-        "host_stats": q_host_stats,
-        "ivf_topk": q_ivf_topk,
-        "latest_capture": q_latest_capture,
-        "lexical_diversity": q_lexical_diversity,
-        "near_dup_components": q_near_dup_components,
-        "paragraph_dedup": q_paragraph_dedup,
-        "pii_redaction": q_pii_redaction,
-        "repetition_stats": q_repetition_stats,
-        "rp_lsh_topk": q_rp_lsh_topk,
-        "simhash_fingerprints": q_simhash_fingerprints,
-        "simhash_pairs": q_simhash_pairs,
-        "stratified_sample": q_stratified_sample,
-        "training_funnel": q_training_funnel,
-        "pagerank": q_pagerank,
-        "pagerank_dangling": q_pagerank_dangling,
-        "media_pixels_jpeg": q_media_pixels_jpeg,
-        "media_pixels_gif": q_media_pixels_gif,
-        "media_pixels": q_media_pixels,
-        "media_features": q_media_features,
-        "image_dhash": q_image_dhash,
-        "bpe_real_tokens": q_bpe_real_tokens,
-        "pq_topk": q_pq_topk,
-        "ivfadc_topk": q_ivfadc_topk,
-        "phase_trace": q_phase_trace,
-        "curation_funnel": q_curation_funnel,
-        "warc_extract": q_warc_extract,
-        "ema_final": q_ema_final,
-        "sessionize": q_sessionize,
-        "salted_agg": q_salted_agg,
-        "best_variant": q_best_variant,
-        "vintage_fallback_grid": q_vintage_fallback_grid,
-        "median_by_type": q_median_by_type,
-        "union_names": q_union_names,
-        "compression_ratio": q_compression_ratio,
-        "url_canon": q_url_canon,
-        "incremental_dedup": q_incremental_dedup,
     }
 
 
