@@ -1519,6 +1519,52 @@ def q_crawl_cycle_funnel(spark, sf):  # plans/crawl: per-stage survivors
             .orderBy("stage_idx"))
 
 
+def _crawl_sitemap_inputs(spark, sf):
+    """The crawl-cycle fixture extended with robots-declared sitemaps:
+    hosts t0–t4 declare ``Sitemap: https://tk.com/sm.xml``; each
+    declared file lists 12 zero-padded ``/sm/NNN`` locs, one
+    entity-escaped query loc (``&amp;`` — the spec-required escaping
+    the XML parse must undo), and one ``/x/sm`` loc the same robots
+    bytes disallow; an UNDECLARED ``evil.com`` payload is present and
+    must inject nothing (the left-semi declared-only contract)."""
+    pages, _, seen = _crawl_cycle_inputs(spark, sf)
+    robots = spark.createDataFrame(
+        [(f"t{k}.com",
+          f"User-agent: *\nDisallow: /x/\nCrawl-delay: {0.5 * (k + 1)}\n"
+          f"Sitemap: https://t{k}.com/sm.xml\n") for k in range(5)],
+        "host string, robots_txt string")
+
+    def xml(k):
+        locs = "".join(f"<url><loc>https://t{k}.com/sm/{j:03d}</loc></url>"
+                       for j in range(12))
+        locs += (f"<url><loc>https://t{k}.com/sm/e?a=1&amp;b=2</loc></url>"
+                 f"<url><loc>https://t{k}.com/x/sm</loc></url>")
+        return ('<urlset xmlns="http://www.sitemaps.org/schemas/'
+                f'sitemap/0.9">{locs}</urlset>')
+
+    sitemaps = spark.createDataFrame(
+        [(f"https://t{k}.com/sm.xml", xml(k)) for k in range(5)]
+        + [("https://evil.com/sm.xml",
+            "<urlset><url><loc>https://evil.com/p</loc></url></urlset>")],
+        "url string, sitemap_xml string")
+    return pages, robots, seen, sitemaps
+
+
+def q_crawl_cycle_sitemap(spark, sf):  # plans/crawl + operators/sitemap
+    """The composed crawl cycle with sitemap seeding under the value
+    oracle: robots ``Sitemap:`` directives select which fetched
+    sitemap payloads feed the frontier, their locs union into the
+    candidate set before the seen anti-join, and the seeds then pass
+    the SAME robots gate and Crawl-delay scheduling as extracted
+    outlinks (``/x/sm`` must not survive; the undeclared payload's
+    URLs must not appear at all)."""
+    from wine_label_ocr_spark.plans.crawl import crawl_cycle
+    pages, robots, seen, sitemaps = _crawl_sitemap_inputs(spark, sf)
+    return (crawl_cycle(pages, robots, seen, oracle_safe=True,
+                        sitemaps=sitemaps)
+            .orderBy("url"))
+
+
 def q_pagerank(spark, sf):  # graph: exact fixed-point PageRank
     """Host PageRank over a deterministic edge list derived from
     documents (src h(doc_id%20) → dst h((doc_id·7+3)%20), distinct;
@@ -1891,12 +1937,14 @@ def _phase_trace_oracle_sql() -> str:
     """
 
 
-def _crawl_cycle_oracle_cte() -> str:
+def _crawl_cycle_oracle_cte(extra_arms: str = "") -> str:
     """Shared CTEs for the crawl-cycle oracles: the planted candidate
     set with per-URL seen/allowed flags stated closed-form (no RFC or
     robots logic in SQL). seen is well-defined per URL because 5 | 250
-    makes doc_id%5 constant across the docs sharing a shape-1 URL."""
-    return """
+    makes doc_id%5 constant across the docs sharing a shape-1 URL.
+    ``extra_arms`` appends further UNION arms (the sitemap-seeded
+    variant)."""
+    return f"""
         cands AS (
           SELECT DISTINCT
                  'https://t' || (doc_id % 10) || '.com/p/' || (doc_id % 250)
@@ -1920,13 +1968,30 @@ def _crawl_cycle_oracle_cte() -> str:
           SELECT DISTINCT
                  'https://s' || (doc_id % 6) || '.com/bare' || (doc_id % 7),
                  's' || (doc_id % 6) || '.com', FALSE, TRUE
-          FROM documents),
+          FROM documents{extra_arms}),
         surv AS (SELECT url, host FROM cands WHERE NOT seen AND allowed)"""
 
 
-def _crawl_cycle_oracle_sql() -> str:
+_CRAWL_SITEMAP_ARMS = """
+          UNION
+          SELECT 'https://t' || k || '.com/sm/'
+                     || lpad(CAST(j AS VARCHAR), 3, '0'),
+                 't' || k || '.com', FALSE, TRUE
+          FROM generate_series(0, 4) AS tk(k),
+               generate_series(0, 11) AS tj(j)
+          UNION
+          SELECT 'https://t' || k || '.com/sm/e?a=1&b=2',
+                 't' || k || '.com', FALSE, TRUE
+          FROM generate_series(0, 4) AS tk(k)
+          UNION
+          SELECT 'https://t' || k || '.com/x/sm',
+                 't' || k || '.com', FALSE, FALSE
+          FROM generate_series(0, 4) AS tk(k)"""
+
+
+def _crawl_cycle_oracle_sql(extra_arms: str = "") -> str:
     return f"""
-        WITH {_crawl_cycle_oracle_cte()}
+        WITH {_crawl_cycle_oracle_cte(extra_arms)}
         SELECT url, host, CAST(seq AS INT) AS seq, worker,
                CAST(delay AS BIGINT) AS delay_ms,
                CAST((seq - 1) * delay AS BIGINT) AS fetch_offset_ms
@@ -2013,9 +2078,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,
         # (b) new or behaviorally-touched this round (r7): WebP
         # hostile-dims guard + mvhd v1 guard touched the media decode
-        # path; new r7 gates append here as they land
+        # path; sitemap seeding touched plans/crawl (so the two crawl
+        # capstone gates re-certify); new r7 gates append here
         "media_pixels_webp": q_media_pixels_webp,
         "media_mp4_meta": q_media_mp4_meta,
+        "crawl_cycle": q_crawl_cycle,
+        "crawl_cycle_funnel": q_crawl_cycle_funnel,
+        "crawl_cycle_sitemap": q_crawl_cycle_sitemap,
         # ---- entries below here absorb the driver's ~50-entry cap ----
         # cap-absorbing tail: r6 hash-green, code untouched this round
         "tfidf_pruned": q_tfidf_pruned,
@@ -2049,8 +2118,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
-        "crawl_cycle": q_crawl_cycle,
-        "crawl_cycle_funnel": q_crawl_cycle_funnel,
         "outlinks": q_outlinks,
         "outlinks_resolved": q_outlinks_resolved,
         "robots_gate": q_robots_gate,
@@ -2837,6 +2904,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawl_cycle": _crawl_cycle_oracle_sql(),
         "crawl_cycle_funnel": _crawl_cycle_funnel_oracle_sql(),
+        "crawl_cycle_sitemap": _crawl_cycle_oracle_sql(_CRAWL_SITEMAP_ARMS),
         "frontier_schedule": """
             -- closed-form schedule: host = doc_id%10, per-host seq =
             -- doc_id//10 + 1 (zero-padded paths make url order = doc

@@ -149,3 +149,93 @@ def test_robots_map_flavor_equals_groupby_flavor(spark):
          for r in robots_allowed_map(urls, robots_rules_by_host(rules))
          .collect()}
     assert a == b
+
+
+def test_parse_sitemap_urls_formats():
+    """Pure-function coverage: namespaced urlset, sitemapindex,
+    plain-text format, gzip, entity unescape, tolerance."""
+    import gzip
+
+    from wine_label_ocr_spark.operators.sitemap import parse_sitemap_urls
+
+    xml = ('<?xml version="1.0" encoding="UTF-8"?>\n'
+           '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+           '  <url><loc> https://a.com/p1 </loc>'
+           '<lastmod>2024-01-02</lastmod></url>\n'
+           '  <url><loc>https://a.com/p?a=1&amp;b=2</loc></url>\n'
+           '  <url><lastmod>2024-01-01</lastmod></url>\n'  # no loc: skip
+           '</urlset>')
+    assert parse_sitemap_urls(xml) == [
+        ("https://a.com/p1", "2024-01-02", "url"),
+        ("https://a.com/p?a=1&b=2", None, "url"),  # entity unescaped
+    ]
+    # namespace-free spelling parses identically
+    assert parse_sitemap_urls(
+        "<urlset><url><loc>https://a.com/x</loc></url></urlset>") == [
+        ("https://a.com/x", None, "url")]
+    # sitemapindex children come back kind='sitemap'
+    idx = ('<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
+           'sitemap/0.9"><sitemap><loc>https://a.com/sm1.xml.gz</loc>'
+           '<lastmod>2024-02-03</lastmod></sitemap></sitemapindex>')
+    assert parse_sitemap_urls(idx) == [
+        ("https://a.com/sm1.xml.gz", "2024-02-03", "sitemap")]
+    # plain-text format: one URL per line, junk lines skipped
+    assert parse_sitemap_urls(
+        "https://t.com/1\nnot a url\n  HTTPS://t.com/2  \n") == [
+        ("https://t.com/1", None, "url"), ("HTTPS://t.com/2", None, "url")]
+    # gzip of the XML decodes transparently (bytes payload)
+    assert parse_sitemap_urls(gzip.compress(xml.encode())) == \
+        parse_sitemap_urls(xml)
+    # tolerance: malformed XML -> text fallback finds embedded nothing;
+    # wrong root, empty, None, binary junk all yield []
+    assert parse_sitemap_urls("<urlset><url><loc>x</loc>") == []
+    assert parse_sitemap_urls("<rss><item/></rss>") == []
+    assert parse_sitemap_urls("") == []
+    assert parse_sitemap_urls(None) == []
+    assert parse_sitemap_urls(b"\x1f\x8b\x00garbage") == []
+
+
+def test_parse_sitemap_op_and_crawl_seeding(spark):
+    """Spark op explode shape + the crawl_cycle(sitemaps=...) contract:
+    robots-DECLARED sitemap locs enter the candidate set (and then the
+    seen anti-join + robots gate + scheduler); undeclared sitemap
+    payloads inject nothing."""
+    from wine_label_ocr_spark.operators.sitemap import parse_sitemap
+
+    pages, robots, seen = _inputs(spark)
+    robots2 = spark.createDataFrame(
+        [("b.com", "User-agent: *\nDisallow: /priv/\nCrawl-delay: 2\n"
+          "Sitemap: https://b.com/sm.xml\n")],
+        "host string, robots_txt string")
+    sm_declared = ("<urlset>"
+                   "<url><loc>https://b.com/sm/new</loc></url>"
+                   "<url><loc>https://b.com/priv/sm</loc></url>"  # robots-blocked
+                   "<url><loc>https://b.com/x/1</loc></url>"      # dup of outlink
+                   "<url><loc>https://seen.com/old</loc></url>"   # already seen
+                   "</urlset>")
+    sm_rogue = "<urlset><url><loc>https://evil.com/p</loc></url></urlset>"
+    sitemaps = spark.createDataFrame(
+        [("https://b.com/sm.xml", sm_declared),
+         ("https://b.com/other.xml", sm_rogue)],
+        "url string, sitemap_xml string")
+    # op shape
+    rows = parse_sitemap(sitemaps).collect()
+    assert {(r["sitemap_url"], r["loc"], r["kind"]) for r in rows} == {
+        ("https://b.com/sm.xml", "https://b.com/sm/new", "url"),
+        ("https://b.com/sm.xml", "https://b.com/priv/sm", "url"),
+        ("https://b.com/sm.xml", "https://b.com/x/1", "url"),
+        ("https://b.com/sm.xml", "https://seen.com/old", "url"),
+        ("https://b.com/other.xml", "https://evil.com/p", "url")}
+    # composed: only the declared sitemap's allowed+unseen loc appears,
+    # alongside the outlink-derived schedule; evil.com never shows
+    sched = {r["url"]: r for r in
+             crawl_cycle(pages, robots2, seen, sitemaps=sitemaps).collect()}
+    assert "https://b.com/sm/new" in sched
+    assert sched["https://b.com/sm/new"]["delay_ms"] == 2000
+    assert "https://b.com/priv/sm" not in sched     # robots gate
+    assert "https://seen.com/old" not in sched      # seen anti-join
+    assert "https://evil.com/p" not in sched        # undeclared payload
+    # the sitemap-less call is byte-identical to before (dup of x/1
+    # collapses; candidate set unchanged)
+    base = {r["url"] for r in crawl_cycle(pages, robots2, seen).collect()}
+    assert {u for u in sched} == base | {"https://b.com/sm/new"}

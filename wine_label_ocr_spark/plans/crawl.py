@@ -42,6 +42,7 @@ from ..operators.frontier import schedule_frontier
 from ..operators.graph import extract_outlinks
 from ..operators.robots import (parse_robots_rules, robots_allowed_map,
                                 robots_directives, robots_rules_by_host)
+from ..operators.sitemap import parse_sitemap
 from ..operators.textops import canonical_url
 
 
@@ -63,14 +64,32 @@ def seen_url_fps(urls: DataFrame, url_col: str = "url",
 def _crawl_stages(pages: DataFrame, robots: DataFrame,
                   seen_fps: DataFrame | None,
                   default_delay_ms: int, n_workers: int,
-                  agent: str, oracle_safe: bool):
+                  agent: str, oracle_safe: bool,
+                  sitemaps: DataFrame | None = None):
     """The shared stage DAG: (links, candidates, unseen, allowed,
     schedule). One construction used by both ``crawl_cycle`` (the
     product) and ``crawl_cycle_funnel`` (its per-stage survivor counts,
     the driver gate), so the gate certifies the capstone's real stages,
-    not a twin — the ``plans/curate.py`` pattern."""
+    not a twin — the ``plans/curate.py`` pattern.
+
+    ``sitemaps`` is the fetched-sitemap table ``(url, sitemap_xml)``;
+    only files whose url a ``Sitemap:`` directive in THESE robots bytes
+    declares feed the frontier (a left-semi join against the exploded
+    directives — an undeclared sitemap payload cannot inject URLs),
+    and their ``kind='url'`` locs union into the candidate set BEFORE
+    the seen anti-join, so sitemap seeds get the same dedup/robots/
+    politeness treatment as extracted outlinks."""
+    dirs = robots_directives(robots, agent=agent)
     links = extract_outlinks(pages, resolve=True)
-    cand = (links.select(canonical_url(F.col("resolved")).alias("url"))
+    cand_urls = links.select(canonical_url(F.col("resolved")).alias("url"))
+    if sitemaps is not None:
+        declared = dirs.select(F.explode("sitemaps").alias("url")).distinct()
+        fetched = sitemaps.join(declared, "url", "left_semi")
+        seeds = (parse_sitemap(fetched)
+                 .filter(F.col("kind") == "url")
+                 .select(canonical_url(F.col("loc")).alias("url")))
+        cand_urls = cand_urls.unionAll(seeds)
+    cand = (cand_urls
             .filter(F.col("url").isNotNull())
             .distinct())
     unseen = cand
@@ -86,8 +105,7 @@ def _crawl_stages(pages: DataFrame, robots: DataFrame,
     rules = robots_rules_by_host(parse_robots_rules(robots, agent=agent))
     allowed = (robots_allowed_map(unseen, rules)
                .filter(F.col("allowed")).drop("allowed"))
-    delays = robots_directives(robots, agent=agent)
-    sched = schedule_frontier(allowed, delays,
+    sched = schedule_frontier(allowed, dirs,
                               default_delay_ms=default_delay_ms,
                               n_workers=n_workers,
                               delay_col="crawl_delay_ms",
@@ -99,18 +117,21 @@ def crawl_cycle(pages: DataFrame, robots: DataFrame,
                 seen_fps: DataFrame | None = None,
                 default_delay_ms: int = 1000, n_workers: int = 16,
                 agent: str = "*",
-                oracle_safe: bool = False) -> DataFrame:
+                oracle_safe: bool = False,
+                sitemaps: DataFrame | None = None) -> DataFrame:
     """One crawl cycle: fetched ``pages (url, html)`` + per-host
     ``robots (host, robots_txt)`` + the prior cycles' seen-URL store →
     the next fetch schedule ``(url, host, seq, worker, delay_ms,
-    fetch_offset_ms)``.
+    fetch_offset_ms)``. ``sitemaps (url, sitemap_xml)`` optionally
+    seeds the candidate set with robots-declared sitemap locs (see
+    ``_crawl_stages``).
 
     Feed the returned URLs to the fetcher fleet, then
     ``seen_url_fps(fetched).union(seen_fps).distinct()`` is the store
     for the cycle after — the crawl-over-crawl loop."""
     *_, sched = _crawl_stages(pages, robots, seen_fps,
                               default_delay_ms, n_workers, agent,
-                              oracle_safe)
+                              oracle_safe, sitemaps=sitemaps)
     return sched
 
 
@@ -118,7 +139,8 @@ def crawl_cycle_funnel(pages: DataFrame, robots: DataFrame,
                        seen_fps: DataFrame | None = None,
                        default_delay_ms: int = 1000, n_workers: int = 16,
                        agent: str = "*",
-                       oracle_safe: bool = False) -> DataFrame:
+                       oracle_safe: bool = False,
+                       sitemaps: DataFrame | None = None) -> DataFrame:
     """Per-stage survivor counts of the crawl cycle: ``(stage_idx,
     stage, n_urls)`` for outlinks → candidates → unseen → allowed →
     scheduled. ``scheduled == allowed`` is itself a pinned contract:
@@ -126,7 +148,7 @@ def crawl_cycle_funnel(pages: DataFrame, robots: DataFrame,
     guarantees http(s)), so the scheduler drops nothing."""
     links, cand, unseen, allowed, sched = _crawl_stages(
         pages, robots, seen_fps, default_delay_ms, n_workers, agent,
-        oracle_safe)
+        oracle_safe, sitemaps=sitemaps)
     # no cache(): the shared prefix re-executes per count branch, but
     # every stage here is cheap maps + hash joins (unlike curate.py's
     # funnel, where extraction dominates), and a session-lifetime cache
