@@ -239,3 +239,73 @@ def test_parse_sitemap_op_and_crawl_seeding(spark):
     # collapses; candidate set unchanged)
     base = {r["url"] for r in crawl_cycle(pages, robots2, seen).collect()}
     assert {u for u in sched} == base | {"https://b.com/sm/new"}
+
+
+def test_durable_seen_store_restart_loop(spark, tmp_path):
+    """TWO crawl cycles driven through the durable SeenUrlStore with a
+    simulated restart between them (fresh session state, store re-read
+    from disk): schedules must be identical to the in-memory
+    seen_url_fps loop, the second cycle's store commit must write only
+    NEW fingerprints (MERGE dedup), and a range-bounded read must
+    prune files via the manifest's fp footer stats."""
+    from wine_label_ocr_spark.plans.crawl import SeenUrlStore
+
+    pages, robots, seen0_mem = _inputs(spark)
+    root = str(tmp_path / "seen_store")
+
+    # seed the store with the same pre-seen URL the in-memory loop has
+    store = SeenUrlStore(root)
+    store.record_fetched(
+        spark, spark.createDataFrame([("https://seen.com/old",)],
+                                     "url string"))
+
+    # cycle 1: store-backed == in-memory
+    mem1 = {r["url"]: (r["seq"], r["delay_ms"])
+            for r in crawl_cycle(pages, robots, seen0_mem).collect()}
+    dur1_df = crawl_cycle(pages, robots, store.read(spark))
+    dur1 = {r["url"]: (r["seq"], r["delay_ms"]) for r in dur1_df.collect()}
+    assert dur1 == mem1 and len(dur1) == 4
+
+    # "fetch" the schedule, commit; MERGE dedup: re-committing the same
+    # URLs plus one new one writes exactly one new fp
+    store.record_fetched(spark, dur1_df.select("url"))
+    n_before = store.read(spark).count()
+    store.record_fetched(
+        spark, spark.createDataFrame(
+            [(u,) for u in mem1] + [("https://fresh.com/n",)],
+            "url string"))
+    assert store.read(spark).count() == n_before + 1
+
+    # simulated restart: new session state + a fresh store handle on
+    # the same root — nothing carried over in memory
+    spark2 = spark.newSession()
+    store2 = SeenUrlStore(root)
+    mem_seen2 = (seen0_mem.unionByName(seen_url_fps(dur1_df.select("url")))
+                 .unionByName(seen_url_fps(spark.createDataFrame(
+                     [("https://fresh.com/n",)], "url string")))
+                 .distinct())
+    pages2, robots2, _ = _inputs(spark2)
+    mem2 = {r["url"] for r in
+            crawl_cycle(pages2, robots2, mem_seen2).collect()}
+    dur2 = {r["url"] for r in
+            crawl_cycle(pages2, robots2, store2.read(spark2)).collect()}
+    assert dur2 == mem2 == set()  # everything fetched -> empty frontier
+
+    # expansion still schedules: a page linking somewhere new
+    pages3 = spark2.createDataFrame(
+        [("https://a.com/dir/p9", '<a href="https://b.com/x/new9">n</a>')],
+        "url string, html string")
+    dur3 = {r["url"] for r in
+            crawl_cycle(pages3, robots2, store2.read(spark2)).collect()}
+    assert dur3 == {"https://b.com/x/new9"}
+
+    # file-stats pruning: a point read on one fp touches fewer data
+    # files than the store holds (files are range-ordered on fp)
+    from wine_label_ocr_spark.operators.dedupe import _hash64
+    fp = (spark2.createDataFrame([("https://fresh.com/n",)], "url string")
+          .select(_hash64(F.col("url"), 0, False).alias("fp"))
+          .head()["fp"])
+    pruned = store2.read(spark2, key_between=(fp, fp))
+    assert pruned.filter(F.col("fp") == fp).count() == 1
+    assert (len(pruned.inputFiles())
+            < len(store2.table.current_files()))

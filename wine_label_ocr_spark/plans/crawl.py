@@ -61,6 +61,52 @@ def seen_url_fps(urls: DataFrame, url_col: str = "url",
             .distinct())
 
 
+class SeenUrlStore:
+    """Durable, restart-surviving seen-URL fingerprint store: the
+    ``seen_url_fps`` rows persisted through ``ManifestTable``
+    (``sources/table.py``) so the crawl-over-crawl loop can stop and
+    resume — a crawler that loses its seen set re-fetches the whole
+    frontier. Reference analog: the tracker's append-only seen-record
+    JSONL store (/root/reference/scan_and_store.py:58-119), upgraded
+    to snapshot-committed parquet.
+
+    Commit discipline per cycle: ``record_fetched`` MERGE-inserts the
+    fetched URLs' fingerprints (anti-join dedup against the current
+    snapshot, so the store never grows duplicate fps and each commit
+    writes only the cycle's NEW fingerprints). Rows are committed
+    range-ordered on ``fp`` (``repartitionByRange`` +
+    ``sortWithinPartitions``) with the sticky ``stats_col="fp"``, so
+    every data file covers a narrow fp range and ``read(key_between=
+    (lo, hi))`` prunes non-overlapping files from the manifest footer
+    stats BEFORE Spark lists them — at 10^12 URLs a range-bounded
+    probe (membership check, per-shard anti-join) touches only the
+    files whose range it can hit, not the whole store."""
+
+    def __init__(self, root: str, oracle_safe: bool = False,
+                 n_files_per_commit: int = 8):
+        from ..sources.table import ManifestTable
+        self.table = ManifestTable(root)
+        self.oracle_safe = oracle_safe
+        self.n_files_per_commit = n_files_per_commit
+
+    def read(self, spark, key_between: tuple | None = None) \
+            -> DataFrame | None:
+        """Current snapshot as ``(fp)`` — feed it to ``crawl_cycle``'s
+        ``seen_fps``; None while the store is empty (first cycle)."""
+        return self.table.read(spark, key_between=key_between)
+
+    def record_fetched(self, spark, fetched: DataFrame,
+                       url_col: str = "url") -> int:
+        """Fetched URLs → canonical 64-bit fps → MERGE-insert commit.
+        Returns the new snapshot id."""
+        fps = (seen_url_fps(fetched, url_col, self.oracle_safe)
+               .repartitionByRange(self.n_files_per_commit, "fp")
+               .sortWithinPartitions("fp"))
+        return self.table.merge_insert(spark, fps, key="fp",
+                                       stats_col="fp",
+                                       meta={"op": "record_fetched"})
+
+
 def _crawl_stages(pages: DataFrame, robots: DataFrame,
                   seen_fps: DataFrame | None,
                   default_delay_ms: int, n_workers: int,

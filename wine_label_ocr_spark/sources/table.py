@@ -225,19 +225,21 @@ class ManifestTable:
         return removed
 
     def merge_insert(self, spark: SparkSession, df: DataFrame, key: str,
-                     meta: dict[str, Any] | None = None) -> int:
+                     meta: dict[str, Any] | None = None,
+                     stats_col: str | None = None) -> int:
         """MERGE … WHEN NOT MATCHED THEN INSERT (S4/J11).
 
         Spark plan: left_anti join of the incoming batch against the current
         table on ``key``, then append. The anti join broadcasts the smaller
         side under AQE; at scale the store side would be pruned by partition
-        stats before the join.
+        stats before the join. ``stats_col`` passes through to ``append``
+        (sticky footer min/max stats for pruned reads).
         """
         cur = self.read(spark)
         new = df.dropDuplicates([key])
         if cur is not None:
             new = new.join(cur.select(key), key, "left_anti")
-        return self.append(new, meta=meta)
+        return self.append(new, meta=meta, stats_col=stats_col)
 
     def merge_upsert(self, spark: SparkSession, df: DataFrame, key: str,
                      meta: dict[str, Any] | None = None) -> int:
