@@ -3431,15 +3431,20 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "media_features": """
-            -- recomputes the expected decode of the synthetic PNG/JPEG
-            -- payloads straight from doc_id (the fixture makes dims a pure
-            -- function of it); feature_fp mirrors header_features' int basis
+            -- recomputes the expected decode of the synthetic
+            -- PNG/JPEG/animated-WebP payloads straight from doc_id (the
+            -- fixture makes dims a pure function of it); feature_fp
+            -- mirrors header_features' int basis; every 9th doc is an
+            -- animated WebP whose ANMF walk must report 1+doc_id%4
             SELECT concat('media:', CAST(doc_id AS VARCHAR)) AS url,
-                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS media_type,
+                   CASE WHEN doc_id % 9 = 0 THEN 'webp'
+                        WHEN doc_id % 2 = 0 THEN 'png'
+                        ELSE 'jpeg' END AS media_type,
                    CAST(16 + doc_id % 240 AS INT) AS width,
                    CAST(16 + (doc_id * 7) % 240 AS INT) AS height,
                    CAST(3 AS INT) AS channels,
-                   CAST(1 AS INT) AS n_frames,
+                   CAST(CASE WHEN doc_id % 9 = 0 THEN 1 + doc_id % 4
+                             ELSE 1 END AS INT) AS n_frames,
                    TRUE AS decode_ok,
                    CAST(NULL AS VARCHAR) AS error,
                    md5(array_to_string(list_transform(generate_series(0, 15),

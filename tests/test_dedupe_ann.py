@@ -1467,3 +1467,71 @@ def test_mp4_truncated_v1_mvhd_omits_duration():
                                                 box(b"mvhd", body))
     m2 = parse_mp4_header(p2)
     assert m2 is not None and m2["duration_ms"] == 90000
+
+
+def test_webp_animated_frame_walk():
+    """ANIM/ANMF structural walk: real encoder roundtrip, hand-built
+    chain edge cases, decode_stub n_frames plumbing, and
+    frame_sample_plan covering the animated-WebP format."""
+    import numpy as np
+
+    from wine_label_ocr_spark.operators.multimodal import (
+        decode_stub, encode_webp_animated, gif_frame_count,
+        parse_image_header, webp_frame_count, webp_frame_info)
+
+    f1 = np.full((2, 3, 3), (10, 20, 30), np.uint8)
+    f2 = np.full((2, 3, 3), (10, 20, 31), np.uint8)
+    p = encode_webp_animated([f1, f2, f1], [100, 40, 60], loop_count=5)
+    info = webp_frame_info(p)
+    assert info == {"n_frames": 3, "durations_ms": [100, 40, 60],
+                    "total_duration_ms": 200, "loop_count": 5}
+    assert webp_frame_count(p) == 3
+    # header parse sees the VP8X canvas; frames smaller than the canvas
+    pc = encode_webp_animated([f1], [80], canvas=(64, 48))
+    hdr = parse_image_header(pc)
+    assert (hdr["format"], hdr["width"], hdr["height"]) == ("webp", 64, 48)
+    assert webp_frame_info(pc)["n_frames"] == 1
+    # decode_stub reports the structural count (gif walk declines webp)
+    assert gif_frame_count(p) is None
+    assert decode_stub(p)["n_frames"] == 3
+    # non-animated lossless webp: walk declines, n_frames stays 1
+    from wine_label_ocr_spark.operators.multimodal import \
+        encode_webp_lossless
+    still = encode_webp_lossless(f1)
+    assert webp_frame_count(still) is None
+    assert decode_stub(still)["n_frames"] == 1
+    # tolerance: truncated mid-ANMF keeps the frames walked so far;
+    # VP8X without the ANIMATION flag or zero ANMF chunks -> None
+    assert webp_frame_info(p[:len(p) - 30])["n_frames"] == 2
+    noflag = bytearray(pc)
+    noflag[20] &= ~0x02
+    assert webp_frame_info(bytes(noflag)) is None
+    assert webp_frame_info(p[:44]) is None      # VP8X+ANIM, no frames
+    assert webp_frame_info(b"RIFF\x00\x00\x00\x00WEBPVP8L") is None
+    assert webp_frame_info(b"") is None
+
+
+def test_frame_sample_plan_covers_animated_webp(spark):
+    """extract_media_features + frame_sample_plan over an animated WebP
+    payload: the sample plan explodes the TRUE structural frame count
+    for both animated formats."""
+    import numpy as np
+
+    from wine_label_ocr_spark.operators.multimodal import (
+        encode_gif_animated, encode_webp_animated, extract_media_features,
+        frame_sample_plan)
+
+    f = np.full((2, 2, 3), (1, 2, 3), np.uint8)
+    webp = encode_webp_animated([f] * 5, [50] * 5)
+    idx = np.zeros((2, 2), np.uint8)
+    gif = encode_gif_animated([(idx, 0, 0)] * 3, palette=[(1, 2, 3)])
+    df = spark.createDataFrame(
+        [("w", bytearray(webp), "webp"), ("g", bytearray(gif), "gif")],
+        "url string, payload binary, media_type string")
+    feats = extract_media_features(df, fake=False)
+    nf = {r["url"]: r["n_frames"] for r in feats.collect()}
+    assert nf == {"w": 5, "g": 3}
+    plan = frame_sample_plan(feats, every_n=2)
+    idx = {(r["url"], r["frame_idx"]) for r in plan.collect()}
+    assert {i for u, i in idx if u == "w"} == {0, 2, 4}
+    assert {i for u, i in idx if u == "g"} == {0, 2}

@@ -254,15 +254,26 @@ def documents_as_pdf_pages(spark, sf_dir: str):
 
 
 def documents_as_media(spark, sf_dir: str):
-    """documents.parquet → real PNG/JPEG payloads, built 100% JVM-side.
+    """documents.parquet → real PNG/JPEG/animated-WebP payloads, built
+    100% JVM-side.
 
-    Each doc becomes a minimal-but-valid image header whose dimensions are a
+    Each doc becomes a minimal-but-valid image whose dimensions are a
     pure function of doc_id (width = 16 + doc_id % 240, height =
     16 + doc_id*7 % 240), so a DuckDB oracle can recompute the expected
     decode output without parsing bytes. Payload bytes are assembled with
     hex-string column algebra + ``to_binary`` — no Python in the plan.
+
+    Every 9th doc ships as a REAL animated WebP (VP8X ANIMATION flag +
+    ANIM + 1+doc_id%4 ANMF chunks, each embedding a constant 1×1 VP8L
+    frame — frames may be smaller than the canvas per the spec's
+    frame-region model): the constant ANMF chunk repeats k times and
+    only the RIFF size / canvas dims are column math, so the payload
+    stays JVM-built while ``webp_frame_count``'s structural walk must
+    report the true k for the oracle's n_frames to match.
     """
     from pyspark.sql import functions as F
+
+    from .operators.multimodal import encode_webp_animated
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     w = (F.lit(16) + F.col("doc_id") % 240).cast("int")
@@ -278,12 +289,37 @@ def documents_as_media(spark, sf_dir: str):
     # JPEG: SOI + SOF0(len=0x11, precision 8, h, w, 3 components) + EOI
     jpg_hex = F.concat(F.lit("ffd8ffc0001108"), h4, w4,
                        F.lit("03011100021101031101ffd9"))
+
+    # animated WebP: the constant 1x1 100 ms ANMF chunk comes from the
+    # real encoder (RIFF 12 + VP8X 18 + ANIM 14 = offset 44); the RIFF
+    # size and 24-bit canvas dims are little-endian column hex
+    ref = encode_webp_animated([[[(42, 43, 44)]]], [100])
+    anmf = ref[44:]
+    assert anmf[:4] == b"ANMF"
+
+    def le_hex(col, nbytes):
+        return F.concat(*[
+            F.lpad(F.lower(F.hex(F.shiftright(col.cast("long"), 8 * i)
+                                 % 256)), 2, "0")
+            for i in range(nbytes)])
+
+    k = (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int")
+    riff_size = F.lit(36) + F.lit(len(anmf)) * k
+    webp_hex = F.concat(
+        F.lit("52494646"), le_hex(riff_size, 4), F.lit("57454250"),
+        F.lit("565038580a000000" + "02000000"),        # VP8X, ANIM flag
+        le_hex(w - 1, 3), le_hex(h - 1, 3),
+        F.lit("414e494d06000000" + "000000000000"),    # ANIM, loop 0
+        F.repeat(F.lit(anmf.hex()), k))
+    is_anim = F.col("doc_id") % 9 == 0
     is_png = F.col("doc_id") % 2 == 0
     return d.select(
         F.concat(F.lit("media:"), F.col("doc_id").cast("string")).alias("url"),
-        F.to_binary(F.when(is_png, png_hex).otherwise(jpg_hex),
+        F.to_binary(F.when(is_anim, webp_hex).when(is_png, png_hex)
+                    .otherwise(jpg_hex),
                     F.lit("hex")).alias("payload"),
-        F.when(is_png, F.lit("png")).otherwise(F.lit("jpeg")).alias("media_type"))
+        F.when(is_anim, F.lit("webp")).when(is_png, F.lit("png"))
+        .otherwise(F.lit("jpeg")).alias("media_type"))
 
 
 def documents_as_media_pixels(spark, sf_dir: str):

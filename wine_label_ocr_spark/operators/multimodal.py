@@ -1934,6 +1934,83 @@ def encode_webp_lossless(rgb) -> bytes:
     return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
 
 
+def webp_frame_info(payload: bytes) -> dict | None:
+    """Animated-WebP structural frame walk: the ``gif_frame_count``
+    analog for the VP8X/ANIM/ANMF chunk chain. Counts ANMF chunks and
+    reads each frame's 24-bit duration WITHOUT decoding any frame
+    bitstream (frame raster decode is the documented seam behind the
+    VP8L transform work). Returns ``{n_frames, durations_ms,
+    total_duration_ms, loop_count}`` or None when the payload is not
+    an ANIMATION-flagged VP8X WebP. Tolerant — truncated chunk chains
+    yield the frames walked so far; never raises."""
+    p = bytes(payload or b"")
+    if len(p) < 30 or p[:4] != b"RIFF" or p[8:12] != b"WEBP":
+        return None
+    if p[12:16] != b"VP8X" or not (p[20] & 0x02):  # ANIMATION flag
+        return None
+    try:
+        durations: list[int] = []
+        loop = None
+        pos = 12
+        while pos + 8 <= len(p):
+            four = p[pos:pos + 4]
+            ln = int.from_bytes(p[pos + 4:pos + 8], "little")
+            body = p[pos + 8:pos + 8 + ln]
+            if four == b"ANIM" and len(body) >= 6:
+                loop = int.from_bytes(body[4:6], "little")
+            elif four == b"ANMF" and len(body) >= 16:
+                # x/2, y/2, w-1, h-1 (24-bit each), then duration
+                durations.append(int.from_bytes(body[12:15], "little"))
+            pos += 8 + ln + (ln & 1)
+        if not durations:
+            return None
+        return {"n_frames": len(durations), "durations_ms": durations,
+                "total_duration_ms": sum(durations),
+                "loop_count": loop}
+    except Exception:
+        return None
+
+
+def webp_frame_count(payload: bytes) -> int | None:
+    """Structural frame count for animated WebP (None otherwise) —
+    ``decode_stub``'s n_frames source, mirroring ``gif_frame_count``."""
+    info = webp_frame_info(payload)
+    return info["n_frames"] if info else None
+
+
+def encode_webp_animated(frames, durations_ms, loop_count: int = 0,
+                         canvas=None) -> bytes:
+    """Minimal legal ANIMATED WebP: VP8X (ANIMATION flag, canvas dims)
+    + ANIM + one ANMF per frame, each embedding a real VP8L bitstream
+    from ``encode_webp_lossless`` (same ≤2-values-per-channel fixture
+    regime). ``canvas=(w, h)`` overrides the canvas size (frames may
+    be smaller than the canvas, the spec's frame-region model)."""
+    import numpy as np
+    anmf_chunks = b""
+    fw = fh = 0
+    for rgb, dur in zip(frames, durations_ms):
+        a = np.asarray(rgb, dtype=np.uint8)
+        fh, fw = a.shape[:2]
+        inner = encode_webp_lossless(a)[12:]  # strip RIFF....WEBP
+        body = (b"\x00\x00\x00" b"\x00\x00\x00"      # x/2, y/2 = 0
+                + (fw - 1).to_bytes(3, "little")
+                + (fh - 1).to_bytes(3, "little")
+                + int(dur).to_bytes(3, "little")
+                + b"\x00"                            # no blend, keep
+                + inner)
+        anmf_chunks += b"ANMF" + len(body).to_bytes(4, "little") + body
+        if len(body) & 1:
+            anmf_chunks += b"\x00"
+    cw, ch = canvas if canvas is not None else (fw, fh)
+    vp8x = (b"VP8X" + (10).to_bytes(4, "little") + b"\x02\x00\x00\x00"
+            + (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little"))
+    anim = (b"ANIM" + (6).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+            + int(loop_count).to_bytes(2, "little"))
+    payload = vp8x + anim + anmf_chunks
+    return (b"RIFF" + (4 + len(payload)).to_bytes(4, "little") + b"WEBP"
+            + payload)
+
+
 def pixel_features(arr) -> list[float]:
     """REAL pixel statistics (16 dims, all in [0,1]-ish):
     [mean_c0..c3, std_c0..c3 (missing channels 0), overall mean, overall
@@ -1974,9 +2051,10 @@ def decode_stub(payload: bytes, fake: bool = False) -> dict:
     the remaining seam)."""
     hdr = parse_image_header(payload)
     if hdr is not None:
-        # real frame count for animated GIFs (structural walk, no LZW);
-        # single-frame formats report 1 as before
-        nf = gif_frame_count(payload) or 1
+        # real frame count for animated GIFs AND animated WebPs
+        # (structural walks, no bitstream decode); single-frame formats
+        # report 1 as before
+        nf = gif_frame_count(payload) or webp_frame_count(payload) or 1
         raster = decode_raster(payload)
         if raster is not None:
             h, w, c = raster.shape
