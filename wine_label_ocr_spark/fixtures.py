@@ -413,6 +413,54 @@ def documents_as_media_pixels_jpeg(spark, sf_dir: str):
         gen, schema="url string, payload binary, media_type string")
 
 
+def documents_as_media_pixels_jpeg_prog(spark, sf_dir: str):
+    """documents.parquet → quality-100 PROGRESSIVE JPEG payloads (SOF2
+    multi-scan streams), built distributed in ``mapInPandas``.
+
+    Same solid-gray closed-form regime as the baseline JPEG fixture
+    (value doc_id%256, size (8+doc_id%24) × (8+doc_id*7%24), doc_id%3
+    cycling RGB 4:4:4 / RGB 4:2:0 / grayscale), but the payload cycles
+    SCAN-SCRIPT shapes by doc_id%2: the default libjpeg-style script
+    (spectral selection + successive approximation with DC and AC
+    refinement passes) vs a spectral-selection-only script (Ah=Al=0) —
+    so a decoder that mishandles either progressive mode falls back to
+    header features and breaks the hash while the oracle stays
+    closed-form."""
+    from collections.abc import Iterable, Iterator
+
+    from .operators.multimodal import encode_jpeg_progressive
+
+    def gen(batches: Iterable) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % 24, 8 + (i * 7) % 24
+                v = i % 256
+                mode = i % 3
+                if mode == 2:
+                    arr = np.full((h, w), v, dtype=np.uint8)
+                    spectral = [([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0)]
+                    sub = (1, 1)
+                else:
+                    arr = np.full((h, w, 3), v, dtype=np.uint8)
+                    sub = (2, 2) if mode == 1 else (1, 1)
+                    spectral = [([0, 1, 2], 0, 0, 0, 0),
+                                ([0], 1, 63, 0, 0), ([1], 1, 63, 0, 0),
+                                ([2], 1, 63, 0, 0)]
+                scans = None if i % 2 == 0 else spectral
+                jpg = encode_jpeg_progressive(arr, quality=100,
+                                              subsampling=sub, scans=scans)
+                rows.append((f"mediajpgp:{i}", jpg, "jpeg"))
+            yield pd.DataFrame(rows, columns=["url", "payload", "media_type"])
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return d.mapInPandas(
+        gen, schema="url string, payload binary, media_type string")
+
+
 def documents_as_media_pixels_gif(spark, sf_dir: str):
     """documents.parquet → single-frame GIF payloads (real LZW streams),
     built distributed in ``mapInPandas``.

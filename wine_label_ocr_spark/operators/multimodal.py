@@ -834,9 +834,11 @@ def decode_jpeg(payload: bytes):
     byte-unstuffing and restart-marker resync, dequantize + inverse
     zigzag, exact float IDCT (orthonormal basis product), chroma
     upsample by replication, JFIF YCbCr→RGB. Supports 8-bit precision,
-    1 or 3 components, sampling factors 1-2. Returns (h, w, channels)
-    uint8, or None when the payload is not a decodable baseline JPEG
-    (progressive/arithmetic/12-bit fall back to header features —
+    1 or 3 components, sampling factors 1-2. PROGRESSIVE (SOF2) files
+    dispatch to ``_decode_jpeg_progressive`` (spectral selection +
+    successive approximation, DC/AC refinement passes). Returns
+    (h, w, channels) uint8, or None when the payload is not decodable
+    (lossless/arithmetic/12-bit fall back to header features —
     tolerant, never raises)."""
     import numpy as np
     p = bytes(payload or b"")
@@ -902,9 +904,12 @@ def decode_jpeg(payload: bytes):
                     cid, hv, tq = data[6 + 3 * c:9 + 3 * c]
                     comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                                   "tq": tq})
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            elif marker == 0xC2:
+                # progressive DCT: multi-scan coefficient accumulation
+                return _decode_jpeg_progressive(p)
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive/arithmetic: not baseline
+                return None  # lossless/arithmetic/12-bit: not supported
             elif marker == 0xDD:
                 dri = int.from_bytes(data[0:2], "big")
             elif marker == 0xDA:
@@ -1006,6 +1011,584 @@ def _decode_scan(p, pos, scan, qts, huffs, hh, ww, dri):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _comp_scan_blocks(comp, hh, ww, hmax, vmax) -> tuple[int, int]:
+    """Block grid of a component in a NON-INTERLEAVED scan (T.81
+    A.2.2): ceil over the component's own sample dims, which can be
+    smaller than the MCU-padded interleaved grid."""
+    cw = (ww * comp["h"] + hmax - 1) // hmax
+    ch = (hh * comp["v"] + vmax - 1) // vmax
+    return (cw + 7) // 8, (ch + 7) // 8
+
+
+def _decode_jpeg_progressive(p: bytes):
+    """REAL progressive JPEG (SOF2) raster decode: the multi-scan
+    coefficient-accumulation model of T.81 Annex G — spectral
+    selection (per-band AC scans, EOBRUN run-length coding),
+    successive approximation (point-transformed first passes + DC/AC
+    refinement passes with correction bits), interleaved DC scans and
+    non-interleaved single-component scans over the component's OWN
+    block grid, restart-marker resync, tables redefinable between
+    scans. Coefficients accumulate across scans; dequantize + IDCT +
+    upsample + color-convert run once at EOI. Tolerant: anything
+    malformed → None (header-features fallback), never raises.
+
+    Kept separate from the certified baseline path (byte-identity
+    freeze) — shares only the table parsers' formats, ``_BitReader``,
+    and the IDCT basis."""
+    import numpy as np
+    try:
+        qts: dict = {}
+        huffs: dict = {}
+        comps = None
+        coefs = None
+        hh = ww = None
+        hmax = vmax = 1
+        dri = 0
+        i = 2
+        while i + 4 <= len(p):
+            if p[i] != 0xFF:
+                return None
+            marker = p[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker == 0xD9:
+                break
+            if 0xD0 <= marker <= 0xD8:
+                i += 2
+                continue
+            seglen = int.from_bytes(p[i + 2:i + 4], "big")
+            data = p[i + 4:i + 2 + seglen]
+            if marker == 0xDB:
+                j = 0
+                while j < len(data):
+                    pq, tq = data[j] >> 4, data[j] & 0x0F
+                    if pq != 0:
+                        return None
+                    tbl = [0] * 64
+                    for k in range(64):
+                        tbl[_ZIGZAG[k]] = data[j + 1 + k]
+                    qts[tq] = tbl
+                    j += 65
+            elif marker == 0xC4:
+                j = 0
+                while j < len(data):
+                    tc, th = data[j] >> 4, data[j] & 0x0F
+                    bits = list(data[j + 1:j + 17])
+                    n = sum(bits)
+                    vals = list(data[j + 17:j + 17 + n])
+                    dec = {}
+                    code, k = 0, 0
+                    for length in range(1, 17):
+                        for _ in range(bits[length - 1]):
+                            dec[(length, code)] = vals[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    huffs[(tc, th)] = dec
+                    j += 17 + n
+            elif marker == 0xC2:
+                if data[0] != 8:
+                    return None
+                hh = int.from_bytes(data[1:3], "big")
+                ww = int.from_bytes(data[3:5], "big")
+                nc = data[5]
+                if nc not in (1, 3) or not hh or not ww:
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = data[6 + 3 * c:9 + 3 * c]
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                                  "tq": tq})
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+                    return None
+                mcus_x = (ww + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (hh + 8 * vmax - 1) // (8 * vmax)
+                coefs = [np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
+                                  np.int32) for c in comps]
+            elif marker == 0xDD:
+                dri = int.from_bytes(data[0:2], "big")
+            elif marker == 0xDA:
+                if coefs is None:
+                    return None
+                ns = data[0]
+                scan = []
+                for c in range(ns):
+                    cs, tables = data[1 + 2 * c], data[2 + 2 * c]
+                    ci = next(k for k, x in enumerate(comps)
+                              if x["id"] == cs)
+                    scan.append((ci, tables >> 4, tables & 0x0F))
+                ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+                ah_al = data[3 + 2 * ns]
+                ah, al = ah_al >> 4, ah_al & 0x0F
+                br = _BitReader(p, i + 2 + seglen)
+                _progressive_scan(br, scan, coefs, comps, ss, se, ah, al,
+                                  huffs, hh, ww, hmax, vmax, dri)
+                j = br.pos
+                while j + 1 < len(p) and not (
+                        p[j] == 0xFF and p[j + 1] != 0x00
+                        and not 0xD0 <= p[j + 1] <= 0xD7):
+                    j += 1
+                i = j
+                continue
+            i += 2 + seglen
+        if coefs is None:
+            return None
+        # dequantize (zigzag → natural) + vectorized IDCT per component
+        A = _dct_basis()
+        zig = np.array(_ZIGZAG, np.int64)
+        planes = []
+        for ci, comp in enumerate(comps):
+            qt = qts[comp["tq"]]
+            qtz = np.array([qt[_ZIGZAG[k]] for k in range(64)], np.float64)
+            grid = coefs[ci]
+            bh, bw = grid.shape[:2]
+            nat = np.zeros((bh * bw, 64))
+            nat[:, zig] = grid.reshape(-1, 64) * qtz
+            blocks = np.einsum("ij,njk,kl->nil", A.T,
+                               nat.reshape(-1, 8, 8), A) + 128.0
+            plane = (blocks.reshape(bh, bw, 8, 8)
+                     .transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+            ry, rx = vmax // comp["v"], hmax // comp["h"]
+            if ry > 1 or rx > 1:
+                plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+            planes.append(plane[:hh, :ww])
+        if len(planes) == 1:
+            out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+            return out[:, :, None]
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=2)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    except Exception:
+        return None  # tolerant parse (ST8): undecodable → header fallback
+
+
+def _progressive_scan(br, scan, coefs, comps, ss, se, ah, al, huffs,
+                      hh, ww, hmax, vmax, dri):
+    """Decode ONE progressive scan into the coefficient grids (zigzag
+    order). Four shapes per T.81 G.2: DC first / DC refine (ns ≥ 1,
+    MCU-interleaved when ns > 1), AC first / AC refine (ns == 1,
+    non-interleaved, EOBRUN)."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        preds = [0] * len(scan)
+        if len(scan) > 1:
+            mcus_x = (ww + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (hh + 8 * vmax - 1) // (8 * vmax)
+            n = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if dri and n and n % dri == 0:
+                        br.sync_restart()
+                        preds = [0] * len(scan)
+                    for si, (ci, td, _) in enumerate(scan):
+                        comp = comps[ci]
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                blk = coefs[ci][my * comp["v"] + by,
+                                                mx * comp["h"] + bx]
+                                _dc_unit(br, blk, ah, al, huffs, td,
+                                         preds, si)
+                    n += 1
+        else:
+            ci, td, _ = scan[0]
+            bw_s, bh_s = _comp_scan_blocks(comps[ci], hh, ww, hmax, vmax)
+            n = 0
+            for by in range(bh_s):
+                for bx in range(bw_s):
+                    if dri and n and n % dri == 0:
+                        br.sync_restart()
+                        preds = [0] * len(scan)
+                    _dc_unit(br, coefs[ci][by, bx], ah, al, huffs, td,
+                             preds, 0)
+                    n += 1
+        return
+    if len(scan) != 1:
+        raise ValueError("interleaved AC scan")
+    ci, _, ta = scan[0]
+    ac_tab = huffs[(1, ta)]
+    bw_s, bh_s = _comp_scan_blocks(comps[ci], hh, ww, hmax, vmax)
+    eobrun = 0
+    n = 0
+    for by in range(bh_s):
+        for bx in range(bw_s):
+            if dri and n and n % dri == 0:
+                br.sync_restart()
+                eobrun = 0
+            n += 1
+            blk = coefs[ci][by, bx]
+            if ah == 0:
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.decode_huff(ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past Se")
+                    v = br.bits(s)
+                    if v < (1 << (s - 1)):
+                        v += 1 - (1 << s)
+                    blk[k] = v << al if v > 0 else -((-v) << al)
+                    k += 1
+            else:
+                eobrun = _ac_refine_unit(br, blk, ss, se, al, ac_tab,
+                                         eobrun)
+
+
+def _dc_unit(br, blk, ah, al, huffs, td, preds, si):
+    if ah == 0:
+        s = br.decode_huff(huffs[(0, td)])
+        diff = br.bits(s)
+        if s and diff < (1 << (s - 1)):
+            diff += 1 - (1 << s)
+        preds[si] += diff
+        blk[0] = preds[si] << al
+    elif br.bits(1):
+        blk[0] |= 1 << al  # refinement: append the next magnitude bit
+
+
+def _ac_refine_unit(br, blk, ss, se, al, ac_tab, eobrun) -> int:
+    """AC successive-approximation refinement for one block (T.81
+    G.1.2.3 / the classical libjpeg-equivalent control flow): newly
+    nonzero coefficients arrive as (zero-history-run, size-1) symbols;
+    coefficients already nonzero consume one correction bit each and
+    do NOT count toward runs; EOB runs still carry correction bits for
+    the blocks they cover."""
+    p1 = 1 << al
+
+    def correct(k):
+        if br.bits(1) and (abs(int(blk[k])) & p1) == 0:
+            blk[k] += p1 if blk[k] > 0 else -p1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.decode_huff(ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            v = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # r == 15: ZRL = a run of 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("AC refine size > 1")
+                v = p1 if br.bits(1) else -p1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if v:
+                if k > se:
+                    raise ValueError("refine placement past Se")
+                blk[k] = v
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+# flat Huffman tables for the progressive encoder: every symbol one
+# fixed-length code (16 DC symbols @5 bits, 251 AC symbols @9 bits —
+# Kraft-feasible, all-ones code unused). Annex-K tables cannot encode
+# progressive streams at all: they lack the EOBn symbols (r<<4 with
+# size 0 for r in 1..14) baseline never uses.
+_PROG_DC_TABLE = ([0, 0, 0, 0, 16] + [0] * 11, list(range(16)))
+_PROG_AC_TABLE = ([0] * 8 + [251] + [0] * 7, list(range(251)))
+
+
+def encode_jpeg_progressive(arr, quality: int = 100, subsampling=(1, 1),
+                            scans=None) -> bytes:
+    """PROGRESSIVE JPEG encoder (SOF2): same DCT/quantization front
+    half as ``encode_jpeg``, then the coefficients leave in multiple
+    scans driven by a scan script — ``[(comp_indices, Ss, Se, Ah,
+    Al), ...]``, default = the classic libjpeg-style progression
+    (DC-first at Al=1, banded AC-first passes, then DC and AC
+    refinement passes to Al=0), so spectral selection AND successive
+    approximation (EOBRUN coding, correction bits) are all exercised.
+    Fixture builder: flat Huffman tables (compression irrelevant),
+    no restart markers."""
+    import numpy as np
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nc = a.shape
+    if nc not in (1, 3):
+        raise ValueError("encode_jpeg_progressive expects 1 or 3 channels")
+    sh, sv = (int(subsampling[0]), int(subsampling[1])) if nc == 3 else (1, 1)
+    if sh not in (1, 2) or sv not in (1, 2):
+        raise ValueError("subsampling factors must be 1 or 2")
+    A = _dct_basis()
+    qt_l = _scaled_qt(_QT_LUMA, quality)
+    qt_c = _scaled_qt(_QT_CHROMA, quality)
+
+    f = a.astype(np.float64)
+    if nc == 3:
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+    else:
+        planes = [f[:, :, 0]]
+
+    mcu_w, mcu_h = 8 * sh, 8 * sv
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    def pad_to(p, ph, pw):
+        out = np.empty((ph, pw))
+        out[:p.shape[0], :p.shape[1]] = p
+        out[p.shape[0]:, :p.shape[1]] = p[-1:, :]
+        out[:p.shape[0], p.shape[1]:] = p[:, -1:]
+        out[p.shape[0]:, p.shape[1]:] = p[-1, -1]
+        return out
+
+    comp_factors, comp_qt, coefs = [], [], []
+    for ci, pl in enumerate(planes):
+        if ci == 0:
+            cp = pad_to(pl, mcus_y * mcu_h, mcus_x * mcu_w)
+            comp_factors.append((sh, sv))
+            comp_qt.append(qt_l)
+        else:
+            if sh > 1 or sv > 1:
+                pp = pad_to(pl, ((h + sv - 1) // sv) * sv,
+                            ((w + sh - 1) // sh) * sh)
+                pl = pp.reshape(pp.shape[0] // sv, sv,
+                                pp.shape[1] // sh, sh).mean(axis=(1, 3))
+            cp = pad_to(pl, mcus_y * 8, mcus_x * 8)
+            comp_factors.append((1, 1))
+            comp_qt.append(qt_c)
+        cp = cp - 128.0
+        bh, bw = cp.shape[0] // 8, cp.shape[1] // 8
+        qt = comp_qt[-1]
+        grid = np.zeros((bh, bw, 64), np.int32)
+        for by in range(bh):
+            for bx in range(bw):
+                coeff = A @ cp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] @ A.T
+                for k in range(64):
+                    grid[by, bx, k] = int(round(
+                        coeff.flat[_ZIGZAG[k]] / qt[_ZIGZAG[k]]))
+        coefs.append(grid)
+
+    if scans is None:
+        if nc == 3:
+            scans = [([0, 1, 2], 0, 0, 0, 1),
+                     ([0], 1, 5, 0, 2), ([2], 1, 63, 0, 1),
+                     ([1], 1, 63, 0, 1), ([0], 6, 63, 0, 2),
+                     ([0], 1, 63, 2, 1), ([0, 1, 2], 0, 0, 1, 0),
+                     ([2], 1, 63, 1, 0), ([1], 1, 63, 1, 0),
+                     ([0], 1, 63, 1, 0)]
+        else:
+            scans = [([0], 0, 0, 0, 1), ([0], 1, 5, 0, 2),
+                     ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+                     ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0)]
+
+    dc_codes = _huff_codes(*_PROG_DC_TABLE)
+    ac_codes = _huff_codes(*_PROG_AC_TABLE)
+    comps_meta = [{"h": fh, "v": fv} for fh, fv in comp_factors]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(qt_l[z] for z in _ZIGZAG))
+    if nc == 3:
+        out += seg(0xDB, bytes([1]) + bytes(qt_c[z] for z in _ZIGZAG))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([nc])
+    for ci in range(nc):
+        fh, fv = comp_factors[ci]
+        sof += bytes((ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1))
+    out += seg(0xC2, bytes(sof))
+    out += seg(0xC4, bytes([0x00]) + bytes(_PROG_DC_TABLE[0])
+               + bytes(_PROG_DC_TABLE[1]))
+    out += seg(0xC4, bytes([0x10]) + bytes(_PROG_AC_TABLE[0])
+               + bytes(_PROG_AC_TABLE[1]))
+
+    for comp_ids, ss, se, ah, al in scans:
+        sos = bytearray([len(comp_ids)])
+        for ci in comp_ids:
+            sos += bytes((ci + 1, 0x00))
+        sos += bytes((ss, se, (ah << 4) | al))
+        out += seg(0xDA, bytes(sos))
+        bw_ = _BitWriter()
+        _encode_progressive_scan(bw_, comp_ids, coefs, comps_meta,
+                                 ss, se, ah, al, dc_codes, ac_codes,
+                                 h, w, sh, sv)
+        bw_.pad()
+        out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_progressive_scan(bw, comp_ids, coefs, comps_meta, ss, se,
+                             ah, al, dc_codes, ac_codes, hh, ww,
+                             hmax, vmax):
+    """Emit one progressive scan's entropy-coded segment — the exact
+    dual of ``_progressive_scan``/``_ac_refine_unit``."""
+    if ss == 0:
+        preds = [0] * len(comp_ids)
+        units = []
+        if len(comp_ids) > 1:
+            mcus_y = coefs[0].shape[0] // comps_meta[0]["v"]
+            mcus_x = coefs[0].shape[1] // comps_meta[0]["h"]
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for si, ci in enumerate(comp_ids):
+                        c = comps_meta[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                units.append((si, coefs[ci][
+                                    my * c["v"] + by, mx * c["h"] + bx]))
+        else:
+            ci = comp_ids[0]
+            bw_s, bh_s = _comp_scan_blocks(comps_meta[ci], hh, ww,
+                                           hmax, vmax)
+            for by in range(bh_s):
+                for bx in range(bw_s):
+                    units.append((0, coefs[ci][by, bx]))
+        for si, blk in units:
+            v = int(blk[0]) >> al  # arithmetic shift: DC point transform
+            if ah == 0:
+                diff = v - preds[si]
+                preds[si] = v
+                s = _bit_category(diff)
+                ln, code = dc_codes[s]
+                bw.put(code, ln)
+                if s:
+                    bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            else:
+                bw.put(v & 1, 1)
+        return
+
+    ci = comp_ids[0]
+    bw_s, bh_s = _comp_scan_blocks(comps_meta[ci], hh, ww, hmax, vmax)
+    eobrun = 0
+    pending_bits: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ln, code = ac_codes[r << 4]
+            bw.put(code, ln)
+            if r:
+                bw.put(eobrun - (1 << r), r)
+            eobrun = 0
+        for bit in pending_bits:
+            bw.put(bit, 1)
+        pending_bits.clear()
+
+    for by in range(bh_s):
+        for bx in range(bw_s):
+            blk = coefs[ci][by, bx]
+            if ah == 0:
+                vals = [int(blk[k]) for k in range(ss, se + 1)]
+                tv = [v >> al if v > 0 else -((-v) >> al) for v in vals]
+                last = len(tv) - 1
+                while last >= 0 and tv[last] == 0:
+                    last -= 1
+                if last < 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for v in tv[:last + 1]:
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_codes[0xF0]
+                        bw.put(code, ln)
+                        run -= 16
+                    s = _bit_category(v)
+                    ln, code = ac_codes[(run << 4) | s]
+                    bw.put(code, ln)
+                    bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < len(tv) - 1:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            else:
+                # refinement: mirror of _ac_refine_unit
+                absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                eob = -1
+                for idx, t in enumerate(absv):
+                    if t == 1:
+                        eob = idx
+                run = 0
+                br_bits: list[int] = []
+                for idx, t in enumerate(absv):
+                    if t == 0:
+                        run += 1
+                        continue
+                    # ZRL flush BEFORE buffering this position's bit:
+                    # the decoder consumes exactly 16 zero-history
+                    # positions per ZRL, correcting only the history
+                    # coefficients that lie before the 16th zero —
+                    # positional order must be preserved. Runs that
+                    # extend past the last new coefficient fold into
+                    # the EOB run instead (idx <= eob guard).
+                    while run > 15 and idx <= eob:
+                        flush_eob()
+                        ln, code = ac_codes[0xF0]
+                        bw.put(code, ln)
+                        run -= 16
+                        for bit in br_bits:
+                            bw.put(bit, 1)
+                        br_bits = []
+                    if t > 1:  # history-nonzero: correction bit only
+                        br_bits.append(t & 1)
+                        continue
+                    flush_eob()
+                    ln, code = ac_codes[(run << 4) | 1]
+                    bw.put(code, ln)
+                    bw.put(1 if blk[ss + idx] > 0 else 0, 1)
+                    for bit in br_bits:
+                        bw.put(bit, 1)
+                    br_bits = []
+                    run = 0
+                if run > 0 or br_bits:
+                    eobrun += 1
+                    pending_bits.extend(br_bits)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+    flush_eob()
 
 
 # ---------------------------------------------------------------------------
@@ -2041,11 +2624,12 @@ def header_features(width: int, height: int, channels: int) -> list[float]:
 
 
 def decode_stub(payload: bytes, fake: bool = False) -> dict:
-    """Header-real decode, raster-real for PNG / baseline JPEG / GIF /
-    WebP-lossless: a
+    """Header-real decode, raster-real for PNG / baseline AND
+    progressive JPEG / GIF / WebP-lossless: a
     payload with a decodable raster gets TRUE pixel statistics
     (``decode_raster`` → ``pixel_features``); header-only or
-    undecodable images (progressive JPEG) fall back to header-derived
+    undecodable images (lossy-VP8 WebP, arithmetic/12-bit JPEG) fall
+    back to header-derived
     features; otherwise the deterministic fake (``fake=True``) or
     ``NotImplementedError`` (audio/video resample still needs ffmpeg —
     the remaining seam)."""
@@ -2153,7 +2737,8 @@ def dhash64_raster(arr) -> int:
 
 def decode_raster(payload: bytes):
     """Format-dispatched REAL raster decode: PNG (``decode_png``),
-    baseline JPEG (``decode_jpeg``), GIF (``decode_gif``), or
+    baseline + progressive JPEG (``decode_jpeg``), GIF
+    (``decode_gif``), or
     WebP-lossless (``decode_webp``) → (h, w, c) uint8; None for
     anything else (lossy VP8 and the documented VP8L seams fall back
     to the header path)."""
