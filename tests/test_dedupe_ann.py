@@ -1621,3 +1621,109 @@ def test_jpeg_progressive_dhash_and_tolerance():
     sof_at = bad.find(b"\xff\xc2")
     bad[sof_at + 4] = 12
     assert decode_jpeg(bytes(bad)) is None
+
+
+def test_webp_predictor_and_crosscolor_e2e():
+    """Encoder-emitted predictor / cross-color / chained transforms
+    all decode back to the source raster, for every one of the 14
+    predictor modes and for multi-tile (4px) grids — the libwebp
+    default output shape the r6 decoder declined (RFC 9649 §4.2.2)."""
+    import numpy as np
+
+    from wine_label_ocr_spark.operators.multimodal import (
+        decode_webp, encode_webp_lossless)
+
+    a = np.zeros((11, 13, 3), np.uint8)
+    a[:, :] = (57, 201, 9)
+    for mode in range(14):
+        wp = encode_webp_lossless(a, predictor_mode=mode)
+        out = decode_webp(wp)
+        assert out is not None and (out == a).all(), f"mode {mode}"
+    # hostile stream declaring reserved predictor mode 14: tolerant None
+    # (hand-built — the encoder itself refuses to emit it)
+    from wine_label_ocr_spark.operators.multimodal import (
+        _VP8LBitWriter, _emit_uniform_subimage)
+    bw = _VP8LBitWriter()
+    bw.put(0x2F, 8)
+    bw.put(1, 14)  # w=2
+    bw.put(1, 14)  # h=2
+    bw.put(0, 1)
+    bw.put(0, 3)
+    bw.put(1, 1)   # transform present
+    bw.put(0, 2)   # type 0: predictor
+    bw.put(0, 3)   # size_bits=2 -> one tile
+    _emit_uniform_subimage(bw, (0, 0, 14, 0))
+    bw.put(0, 1)   # no more transforms
+    _emit_uniform_subimage(bw, (0, 0, 0, 0))  # cache bit + 5 codes, 0-bit px
+    assert decode_webp(_vp8l_container(bw.bytes())) is None
+    for cc in [(3, 250, 17), (0, 0, 0), (128, 255, 1)]:
+        assert (decode_webp(encode_webp_lossless(a, cross_color=cc))
+                == a).all()
+        assert (decode_webp(encode_webp_lossless(
+            a, predictor_mode=11, cross_color=cc)) == a).all()
+    # multi-tile: transform_bits=2 -> 4px tiles, 3x3 grid on 10x10
+    small = a[:10, :10]
+    assert (decode_webp(encode_webp_lossless(
+        small, predictor_mode=7, transform_bits=2)) == small).all()
+    assert (decode_webp(encode_webp_lossless(
+        small, predictor_mode=2, cross_color=(9, 8, 7),
+        transform_bits=2)) == small).all()
+
+
+def test_webp_transform_inverse_on_random_rasters():
+    """The pure-Python inverse transforms undo the forward transforms
+    on RANDOM pixel data for all 14 predictor modes (exercising the
+    spec border rules: top-left predicts 0xff000000, top row L, left
+    column T, rightmost column's TR wraps to the current row's first
+    pixel) and for signed cross-color deltas. The simple-code encoder
+    cannot emit these rasters; this pins the inverse algebra itself."""
+    import random
+
+    from wine_label_ocr_spark.operators.multimodal import (
+        _forward_crosscolor, _forward_predictor,
+        _vp8l_inverse_crosscolor, _vp8l_inverse_predictor)
+
+    rng = random.Random(42)
+    for mode in range(14):
+        w, h = rng.randint(2, 9), rng.randint(2, 9)
+        px = [(255, rng.randrange(256), rng.randrange(256),
+               rng.randrange(256)) for _ in range(w * h)]
+        res = _forward_predictor(px, w, h, mode)
+        back = _vp8l_inverse_predictor(res, w, h, 9,
+                                       [(0, 0, mode, 0)], 1)
+        assert back == px, f"predictor mode {mode}"
+    for cc in [(200, 19, 255), (1, 2, 3)]:
+        px = [(255, rng.randrange(256), rng.randrange(256),
+               rng.randrange(256)) for _ in range(35)]
+        fwd = _forward_crosscolor(px, *cc)
+        back = _vp8l_inverse_crosscolor(
+            fwd, 7, 5, 9, [(0, cc[2], cc[1], cc[0])], 1)
+        assert back == px, f"cross-color {cc}"
+
+
+def test_webp_transform_dhash_invariance():
+    """The SAME raster encoded plain / predictor / cross-color /
+    chained yields one dHash — transform choice is invisible to
+    perceptual dedup, matching the PNG/GIF/JPEG invariance pins."""
+    import numpy as np
+
+    from wine_label_ocr_spark.operators.multimodal import (
+        decode_raster, dhash64_raster, encode_webp_lossless)
+
+    # two-tone with bottom = 2 x top (mod 256): the predictor residual
+    # at the tone boundary equals the top color, so the corner and
+    # boundary residuals coincide and the simple-code encoder's
+    # <=2-distinct-values-per-channel constraint holds post-transform
+    a = np.zeros((16, 18, 3), np.uint8)
+    a[:8] = (100, 60, 40)
+    a[8:] = (200, 120, 80)
+    variants = [
+        encode_webp_lossless(a),
+        encode_webp_lossless(a, predictor_mode=1),
+        encode_webp_lossless(a, predictor_mode=2),
+        encode_webp_lossless(a, cross_color=(77, 3, 211)),
+        encode_webp_lossless(a, predictor_mode=2,
+                             cross_color=(1, 128, 255)),
+    ]
+    hashes = {dhash64_raster(decode_raster(v)) for v in variants}
+    assert len(hashes) == 1

@@ -511,9 +511,16 @@ def documents_as_media_pixels_webp(spark, sf_dir: str):
     color (doc_id%256, doc_id*3%256, doc_id*7%256), size
     (8+doc_id%24) × (8+doc_id*7%24) — so the decoded raster is exact
     and the expected pixel statistics stay a closed-form function of
-    doc_id (the GIF/PNG gate pattern; two-tone and the richer decoder
-    paths — normal codes, LZ77, cache, palette bundling — are
-    pytest-pinned on hand-built streams)."""
+    doc_id (the GIF/PNG gate pattern). The bitstream SHAPE cycles per
+    doc_id%4 to pin every transform path through the hash gate: 0 =
+    plain literal stream, 1 = predictor transform (mode = doc_id%14,
+    incl. the 4px-tile multi-tile grid when doc_id%2==1), 2 =
+    cross-color (doc_id-derived signed deltas), 3 = predictor AND
+    cross-color chained. Transforms are lossless, so the oracle's
+    closed-form stats are unchanged; any inverse-transform bug (border
+    rules, tile lookup, delta algebra, inversion order) breaks the
+    means. Richer entropy paths — normal codes, LZ77, cache, palette
+    bundling — are pytest-pinned on hand-built streams."""
     from collections.abc import Iterable, Iterator
 
     from .operators.multimodal import encode_webp_lossless
@@ -528,8 +535,16 @@ def documents_as_media_pixels_webp(spark, sf_dir: str):
                 w, h = 8 + i % 24, 8 + (i * 7) % 24
                 rgb = np.zeros((h, w, 3), np.uint8)
                 rgb[:, :] = (i % 256, (i * 3) % 256, (i * 7) % 256)
+                variant = i % 4
+                pred = i % 14 if variant in (1, 3) else None
+                cc = (((i * 11) % 256, (i * 13) % 256, (i * 17) % 256)
+                      if variant in (2, 3) else None)
+                tb = 2 if variant == 1 and i % 2 == 1 else 9
                 rows.append((f"mediawebp:{i:09d}",
-                             encode_webp_lossless(rgb), "webp"))
+                             encode_webp_lossless(
+                                 rgb, predictor_mode=pred,
+                                 cross_color=cc, transform_bits=tb),
+                             "webp"))
             yield pd.DataFrame(rows, columns=["url", "payload",
                                               "media_type"])
 

@@ -2369,13 +2369,113 @@ def mp4_metadata(df: DataFrame, id_col: str = "url",
                     "parse_ok boolean")
 
 
+def _vp8l_avg2(p, q):
+    return tuple((p[c] + q[c]) >> 1 for c in range(4))
+
+
+def _vp8l_predict(mode, left, top, tl, tr):
+    """One VP8L predictor (RFC 9649 §4.2.2 modes 0–13) over ARGB
+    4-tuples; raises on mode > 13 (tolerant outer → None)."""
+    if mode == 0:
+        return (255, 0, 0, 0)  # 0xff000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(left, tr), top)
+    if mode == 6:
+        return _vp8l_avg2(left, tl)
+    if mode == 7:
+        return _vp8l_avg2(left, top)
+    if mode == 8:
+        return _vp8l_avg2(tl, top)
+    if mode == 9:
+        return _vp8l_avg2(top, tr)
+    if mode == 10:
+        return _vp8l_avg2(_vp8l_avg2(left, tl), _vp8l_avg2(top, tr))
+    if mode == 11:  # Select: Manhattan-closer of L/T to the gradient
+        est = [left[c] + top[c] - tl[c] for c in range(4)]
+        p_l = sum(abs(est[c] - left[c]) for c in range(4))
+        p_t = sum(abs(est[c] - top[c]) for c in range(4))
+        return left if p_l < p_t else top
+    if mode == 12:  # ClampAddSubtractFull
+        return tuple(min(255, max(0, left[c] + top[c] - tl[c]))
+                     for c in range(4))
+    if mode == 13:  # ClampAddSubtractHalf (C-truncating /2)
+        out = []
+        for c in range(4):
+            a = (left[c] + top[c]) >> 1
+            d = a - tl[c]
+            half = d // 2 if d >= 0 else -((-d) // 2)
+            out.append(min(255, max(0, a + half)))
+        return tuple(out)
+    raise ValueError(f"VP8L predictor mode {mode}")
+
+
+def _vp8l_inverse_predictor(px, w, h, size_bits, tiles, tw):
+    """Invert the predictor transform: ``px`` holds per-channel
+    residuals; reconstruct row-major, per-tile mode from the
+    subresolution image's GREEN channel, spec border rules (top-left
+    pixel predicts 0xff000000, top row L, left column T, and the
+    rightmost column's TR is the CURRENT row's leftmost pixel)."""
+    out: list = []
+    for y in range(h):
+        base = y * w
+        for x in range(w):
+            res = px[base + x]
+            if x == 0 and y == 0:
+                pred = (255, 0, 0, 0)
+            elif y == 0:
+                pred = out[base + x - 1]
+            elif x == 0:
+                pred = out[base + x - w]
+            else:
+                mode = tiles[(y >> size_bits) * tw + (x >> size_bits)][2]
+                i = base + x
+                left, top, tl = out[i - 1], out[i - w], out[i - w - 1]
+                tr = out[i - w + 1] if x + 1 < w else out[base]
+                pred = _vp8l_predict(mode, left, top, tl, tr)
+            out.append(tuple((res[c] + pred[c]) & 0xFF for c in range(4)))
+    return out
+
+
+def _i8(v: int) -> int:
+    return v - 256 if v >= 128 else v
+
+
+def _ct_delta(t: int, c: int) -> int:
+    """ColorTransformDelta: int8 × int8, arithmetic shift right 5."""
+    return (_i8(t) * _i8(c)) >> 5
+
+
+def _vp8l_inverse_crosscolor(px, w, h, size_bits, tiles, tw):
+    """Invert the cross-color transform: per-tile ColorTransformElement
+    packed as (red=red_to_blue, green=green_to_blue, blue=green_to_red);
+    red recovers first, then blue uses the RECOVERED red."""
+    out: list = []
+    for i, (a, r, g, b) in enumerate(px):
+        y, x = divmod(i, w)
+        t = tiles[(y >> size_bits) * tw + (x >> size_bits)]
+        r = (r + _ct_delta(t[3], g)) & 0xFF
+        b = (b + _ct_delta(t[2], g) + _ct_delta(t[1], r)) & 0xFF
+        out.append((a, r, g, b))
+    return out
+
+
 def decode_webp(payload: bytes):
     """REAL WebP-LOSSLESS (VP8L) raster decode, stdlib-only, for the
     common subset: simple AND normal (code-length-coded) prefix codes,
-    LZ77 backward references (1-D distances), the color cache, the
-    subtract-green transform, and color-indexing (palette) including
-    sub-byte pixel bundling. Documented seams (tolerant → None, the
-    progressive-JPEG policy): predictor/cross-color transforms, meta
+    LZ77 backward references (1-D distances), the color cache, ALL
+    FOUR transforms — predictor (14 modes, per-tile mode selection,
+    the spec's border rules incl. the rightmost-column TR exception),
+    cross-color (signed ColorTransformDelta algebra), subtract-green,
+    and color-indexing (palette) including sub-byte pixel bundling.
+    Remaining seams (tolerant → None): meta
     prefix codes, 2-D short-distance codes, and lossy VP8. Returns
     (h, w, 3) uint8 RGB or None."""
     import numpy as np
@@ -2432,8 +2532,16 @@ def decode_webp(payload: bytes):
                     else 1 if ct_size <= 16 else 0
                 transforms.append(("palette", wb))
                 w_eff = (w + (1 << wb) - 1) >> wb
-            else:
-                return None  # predictor / cross-color: documented seam
+            else:  # t == 0 predictor / t == 1 cross-color
+                size_bits = br.read(3) + 2
+                tw = (w_eff + (1 << size_bits) - 1) >> size_bits
+                th = (h + (1 << size_bits) - 1) >> size_bits
+                tiles = _vp8l_entropy_image(br, tw, th)
+                if tiles is None:
+                    return None
+                transforms.append((
+                    "predictor" if t == 0 else "crosscolor",
+                    size_bits, tw, tiles, w_eff))
         px = _vp8l_entropy_image(br, w_eff, h, top_level=True)
         if px is None:
             return None
@@ -2459,6 +2567,12 @@ def decode_webp(payload: bytes):
             elif t[0] == "subgreen":
                 px = [(a, (r + g) & 0xFF, g, (b + g) & 0xFF)
                       for a, r, g, b in px]
+            elif t[0] == "predictor":
+                px = _vp8l_inverse_predictor(px, t[4], h, t[1], t[3],
+                                             t[2])
+            elif t[0] == "crosscolor":
+                px = _vp8l_inverse_crosscolor(px, t[4], h, t[1], t[3],
+                                              t[2])
         arr = np.array([(r, g, b) for a, r, g, b in px],
                        np.uint8).reshape(h, w, 3)
         return arr
@@ -2466,11 +2580,71 @@ def decode_webp(payload: bytes):
         return None  # tolerant parse (ST8): undecodable → None
 
 
-def encode_webp_lossless(rgb) -> bytes:
+def _emit_uniform_subimage(bw, px) -> None:
+    """Emit a subresolution (transform tile) image whose pixels are
+    ALL ``px``: no cache, five simple 1-symbol prefix codes in read
+    order (green, red, blue, alpha, distance) — every pixel then costs
+    zero bits, so one emission covers any tile-grid size."""
+    bw.put(0, 1)  # no color cache
+    for v in (px[2], px[1], px[3], px[0], 0):
+        bw.put(1, 1)  # simple code
+        bw.put(0, 1)  # one symbol
+        bw.put(1, 1)  # first symbol in 8 bits
+        bw.put(v, 8)
+
+
+def _forward_predictor(px, w, h, mode):
+    """Forward predictor transform (the encoder side): residual =
+    (pixel - predicted) mod 256 per channel, same border rules as the
+    inverse; neighbors come from the ORIGINAL pixels (the decoder
+    reconstructs them exactly — losslessness)."""
+    out = []
+    for y in range(h):
+        base = y * w
+        for x in range(w):
+            cur = px[base + x]
+            if x == 0 and y == 0:
+                pred = (255, 0, 0, 0)
+            elif y == 0:
+                pred = px[base + x - 1]
+            elif x == 0:
+                pred = px[base + x - w]
+            else:
+                i = base + x
+                left, top, tl = px[i - 1], px[i - w], px[i - w - 1]
+                tr = px[i - w + 1] if x + 1 < w else px[base]
+                pred = _vp8l_predict(mode, left, top, tl, tr)
+            out.append(tuple((cur[c] - pred[c]) & 0xFF for c in range(4)))
+    return out
+
+
+def _forward_crosscolor(px, g2r, g2b, r2b):
+    """Forward cross-color: subtract the deltas the inverse adds; the
+    red_to_blue term uses the ORIGINAL red (what the inverse recovers
+    before it touches blue)."""
+    out = []
+    for a, r, g, b in px:
+        tr_ = (r - _ct_delta(g2r, g)) & 0xFF
+        tb_ = (b - _ct_delta(g2b, g) - _ct_delta(r2b, r)) & 0xFF
+        out.append((a, tr_, g, tb_))
+    return out
+
+
+def encode_webp_lossless(rgb, predictor_mode: int | None = None,
+                         cross_color: tuple | None = None,
+                         transform_bits: int = 9) -> bytes:
     """Minimal LEGAL VP8L encoder (stdlib): literal-only stream, no
-    transforms, no color cache, SIMPLE prefix codes — which constrains
-    each channel to ≤2 distinct values (the fixture regime; a solid or
-    two-tone image costs ≤1 bit/channel/pixel). Fixture builder for the
+    color cache, SIMPLE prefix codes — which constrains
+    each channel to ≤2 distinct values AFTER transforms (the fixture
+    regime; a solid or
+    two-tone image costs ≤1 bit/channel/pixel). ``predictor_mode``
+    emits a predictor transform with that single mode in every tile;
+    ``cross_color=(g2r, g2b, r2b)`` (uint8 two's-complement deltas)
+    emits a cross-color transform — both use ``transform_bits``-sized
+    tiles (default 512px: one tile for fixture-scale images, a uniform
+    multi-tile grid beyond). Transform order predictor-then-cross-color
+    in the stream, so the decoder inverts cross-color first. Fixture
+    builder for the
     WebP gate; richer decoder paths (normal codes, LZ77, cache,
     palette) are exercised by hand-built streams in pytest."""
     import numpy as np
@@ -2482,17 +2656,33 @@ def encode_webp_lossless(rgb) -> bytes:
     bw.put(h - 1, 14)
     bw.put(0, 1)  # alpha unused
     bw.put(0, 3)  # version
-    bw.put(0, 1)  # no transforms
+    px = [(255, int(a[y, x, 0]), int(a[y, x, 1]), int(a[y, x, 2]))
+          for y in range(h) for x in range(w)]
+    if predictor_mode is not None:
+        bw.put(1, 1)
+        bw.put(0, 2)  # transform type 0: predictor
+        bw.put(transform_bits - 2, 3)
+        _emit_uniform_subimage(bw, (0, 0, predictor_mode, 0))
+        px = _forward_predictor(px, w, h, predictor_mode)
+    if cross_color is not None:
+        g2r, g2b, r2b = cross_color
+        bw.put(1, 1)
+        bw.put(1, 2)  # transform type 1: cross-color
+        bw.put(transform_bits - 2, 3)
+        # tile pixel packs (red=r2b, green=g2b, blue=g2r)
+        _emit_uniform_subimage(bw, (0, r2b, g2b, g2r))
+        px = _forward_crosscolor(px, g2r, g2b, r2b)
+    bw.put(0, 1)  # no more transforms
     bw.put(0, 1)  # no color cache
     bw.put(0, 1)  # no meta prefix codes
-    chans = [sorted({int(v) for v in a[:, :, c].reshape(-1)})
-             for c in (1, 0, 2)]  # green, red, blue (green code first)
+    chans = [sorted({p[c] for p in px})
+             for c in (2, 1, 3, 0)]  # green, red, blue, alpha read order
     for vals in chans:
         if len(vals) > 2:
             raise ValueError("simple-code encoder: ≤2 distinct values "
                              "per channel required")
     codes = []
-    for vals in chans + [[255], [0]]:  # + alpha, distance
+    for vals in chans + [[0]]:         # + distance
         bw.put(1, 1)                   # simple code
         bw.put(len(vals) - 1, 1)
         bw.put(1, 1)                   # first symbol in 8 bits
@@ -2500,16 +2690,16 @@ def encode_webp_lossless(rgb) -> bytes:
         if len(vals) == 2:
             bw.put(vals[1], 8)
         codes.append({v: i for i, v in enumerate(vals)})
-    gmap, rmap, bmap = codes[0], codes[1], codes[2]
-    for y in range(h):
-        for x in range(w):
-            r, g, b = (int(v) for v in a[y, x])
-            if len(gmap) == 2:
-                bw.put(gmap[g], 1)
-            if len(rmap) == 2:
-                bw.put(rmap[r], 1)
-            if len(bmap) == 2:
-                bw.put(bmap[b], 1)
+    gmap, rmap, bmap, amap = codes[0], codes[1], codes[2], codes[3]
+    for p in px:
+        if len(gmap) == 2:
+            bw.put(gmap[p[2]], 1)
+        if len(rmap) == 2:
+            bw.put(rmap[p[1]], 1)
+        if len(bmap) == 2:
+            bw.put(bmap[p[3]], 1)
+        if len(amap) == 2:
+            bw.put(amap[p[0]], 1)
     stream = bw.bytes()
     chunk = b"VP8L" + len(stream).to_bytes(4, "little") + stream
     if len(stream) & 1:
