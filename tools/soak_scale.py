@@ -143,8 +143,175 @@ def run_ivfadc(n_vecs: int) -> dict:
         spark.stop()
 
 
+def _shuffle_totals(port: int) -> tuple[int, int]:
+    """Sum (shuffle_read_bytes, shuffle_write_bytes) over all completed
+    stages via the Spark UI REST API — the cycle-level shuffle-size
+    evidence the crawl-loop soak records (deltas between samples)."""
+    import urllib.request
+    base = f"http://localhost:{port}/api/v1"
+    apps = json.load(urllib.request.urlopen(f"{base}/applications"))
+    app_id = apps[0]["id"]
+    stages = json.load(urllib.request.urlopen(
+        f"{base}/applications/{app_id}/stages?status=complete"))
+    return (sum(s.get("shuffleReadBytes", 0) for s in stages),
+            sum(s.get("shuffleWriteBytes", 0) for s in stages))
+
+
+def run_crawlloop(n_pages: int) -> dict:
+    """Two full crawl-over-crawl cycles at N pages with the DURABLE
+    seen store (r6 VERDICT #8): cycle 1 schedules the frontier from
+    batch-1 pages, the "fetcher" marks the scheduled URLs seen
+    (``SeenUrlStore.record_fetched`` MERGE commit), cycle 2 runs over
+    a fresh batch of N pages whose outlinks overlap batch 1's URL
+    universe plus per-host ``/fresh2/K`` links that exist only in
+    batch 2 — so the second cycle's seen anti-join must prune the
+    entire overlap (row-count evidence: unseen2 ≪ candidates2) and
+    schedule ONLY the new expansion (every cycle-2 URL is /fresh2/).
+    The store also carries every fetched PAGE url fp (corpus-sized
+    membership set — ~N rows of 8-byte fps), so the anti-join probes a
+    store at corpus scale, not just the few-thousand-row frontier."""
+    from pyspark.sql import functions as F
+
+    from wine_label_ocr_spark.fixtures import pages_spark
+    from wine_label_ocr_spark.plans.crawl import (SeenUrlStore, _crawl_stages,
+                                                  crawl_cycle)
+    from wine_label_ocr_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+    ui_port = 4099
+    spark = get_spark(app="soak_crawlloop", master="local[32]",
+                      shuffle_partitions=128,
+                      extra_conf={"spark.ui.enabled": "true",
+                                  "spark.ui.port": str(ui_port)})
+    spark.sparkContext.setLogLevel("ERROR")
+    base = tempfile.mkdtemp(prefix="wlos_crawlloop_")
+    store_dir = os.path.join(base, "seen_store")
+    try:
+        from wine_label_ocr_spark.fixtures import COLD_HOSTS, HOT_HOSTS
+        hosts = HOT_HOSTS + COLD_HOSTS
+        robots = spark.createDataFrame(
+            [(h, f"User-agent: *\nDisallow: /x\n"
+                 f"Crawl-delay: {0.25 * (k % 8 + 1)}\n")
+             for k, h in enumerate(hosts)],
+            "host string, robots_txt string")
+
+        def store_stats():
+            files = glob.glob(os.path.join(store_dir, "data", "commit-*",
+                                           "*.parquet"))
+            return (len(files), sum(os.path.getsize(f) for f in files))
+
+        # batch 1: pages 0..N; batch 2: pages N..2N (a later fetch
+        # round over the same host universe) + per-host fresh links
+        def pages_batch(lo):
+            from wine_label_ocr_spark.fixtures import PAGES_DDL, make_page
+
+            def gen(batches):
+                import pandas as pd
+                for pdf in batches:
+                    rows = [make_page(int(i)) for i in pdf["id"]]
+                    out = pd.DataFrame(rows)
+                    yield out[["url", "warc_ts", "html", "text", "lang"]]
+            return (spark.range(lo, lo + n_pages, 1, 128)
+                    .mapInPandas(gen, schema=PAGES_DDL))
+
+        pq1, pq2 = os.path.join(base, "b1"), os.path.join(base, "b2")
+        t0 = time.time()
+        pages_batch(0).write.parquet(pq1)
+        fresh = F.encode(F.concat(
+            F.lit('<ul><li><a href="/fresh2/'),
+            (F.xxhash64("url") % 20).cast("string"),
+            F.lit('">new</a></li></ul>')), "utf-8")
+        pages_batch(n_pages).withColumn(
+            "html", F.concat(F.col("html"), fresh)).write.parquet(pq2)
+        t_ingest = time.time() - t0
+        b1 = spark.read.parquet(pq1)
+        b2 = spark.read.parquet(pq2)
+
+        store = SeenUrlStore(store_dir)
+        sr0, sw0 = _shuffle_totals(ui_port)
+
+        # ---- cycle 1: batch-1 fetched pages are seen; schedule ----
+        t1 = time.time()
+        store.record_fetched(spark, b1)
+        t_seed = time.time() - t1
+        seen = store.read(spark)
+        t1 = time.time()
+        sched1 = crawl_cycle(b1, robots, seen.select("fp"))
+        s1 = sched1.select("url").cache()
+        n_sched1 = s1.count()          # ONE full-DAG pass (headline wall)
+        t_cycle1 = time.time() - t1
+        t1 = time.time()
+        _, cand, unseen, _, _ = _crawl_stages(
+            b1, robots, seen.select("fp"), 1000, 16, "*", False)
+        c_cand1, c_unseen1 = cand.count(), unseen.count()
+        t_funnel1 = time.time() - t1   # evidence passes, reported apart
+        sr1, sw1 = _shuffle_totals(ui_port)
+
+        # ---- "fetch" the scheduled URLs; MERGE commit ----
+        t2 = time.time()
+        rows_before = store.read(spark).count()
+        store.record_fetched(spark, s1)
+        rows_after = store.read(spark).count()
+        t_commit = time.time() - t2
+        files1, bytes1 = store_stats()
+
+        # ---- cycle 2: batch-2 pages, store must prune the overlap ----
+        seen2 = store.read(spark).select("fp")
+        t3 = time.time()
+        s2 = crawl_cycle(b2, robots, seen2).select("url").cache()
+        n_sched2 = s2.count()          # ONE full-DAG pass (headline wall)
+        t_cycle2 = time.time() - t3
+        t3 = time.time()
+        _, cand2, unseen2, _, _ = _crawl_stages(
+            b2, robots, seen2, 1000, 16, "*", False)
+        c_cand2, c_unseen2 = cand2.count(), unseen2.count()
+        n_fresh_only = s2.filter(F.col("url").contains("/fresh2/")).count()
+        n_overlap = s2.join(s1, "url", "inner").count()
+        t_funnel2 = time.time() - t3
+        sr2, sw2 = _shuffle_totals(ui_port)
+
+        assert n_overlap == 0, "cycle-2 schedule re-issued a seen URL"
+        assert n_fresh_only == n_sched2, "cycle 2 scheduled non-new URLs"
+        # exact prune evidence: the anti-join removes from cycle 2's
+        # candidates precisely the URLs cycle 1 scheduled and "fetched"
+        # (robots-disallowed links stay unseen forever by design — they
+        # are never fetched — and /fresh2 links are genuinely new)
+        assert c_cand2 - c_unseen2 == n_sched1, \
+            f"anti-join pruned {c_cand2 - c_unseen2}, expected {n_sched1}"
+        assert rows_after - rows_before == n_sched1, \
+            "MERGE commit row growth != scheduled count"
+        return {"soak": "crawlloop", "n_pages": n_pages,
+                "ingest_sec": round(t_ingest, 1),
+                "seed_commit_sec": round(t_seed, 1),
+                "cycle1_sec": round(t_cycle1, 1),
+                "funnel1_sec": round(t_funnel1, 1),
+                "commit_sec": round(t_commit, 1),
+                "cycle2_sec": round(t_cycle2, 1),
+                "funnel2_sec": round(t_funnel2, 1),
+                "docs_per_sec_c1": round(n_pages / t_cycle1, 1),
+                "docs_per_sec_c2": round(n_pages / t_cycle2, 1),
+                "candidates_c1": c_cand1, "unseen_c1": c_unseen1,
+                "scheduled_c1": n_sched1,
+                "candidates_c2": c_cand2, "unseen_c2": c_unseen2,
+                "scheduled_c2": n_sched2,
+                "sched2_all_fresh": n_fresh_only == n_sched2,
+                "sched_overlap": n_overlap,
+                "store_rows": rows_after, "store_new_rows_commit2":
+                    rows_after - rows_before,
+                "store_files": files1,
+                "store_mb": round(bytes1 / 1e6, 2),
+                "shuffle_read_mb_c1": round((sr1 - sr0) / 1e6, 1),
+                "shuffle_write_mb_c1": round((sw1 - sw0) / 1e6, 1),
+                "shuffle_read_mb_c2": round((sr2 - sr1) / 1e6, 1),
+                "shuffle_write_mb_c2": round((sw2 - sw1) / 1e6, 1)}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     which = sys.argv[1]
     n = int(sys.argv[2])
-    out = run_capstone(n) if which == "capstone" else run_ivfadc(n)
+    out = {"capstone": run_capstone, "ivfadc": run_ivfadc,
+           "crawlloop": run_crawlloop}[which](n)
     print("SOAKRESULT " + json.dumps(out))
