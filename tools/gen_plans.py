@@ -181,6 +181,14 @@ def main() -> None:
          "for the verdict) → frontier schedule. The only wide shuffles "
          "are the candidate distinct and the host window.",
          E.q_crawl_cycle(spark, SF)),
+        ("crawl_cycle_sitemap — robots-declared sitemap seeds union in",
+         "Sitemap locs parse in one Arrow map over the tiny fetched-"
+         "sitemap table, gate through a left-semi join against the "
+         "exploded robots Sitemap: directives (undeclared payloads "
+         "cannot inject), and unionAll into the candidate set BEFORE "
+         "the distinct — the seed path adds zero page-side shuffles; "
+         "the union reuses the cycle's one candidate distinct.",
+         E.q_crawl_cycle_sitemap(spark, SF)),
         ("gif_frames — multi-frame decode is a pure map",
          "The frame explode happens INSIDE the Arrow kernel (one input "
          "row → n_frames output rows): zero Exchange, partitioning "
