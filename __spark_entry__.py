@@ -1016,6 +1016,25 @@ def q_media_frames(spark, sf):  # multimodal: ANIMATED GIF multi-frame decode
             .orderBy("url", "frame_idx"))
 
 
+def q_media_frames_webp(spark, sf):  # multimodal: ANIMATED WebP raster decode
+    """Animated WebP (VP8X/ANIM/ANMF, 2-4 frames) -> per-frame
+    composited rasters with EXACT integer channel sums -- the
+    ``media_frames`` twin over the WebP container, unlocked by the
+    full VP8L transform decoder. The fixture cycles the flag byte
+    (no-blend replace / opaque alpha-blend / dispose-to-background
+    against the NONZERO ANIM background color) and offset frames, so
+    a hash match proves the ANMF walk, sub-stream VP8L decode,
+    offset compositing, blend arithmetic, and background disposal are
+    all value-faithful."""
+    from wine_label_ocr_spark.fixtures import documents_as_media_frames_webp
+    from wine_label_ocr_spark.operators.multimodal import webp_frames
+    pages = documents_as_media_frames_webp(spark, sf)
+    return (webp_frames(pages)
+            .select("url", "frame_idx", "n_frames", "height", "width",
+                    "sum_r", "sum_g", "sum_b", "decode_ok")
+            .orderBy("url", "frame_idx"))
+
+
 def q_compression_ratio(spark, sf):  # textops: zlib repetitiveness signal
     """Rows-only gate (zlib output is library-defined, so no value oracle —
     like ivf_topk): per-lang histogram of compressed/raw size ratio
@@ -2114,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_cycle_funnel": q_crawl_cycle_funnel,
         "crawl_cycle_sitemap": q_crawl_cycle_sitemap,
         "media_pixels_jpeg_prog": q_media_pixels_jpeg_prog,
+        "media_frames_webp": q_media_frames_webp,
         # ---- entries below here absorb the driver's ~50-entry cap ----
         # cap-absorbing tail: r6 hash-green, code untouched this round
         "tfidf_pruned": q_tfidf_pruned,
@@ -2865,6 +2885,43 @@ def oracle_sql() -> dict[str, str]:
         "phase_trace": _phase_trace_oracle_sql(),
         "pq_topk": _pq_oracle_sql(),
         "ivfadc_topk": _ivfadc_oracle_sql(),
+        "media_frames_webp": """
+            -- the media_frames closed form over the WebP container
+            -- (same palette/geometry; dispose-to-background uses the
+            -- ANIM background color (200,210,220) -- numerically the
+            -- same constants as the GIF fixture's bg palette slot):
+            -- frame 0 = 256*pal[c0]; k>=1 = 192*pal[c0] + 64*pal[ck]
+            -- (keep / opaque blend) or 192*bg + 64*pal[ck] (dispose,
+            -- every 5th doc); c0 = doc_id%3, ck = (doc_id+k)%3
+            WITH ks AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(k)),
+            f AS (SELECT doc_id, k, 2 + doc_id % 3 AS n,
+                         CAST(doc_id % 3 AS INT) AS c0,
+                         CAST((doc_id + k) % 3 AS INT) AS ck,
+                         doc_id % 5 = 0 AS d2
+                  FROM documents CROSS JOIN ks
+                  WHERE k < 2 + doc_id % 3)
+            SELECT 'mediawebpfr:' || printf('%09d', doc_id) AS url,
+                   CAST(k AS INT) AS frame_idx, CAST(n AS INT) AS n_frames,
+                   16 AS height, 16 AS width,
+                   CAST(CASE WHEN k = 0 THEN 256 * [10,40,70][c0 + 1]
+                        WHEN d2 THEN 192 * 200 + 64 * [10,40,70][ck + 1]
+                        ELSE 192 * [10,40,70][c0 + 1]
+                             + 64 * [10,40,70][ck + 1] END AS BIGINT)
+                       AS sum_r,
+                   CAST(CASE WHEN k = 0 THEN 256 * [20,50,80][c0 + 1]
+                        WHEN d2 THEN 192 * 210 + 64 * [20,50,80][ck + 1]
+                        ELSE 192 * [20,50,80][c0 + 1]
+                             + 64 * [20,50,80][ck + 1] END AS BIGINT)
+                       AS sum_g,
+                   CAST(CASE WHEN k = 0 THEN 256 * [30,60,90][c0 + 1]
+                        WHEN d2 THEN 192 * 220 + 64 * [30,60,90][ck + 1]
+                        ELSE 192 * [30,60,90][c0 + 1]
+                             + 64 * [30,60,90][ck + 1] END AS BIGINT)
+                       AS sum_b,
+                   TRUE AS decode_ok
+            FROM f
+            ORDER BY url, frame_idx
+        """,
         "media_frames": """
             -- closed-form per-frame channel sums (see q_media_frames):
             -- pal = [[10,20,30],[40,50,60],[70,80,90],[200,210,220]],

@@ -1727,3 +1727,83 @@ def test_webp_transform_dhash_invariance():
     ]
     hashes = {dhash64_raster(decode_raster(v)) for v in variants}
     assert len(hashes) == 1
+
+
+def test_webp_animated_raster_compositing_matrix():
+    """decode_webp_frames composites ANMF frames per the container
+    spec: no-blend replaces the offset rect, dispose-to-background
+    restores ONLY the frame's rect to the ANIM background color, and
+    opaque alpha-blend equals replace. Sums are exact integers."""
+    import numpy as np
+
+    from wine_label_ocr_spark.operators.multimodal import (
+        decode_webp_frames, encode_webp_animated, encode_webp_lossless,
+        webp_frame_count)
+
+    c0, c1, c2 = (10, 20, 30), (200, 100, 50), (7, 77, 177)
+    f0 = np.zeros((16, 16, 3), np.uint8)
+    f0[:, :] = c0
+    p1 = np.zeros((8, 8, 3), np.uint8)
+    p1[:, :] = c1
+    p2 = np.zeros((8, 8, 3), np.uint8)
+    p2[:, :] = c2
+
+    # keep/no-blend: each patch replaces the previous at (4,4)
+    wp = encode_webp_animated([f0, p1, p2], [100] * 3, canvas=(16, 16),
+                              offsets=[(0, 0), (4, 4), (4, 4)],
+                              flags=[0x02] * 3)
+    fr = decode_webp_frames(wp)
+    assert webp_frame_count(wp) == 3 and len(fr) == 3
+    sums = [f.sum(axis=(0, 1)) for f in fr]
+    assert (sums[0] == np.array(c0) * 256).all()
+    assert (sums[1] == np.array(c0) * 192 + np.array(c1) * 64).all()
+    assert (sums[2] == np.array(c0) * 192 + np.array(c2) * 64).all()
+
+    # dispose-to-background: frame 1's rect restores to bg before
+    # frame 2 draws over the SAME rect -> same sum as keep; but a
+    # frame 2 at a DIFFERENT offset shows the bg-restored rect
+    wp = encode_webp_animated([f0, p1, p2], [100] * 3, canvas=(16, 16),
+                              offsets=[(0, 0), (4, 4), (8, 8)],
+                              flags=[0x02, 0x03, 0x02],
+                              bgcolor=(9, 11, 13, 255))
+    fr = decode_webp_frames(wp)
+    sums = [f.sum(axis=(0, 1)) for f in fr]
+    assert (sums[1] == np.array(c0) * 192 + np.array(c1) * 64).all()
+    # frame 1's disposed rect (4..11)^2 overlaps frame 2's (8..15)^2 by
+    # 4x4: canvas = 144 px c0 + 48 px bg + 64 px c2
+    assert (sums[2] == np.array(c0) * 144 + np.array((9, 11, 13)) * 48
+            + np.array(c2) * 64).all()
+
+    # opaque alpha-blend == replace
+    wp = encode_webp_animated([f0, p1], [50, 50], canvas=(16, 16),
+                              offsets=[(0, 0), (4, 4)], flags=[0x00, 0x00])
+    fr = decode_webp_frames(wp)
+    assert (fr[1].sum(axis=(0, 1))
+            == np.array(c0) * 192 + np.array(c1) * 64).all()
+
+    # tolerance: garbage, still image, truncated ANMF chain
+    assert decode_webp_frames(b"garbage") is None
+    assert decode_webp_frames(encode_webp_lossless(f0)) is None
+    assert decode_webp_frames(wp[:len(wp) - 8]) is not None  # frames so far
+
+
+def test_webp_frames_true_total_past_cap(spark):
+    """webp_frames caps emitted rows at max_frames but still reports
+    the TRUE structural ANMF count (the gif_frames no-silent-cap
+    contract), so frame_sample_plan sees the real total."""
+    import numpy as np
+
+    from wine_label_ocr_spark.operators.multimodal import (
+        encode_webp_animated, webp_frames)
+
+    f = np.full((4, 4, 3), (5, 6, 7), np.uint8)
+    wp = encode_webp_animated([f] * 7, [10] * 7)
+    df = spark.createDataFrame([("u", bytearray(wp))],
+                               "url string, payload binary")
+    rows = webp_frames(df, max_frames=3).collect()
+    assert len(rows) == 3
+    assert all(r["n_frames"] == 7 for r in rows)
+    assert all(r["decode_ok"] for r in rows)
+    bad = webp_frames(spark.createDataFrame(
+        [("b", bytearray(b"nope"))], "url string, payload binary")).collect()
+    assert len(bad) == 1 and bad[0]["decode_ok"] is False

@@ -597,6 +597,57 @@ def documents_as_media_frames(spark, sf_dir: str):
         gen, schema="url string, payload binary, media_type string")
 
 
+def documents_as_media_frames_webp(spark, sf_dir: str):
+    """documents.parquet → ANIMATED WebP payloads (2–4 ANMF frames),
+    the ``documents_as_media_frames`` twin over the WebP container.
+
+    Same geometry and palette as the GIF fixture — 16×16 canvas,
+    frame 0 full-canvas solid PAL[doc_id%3], frames k ≥ 1 solid 8×8
+    patches at (4,4) colored PAL[(doc_id+k)%3] — so the per-frame
+    channel sums share the GIF gate's closed form. WebP-specific
+    coverage cycles through the flag byte: every 5th doc uses
+    dispose-to-background (0x03) against the NONZERO ANIM background
+    (200,210,220,255) — the container's own background-color path,
+    not a palette slot — every 3rd (non-5th) doc uses straight
+    ALPHA-BLEND frames (0x00; opaque sources, so the closed form is
+    unchanged but the blend arithmetic runs), and the rest no-blend
+    replace (0x02). Frame offsets ride the stored-/2 encoding."""
+    from collections.abc import Iterable, Iterator
+
+    from .operators.multimodal import encode_webp_animated
+
+    pal = [(10, 20, 30), (40, 50, 60), (70, 80, 90)]
+    bg = (200, 210, 220, 255)
+
+    def gen(batches: Iterable) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 2 + i % 3
+                fl = 0x03 if i % 5 == 0 else (0x00 if i % 3 == 0 else 0x02)
+                f0 = np.zeros((16, 16, 3), np.uint8)
+                f0[:, :] = pal[i % 3]
+                frames, offs = [f0], [(0, 0)]
+                for k in range(1, n):
+                    p = np.zeros((8, 8, 3), np.uint8)
+                    p[:, :] = pal[(i + k) % 3]
+                    frames.append(p)
+                    offs.append((4, 4))
+                wp = encode_webp_animated(
+                    frames, [100] * n, canvas=(16, 16), offsets=offs,
+                    flags=[fl] * n, bgcolor=bg)
+                rows.append((f"mediawebpfr:{i:09d}", wp, "webp"))
+            yield pd.DataFrame(rows,
+                               columns=["url", "payload", "media_type"])
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return d.mapInPandas(
+        gen, schema="url string, payload binary, media_type string")
+
+
 # 8 deterministic 9-value luma patterns for the dHash gate: each image is
 # 8 rows × 9 two-pixel-wide blocks of constant gray, so the 8×9 block
 # means equal the pattern EXACTLY and the expected dHash is derivable

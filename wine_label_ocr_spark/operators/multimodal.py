@@ -2467,7 +2467,7 @@ def _vp8l_inverse_crosscolor(px, w, h, size_bits, tiles, tw):
     return out
 
 
-def decode_webp(payload: bytes):
+def decode_webp(payload: bytes, rgba: bool = False):
     """REAL WebP-LOSSLESS (VP8L) raster decode, stdlib-only, for the
     common subset: simple AND normal (code-length-coded) prefix codes,
     LZ77 backward references (1-D distances), the color cache, ALL
@@ -2477,7 +2477,8 @@ def decode_webp(payload: bytes):
     and color-indexing (palette) including sub-byte pixel bundling.
     Remaining seams (tolerant → None): meta
     prefix codes, 2-D short-distance codes, and lossy VP8. Returns
-    (h, w, 3) uint8 RGB or None."""
+    (h, w, 3) uint8 RGB — or (h, w, 4) RGBA with ``rgba=True`` (the
+    animated-frame compositor needs the alpha plane) — or None."""
     import numpy as np
     p = bytes(payload or b"")
     if len(p) < 30 or p[:4] != b"RIFF" or p[8:12] != b"WEBP":
@@ -2573,6 +2574,9 @@ def decode_webp(payload: bytes):
             elif t[0] == "crosscolor":
                 px = _vp8l_inverse_crosscolor(px, t[4], h, t[1], t[3],
                                               t[2])
+        if rgba:
+            return np.array([(r, g, b, a) for a, r, g, b in px],
+                            np.uint8).reshape(h, w, 4)
         arr = np.array([(r, g, b) for a, r, g, b in px],
                        np.uint8).reshape(h, w, 3)
         return arr
@@ -2751,25 +2755,144 @@ def webp_frame_count(payload: bytes) -> int | None:
     return info["n_frames"] if info else None
 
 
+def decode_webp_frames(payload: bytes, max_frames: int = 64):
+    """Animated-WebP RASTER decode: composite each ANMF frame onto the
+    canvas and return the list of (h, w, 3) uint8 RGB canvases — the
+    ``decode_gif_frames`` analog, unlocked by the full VP8L transform
+    decoder. Spec semantics (WebP container spec / libwebp demux):
+    frame offsets are stored /2 (so always even), the flags byte's
+    bit0 is disposal (1 = dispose to background color) and bit1 is
+    blending (1 = do NOT blend, replace; 0 = straight-alpha blend),
+    the canvas initializes to the ANIM chunk's BGRA background color,
+    and disposal fills only the frame's rect. Alpha planes come from
+    ``decode_webp(rgba=True)``; the emitted canvases drop alpha (the
+    channel-sum/dHash currency is RGB, matching the GIF path).
+    Tolerant: None when not an ANIMATION VP8X file or the first frame
+    fails; a mid-chain bad frame ends the list (frames so far)."""
+    import numpy as np
+    p = bytes(payload or b"")
+    if len(p) < 30 or p[:4] != b"RIFF" or p[8:12] != b"WEBP":
+        return None
+    if p[12:16] != b"VP8X" or not (p[20] & 0x02):
+        return None
+    try:
+        cw = int.from_bytes(p[24:27], "little") + 1
+        ch = int.from_bytes(p[27:30], "little") + 1
+        if cw * ch > 4_194_304:  # same hostile-dimension cap as decode_webp
+            return None
+        bg = (0, 0, 0, 0)
+        canvas = None
+        frames: list = []
+        pos = 12
+        while pos + 8 <= len(p) and len(frames) < max_frames:
+            four = p[pos:pos + 4]
+            ln = int.from_bytes(p[pos + 4:pos + 8], "little")
+            body = p[pos + 8:pos + 8 + ln]
+            if four == b"ANIM" and len(body) >= 6:
+                b_, g_, r_, a_ = body[0], body[1], body[2], body[3]
+                bg = (r_, g_, b_, a_)
+                canvas = np.zeros((ch, cw, 4), np.uint8)
+                canvas[:, :] = bg
+            elif four == b"ANMF" and len(body) >= 16:
+                if canvas is None:  # ANMF before ANIM: structurally bad
+                    break
+                fx = int.from_bytes(body[0:3], "little") * 2
+                fy = int.from_bytes(body[3:6], "little") * 2
+                fw = int.from_bytes(body[6:9], "little") + 1
+                fh = int.from_bytes(body[9:12], "little") + 1
+                flags = body[15]
+                sub = (b"RIFF" + (4 + len(body) - 16).to_bytes(4, "little")
+                       + b"WEBP" + body[16:])
+                fr = decode_webp(sub, rgba=True)
+                if fr is None or fr.shape[:2] != (fh, fw) \
+                        or fy + fh > ch or fx + fw > cw:
+                    break
+                dst = canvas[fy:fy + fh, fx:fx + fw]
+                if flags & 0x02:  # do-not-blend: replace the rect
+                    dst[:, :] = fr
+                else:             # straight-alpha blend over dst
+                    sa = fr[:, :, 3:4].astype(np.float64) / 255.0
+                    da = dst[:, :, 3:4].astype(np.float64) / 255.0
+                    oa = sa + da * (1.0 - sa)
+                    safe = np.where(oa == 0.0, 1.0, oa)
+                    rgb = (fr[:, :, :3] * sa
+                           + dst[:, :, :3] * da * (1.0 - sa)) / safe
+                    dst[:, :, :3] = np.rint(rgb).astype(np.uint8)
+                    dst[:, :, 3] = np.rint(oa[:, :, 0] * 255.0) \
+                        .astype(np.uint8)
+                frames.append(canvas[:, :, :3].copy())
+                if flags & 0x01:  # dispose to background color
+                    canvas[fy:fy + fh, fx:fx + fw] = bg
+            pos += 8 + ln + (ln & 1)
+        return frames or None
+    except Exception:
+        return None  # tolerant parse (ST8)
+
+
+def webp_frames(df: DataFrame, id_col: str = "url",
+                payload_col: str = "payload",
+                max_frames: int = 64) -> DataFrame:
+    """Animated-WebP payloads → ONE ROW PER COMPOSITED FRAME, the
+    ``gif_frames`` twin (same schema, same pure-map shape: the frame
+    explode happens inside the Arrow kernel — zero Exchange, one input
+    row → n_frames output rows). ``n_frames`` is the TRUE structural
+    ANMF count even when rows are capped at ``max_frames`` (the
+    no-silent-cap contract), so ``frame_sample_plan`` sees the real
+    total for both animated formats. Undecodable payloads come back as
+    one ``decode_ok=false`` row (ST8 policy)."""
+    def run(batches: Iterable) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for key, payload in zip(pdf[id_col], pdf[payload_col]):
+                fr = decode_webp_frames(payload, max_frames=max_frames)
+                if fr is None:
+                    out.append((key, None, None, None, None,
+                                None, None, None, None, False))
+                    continue
+                n = webp_frame_count(payload) or len(fr)
+                for k, arr in enumerate(fr):
+                    h, w, _ = arr.shape
+                    sums = arr.sum(axis=(0, 1), dtype="int64")
+                    out.append((key, k, n, h, w,
+                                int(sums[0]), int(sums[1]), int(sums[2]),
+                                dhash64_raster(arr), True))
+            yield pd.DataFrame(out, columns=[
+                id_col, "frame_idx", "n_frames", "height", "width",
+                "sum_r", "sum_g", "sum_b", "dhash", "decode_ok"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} string, frame_idx int, n_frames int, "
+                    "height int, width int, sum_r bigint, sum_g bigint, "
+                    "sum_b bigint, dhash bigint, decode_ok boolean")
+
+
 def encode_webp_animated(frames, durations_ms, loop_count: int = 0,
-                         canvas=None) -> bytes:
+                         canvas=None, offsets=None, flags=None,
+                         bgcolor=(0, 0, 0, 0)) -> bytes:
     """Minimal legal ANIMATED WebP: VP8X (ANIMATION flag, canvas dims)
     + ANIM + one ANMF per frame, each embedding a real VP8L bitstream
     from ``encode_webp_lossless`` (same ≤2-values-per-channel fixture
-    regime). ``canvas=(w, h)`` overrides the canvas size (frames may
-    be smaller than the canvas, the spec's frame-region model)."""
+    regime). ``canvas=(w, h)`` overrides the canvas size; ``offsets``
+    is a per-frame (x, y) list (even values — the container stores
+    them /2); ``flags`` a per-frame byte list (bit0 dispose-to-
+    background, bit1 do-not-blend); ``bgcolor`` the ANIM background
+    as RGBA (stored BGRA)."""
     import numpy as np
     anmf_chunks = b""
     fw = fh = 0
-    for rgb, dur in zip(frames, durations_ms):
+    for i, (rgb, dur) in enumerate(zip(frames, durations_ms)):
         a = np.asarray(rgb, dtype=np.uint8)
         fh, fw = a.shape[:2]
+        fx, fy = offsets[i] if offsets is not None else (0, 0)
+        fl = flags[i] if flags is not None else 0
         inner = encode_webp_lossless(a)[12:]  # strip RIFF....WEBP
-        body = (b"\x00\x00\x00" b"\x00\x00\x00"      # x/2, y/2 = 0
+        body = ((fx // 2).to_bytes(3, "little")
+                + (fy // 2).to_bytes(3, "little")
                 + (fw - 1).to_bytes(3, "little")
                 + (fh - 1).to_bytes(3, "little")
                 + int(dur).to_bytes(3, "little")
-                + b"\x00"                            # no blend, keep
+                + bytes([fl])
                 + inner)
         anmf_chunks += b"ANMF" + len(body).to_bytes(4, "little") + body
         if len(body) & 1:
@@ -2777,7 +2900,9 @@ def encode_webp_animated(frames, durations_ms, loop_count: int = 0,
     cw, ch = canvas if canvas is not None else (fw, fh)
     vp8x = (b"VP8X" + (10).to_bytes(4, "little") + b"\x02\x00\x00\x00"
             + (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little"))
-    anim = (b"ANIM" + (6).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+    r_, g_, b_, a_ = bgcolor
+    anim = (b"ANIM" + (6).to_bytes(4, "little")
+            + bytes([b_, g_, r_, a_])
             + int(loop_count).to_bytes(2, "little"))
     payload = vp8x + anim + anmf_chunks
     return (b"RIFF" + (4 + len(payload)).to_bytes(4, "little") + b"WEBP"
