@@ -1807,3 +1807,58 @@ def test_webp_frames_true_total_past_cap(spark):
     bad = webp_frames(spark.createDataFrame(
         [("b", bytearray(b"nope"))], "url string, payload binary")).collect()
     assert len(bad) == 1 and bad[0]["decode_ok"] is False
+
+
+def test_webp_meta_prefix_codes():
+    """Hand-built VP8L stream with META PREFIX CODES: an 8x1 image,
+    tile size 4 (meta_bits=2), whose subresolution entropy image maps
+    tile 0 -> prefix group 0 and tile 1 -> group 1; each group's
+    1-symbol codes pin a different color, so a correct per-tile group
+    SELECTION is the only way to produce the expected raster."""
+    import numpy as np
+
+    from wine_label_ocr_spark.operators.multimodal import (
+        _VP8LBitWriter, decode_webp)
+
+    bw = _VP8LBitWriter()
+    bw.put(0x2F, 8)
+    bw.put(7, 14)   # w=8
+    bw.put(0, 14)   # h=1
+    bw.put(0, 1)
+    bw.put(0, 3)
+    bw.put(0, 1)    # no transforms
+    bw.put(0, 1)    # no color cache
+    bw.put(1, 1)    # META prefix codes present
+    bw.put(0, 3)    # meta_bits = 2 -> tile width 4 -> 2 tiles
+    # --- subresolution entropy image (2x1 tiles, no cache) ---
+    bw.put(0, 1)    # no cache
+    bw.put(1, 1)    # green: simple code
+    bw.put(1, 1)    #   two symbols
+    bw.put(1, 1)    #   first symbol in 8 bits
+    bw.put(0, 8)    #   symbol 0 (group 0)
+    bw.put(1, 8)    #   symbol 1 (group 1)
+    for v in (0, 0, 0, 0):   # red, blue, alpha, dist: 1-symbol codes
+        bw.put(1, 1)
+        bw.put(0, 1)
+        bw.put(1, 1)
+        bw.put(v, 8)
+    bw.put(0, 1)    # tile 0 green bit -> 0 -> meta code 0
+    bw.put(1, 1)    # tile 1 green bit -> 1 -> meta code 1
+    # --- prefix group 0: color (r,g,b) = (20, 10, 30) ---
+    for v in (10, 20, 30, 255, 0):
+        bw.put(1, 1)
+        bw.put(0, 1)
+        bw.put(1, 1)
+        bw.put(v, 8)
+    # --- prefix group 1: color (120, 110, 130) ---
+    for v in (110, 120, 130, 255, 0):
+        bw.put(1, 1)
+        bw.put(0, 1)
+        bw.put(1, 1)
+        bw.put(v, 8)
+    # pixels: every symbol is the sole member of its code -> 0 bits
+    out = decode_webp(_vp8l_container(bw.bytes()))
+    assert out is not None and out.shape == (1, 8, 3)
+    expect = np.array([[(20, 10, 30)] * 4 + [(120, 110, 130)] * 4],
+                      np.uint8)
+    assert (out == expect).all()

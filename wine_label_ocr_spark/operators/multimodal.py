@@ -2284,20 +2284,46 @@ def _lz77_value(prefix_sym: int, br: _VP8LBits) -> int:
 def _vp8l_entropy_image(br: _VP8LBits, w: int, h: int,
                         top_level: bool = False):
     """Decode one VP8L entropy-coded ARGB image → list of (a,r,g,b)
-    tuples, or None on an unsupported feature (meta prefix codes,
-    short-distance 2D codes — the documented seams)."""
+    tuples, or None on an unsupported feature (short-distance 2-D
+    codes — the remaining documented seam; the 120-entry neighbor
+    table is not locally verifiable, and a guessed table would corrupt
+    silently). META PREFIX CODES are supported on the top-level image:
+    a sub-resolution entropy image (same 3-bit+2 tile convention as
+    the transforms) selects one of N prefix-code groups per tile,
+    group index = (red << 8) | green of the tile pixel; the color
+    cache stays image-global across groups (spec semantics)."""
     use_cache = br.read(1)
     cache_bits = br.read(4) if use_cache else 0
     if use_cache and not (1 <= cache_bits <= 11):
         return None
     cache_size = (1 << cache_bits) if use_cache else 0
-    if top_level and br.read(1):
-        return None  # meta prefix codes: documented seam
-    green = _vp8l_read_prefix(br, 256 + 24 + cache_size)
-    red = _vp8l_read_prefix(br, 256)
-    blue = _vp8l_read_prefix(br, 256)
-    alpha = _vp8l_read_prefix(br, 256)
-    dist = _vp8l_read_prefix(br, 40)
+    meta_tiles = None
+    meta_bits = 0
+    tile_w = 0
+    if top_level and br.read(1):  # meta prefix codes present
+        meta_bits = br.read(3) + 2
+        tile_w = (w + (1 << meta_bits) - 1) >> meta_bits
+        tile_h = (h + (1 << meta_bits) - 1) >> meta_bits
+        tpx = _vp8l_entropy_image(br, tile_w, tile_h)
+        if tpx is None:
+            return None
+        meta_tiles = [((p[1] << 8) | p[2]) for p in tpx]
+        n_groups = max(meta_tiles) + 1
+        if n_groups > 1024:  # hostile-input bound (spec allows 65536)
+            return None
+    else:
+        n_groups = 1
+
+    def read_group():
+        g = _vp8l_read_prefix(br, 256 + 24 + cache_size)
+        r = _vp8l_read_prefix(br, 256)
+        b = _vp8l_read_prefix(br, 256)
+        a = _vp8l_read_prefix(br, 256)
+        d = _vp8l_read_prefix(br, 40)
+        return (g, r, b, a, d)
+
+    groups = [read_group() for _ in range(n_groups)]
+    green, red, blue, alpha, dist = groups[0]
     cache = [0] * cache_size
     out: list = []
     n = w * h
@@ -2308,6 +2334,10 @@ def _vp8l_entropy_image(br: _VP8LBits, w: int, h: int,
             cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = px
 
     while len(out) < n:
+        if meta_tiles is not None:
+            y, x = divmod(len(out), w)
+            green, red, blue, alpha, dist = groups[meta_tiles[
+                (y >> meta_bits) * tile_w + (x >> meta_bits)]]
         s = green.decode(br)
         if s < 256:
             # spec channel order after green: red, blue, alpha (the
@@ -2474,9 +2504,11 @@ def decode_webp(payload: bytes, rgba: bool = False):
     FOUR transforms — predictor (14 modes, per-tile mode selection,
     the spec's border rules incl. the rightmost-column TR exception),
     cross-color (signed ColorTransformDelta algebra), subtract-green,
-    and color-indexing (palette) including sub-byte pixel bundling.
-    Remaining seams (tolerant → None): meta
-    prefix codes, 2-D short-distance codes, and lossy VP8. Returns
+    color-indexing (palette) including sub-byte pixel bundling, and
+    META PREFIX CODES (per-tile prefix-code group selection).
+    Remaining seams (tolerant → None): 2-D short-distance codes (the
+    120-entry neighbor table is not locally verifiable) and lossy
+    VP8. Returns
     (h, w, 3) uint8 RGB — or (h, w, 4) RGBA with ``rgba=True`` (the
     animated-frame compositor needs the alpha plane) — or None."""
     import numpy as np
