@@ -2075,6 +2075,257 @@ def _crawl_cycle_funnel_oracle_sql() -> str:
     """
 
 
+def q_gopher_rules(spark, sf):  # textops: Gopher A1.1 quality rules
+    """Published Gopher (Rae et al. 2021) web-corpus filter set over the
+    REAL documents table — both engines compute every feature from the
+    same text, so this is a full value twin, not planted shapes. The
+    gate compares unrounded doubles built from exact integer counts
+    (bit-identical across engines); displayed ratios round to 6."""
+    from wine_label_ocr_spark.operators.textops import gopher_rules
+    d = _t(spark, sf, "documents")
+    out = gopher_rules(d)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_words").cast("int").alias("n_words"),
+        "mean_word_len", "symbol_ratio", "alpha_word_frac",
+        "bullet_line_frac", "ellipsis_line_frac",
+        F.col("n_stop_hits").cast("int").alias("n_stop_hits"),
+        "gopher_ok").orderBy("doc_id")
+
+
+def _gopher_oracle_sql() -> str:
+    from wine_label_ocr_spark.operators.textops import GOPHER_STOPWORDS
+    stops = " + ".join(
+        f"(CASE WHEN list_contains(low, '{w}') THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOPWORDS)
+    return f"""
+        WITH f AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x != '') AS toks,
+                 list_filter(string_split(text, chr(10)),
+                             s -> trim(s) != '') AS lines
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 len(toks) AS n_words,
+                 CAST(GREATEST(len(toks), 1) AS DOUBLE) AS sw,
+                 CAST(coalesce(list_sum(list_transform(
+                      toks, t -> length(t))), 0) AS BIGINT) AS sum_len,
+                 length(text) - length(replace(text, '#', '')) AS n_hash,
+                 length(text) - length(replace(text, '…', '')) AS n_uell,
+                 CAST((length(text) - length(replace(text, '...', '')))
+                      / 3 AS BIGINT) AS n_dell,
+                 len(list_filter(toks,
+                     t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_w,
+                 CAST(GREATEST(len(lines), 1) AS DOUBLE) AS sl,
+                 len(list_filter(lines,
+                     s -> starts_with(ltrim(s), '•')
+                       OR starts_with(ltrim(s), '- ')
+                       OR starts_with(ltrim(s), '* '))) AS bullet,
+                 len(list_filter(lines,
+                     s -> ends_with(rtrim(s), '...')
+                       OR ends_with(rtrim(s), '…'))) AS ell,
+                 list_transform(toks, t -> lower(t)) AS low
+          FROM f)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_words AS INT) AS n_words,
+               ROUND(sum_len / sw, 6) AS mean_word_len,
+               ROUND((n_hash + n_uell + n_dell) / sw, 6) AS symbol_ratio,
+               ROUND(alpha_w / sw, 6) AS alpha_word_frac,
+               ROUND(bullet / sl, 6) AS bullet_line_frac,
+               ROUND(ell / sl, 6) AS ellipsis_line_frac,
+               CAST({stops} AS INT) AS n_stop_hits,
+               (n_words >= 50 AND n_words <= 100000
+                AND sum_len / sw >= 3.0 AND sum_len / sw <= 10.0
+                AND (n_hash + n_uell + n_dell) / sw < 0.1
+                AND bullet / sl < 0.9 AND ell / sl < 0.3
+                AND alpha_w / sw >= 0.8
+                AND ({stops}) >= 2) AS gopher_ok
+        FROM g ORDER BY doc_id
+    """
+
+
+def q_c4_clean(spark, sf):  # textops: C4 line/page cleaning
+    """Published C4 (Raffel et al. 2020 §2.2) cleaning over the REAL
+    documents table — full value twin including the reconstructed
+    cleaned text, so a hash match proves line predicate AND join-back
+    byte-identically."""
+    from wine_label_ocr_spark.operators.textops import c4_clean
+    d = _t(spark, sf, "documents")
+    return (c4_clean(d)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "clean_text",
+                    F.col("n_kept_lines").cast("int").alias("n_kept_lines"),
+                    F.col("n_lines").cast("int").alias("n_lines"),
+                    "c4_ok")
+            .orderBy("doc_id"))
+
+
+_C4_ORACLE_SQL = """
+    WITH f AS (
+      SELECT doc_id, text,
+             list_filter(
+               list_transform(string_split(text, chr(10)), s -> trim(s)),
+               s -> s != ''
+                 AND (ends_with(s, '.') OR ends_with(s, '!')
+                      OR ends_with(s, '?') OR ends_with(s, '"'))
+                 AND len(list_filter(string_split_regex(s, '\\s+'),
+                                     x -> x != '')) >= 5
+                 AND NOT contains(lower(s), 'javascript')) AS kept,
+             len(list_filter(string_split(text, chr(10)),
+                             s -> trim(s) != '')) AS n_lines
+      FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           -- DuckDB joins an EMPTY list to NULL; Spark's array_join
+           -- gives '' — coalesce to the Spark semantics
+           COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+           CAST(len(kept) AS INT) AS n_kept_lines,
+           CAST(n_lines AS INT) AS n_lines,
+           (NOT contains(text, '{') AND NOT contains(lower(text),
+            'lorem ipsum') AND len(kept) >= 3) AS c4_ok
+    FROM f ORDER BY doc_id
+"""
+
+
+def q_surt_keys(spark, sf):  # textops: SURT canonicalization
+    """SURT keys over planted URL shapes cycling scheme case, default
+    and explicit ports, userinfo, www-strip, host reversal, query sort,
+    trailing-slash and non-http rejection. The oracle STATES the
+    expected key per shape closed-form (independent derivation, not a
+    regex twin)."""
+    from wine_label_ocr_spark.operators.textops import surt_key
+    d = _t(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    m = F.pmod(F.col("doc_id"), F.lit(8))
+    url = (F.when(m == 0, F.lit("http://www.Example.COM:80/A/B/"))
+           .when(m == 1, F.concat(F.lit("https://sub.host.org:443/p"), did,
+                                  F.lit("?b=2&a=1#frag")))
+           .when(m == 2, F.lit("http://h8.net:8080/x"))
+           .when(m == 3, F.lit("ftp://files.example.com/y"))
+           .when(m == 4, F.lit("http://User:pw@WWW.a.b/"))
+           .when(m == 5, F.lit("http://q.com?z=1&a=2"))
+           .when(m == 6, F.lit("HTTPS://T.io/P/"))
+           .otherwise(F.concat(F.lit("https://e.co/a/b?x="), did)))
+    return (d.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                     surt_key(url).alias("surt"))
+            .orderBy("doc_id"))
+
+
+_SURT_ORACLE_SQL = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE doc_id % 8
+             WHEN 0 THEN 'com,example)/a/b'
+             WHEN 1 THEN 'org,host,sub)/p' || CAST(doc_id AS VARCHAR)
+                         || '?a=1&b=2'
+             WHEN 2 THEN 'net,h8:8080)/x'
+             WHEN 3 THEN NULL
+             WHEN 4 THEN 'b,a)/'
+             WHEN 5 THEN 'com,q)/?a=2&z=1'
+             WHEN 6 THEN 'io,t)/p'
+             ELSE 'co,e)/a/b?x=' || CAST(doc_id AS VARCHAR)
+           END AS surt
+    FROM documents ORDER BY doc_id
+"""
+
+
+def q_wet_roundtrip(spark, sf):  # warc: WET conversion export, end-to-end
+    """WET under the correctness gate: planted pages cycling the
+    html_to_text behaviors (script/style/comment drop, tag strip,
+    entity unescape incl. the &amp;-last rule, whitespace collapse) →
+    build_wet_records → DISTRIBUTED gzip conversion shards → read back
+    with read_warc → project the text. The oracle states the expected
+    plain text per shape closed-form from doc_id — the whole
+    write-parse-read loop must be byte-faithful for the hash to
+    match. Completes the WARC/WAT/WET Common-Crawl triad gate set."""
+    import hashlib as _h
+    import os
+    import tempfile
+
+    from wine_label_ocr_spark.sources import warc as _warc_mod
+    from wine_label_ocr_spark.sources.warc import read_warc, write_wet_shards
+
+    import inspect
+
+    def pages_df():
+        d = _t(spark, sf, "documents").select("doc_id")
+        did = F.col("doc_id").cast("string")
+        m = F.pmod(F.col("doc_id"), F.lit(4))
+        html = (F.when(m == 0, F.concat(
+                    F.lit("<html><head><title>T"), did,
+                    F.lit("</title><script>var x=1;</script></head>"
+                          "<body>Hello "), did,
+                    F.lit(" &amp; more</body></html>")))
+                .when(m == 1, F.lit(
+                    "<body>A&lt;B &gt;C &quot;q&quot; &#39;s&#39; "
+                    "&amp;lt;</body>"))
+                .when(m == 2, F.lit(
+                    "<style>p{color:red}</style><p>Para   one</p>\n"
+                    "<p>two</p><!-- hidden -->"))
+                .otherwise(F.concat(F.lit("plain text "), did,
+                                    F.lit(" no tags"))))
+        return d.select(
+            F.concat(F.lit("https://w"), F.pmod(F.col("doc_id"), F.lit(9))
+                     .cast("string"), F.lit(".com/p/"), did).alias("url"),
+            F.expr("timestamp'2025-01-01 00:00:00'"
+                   " + make_interval(0, 0, 0, 0, 0, 0, doc_id)")
+             .alias("warc_ts"),
+            html.cast("binary").alias("html"))
+
+    doc_dir = os.path.join(sf, "documents.parquet")
+    stat = "" if not os.path.isdir(doc_dir) else ";".join(
+        f"{f}:{s.st_size}:{s.st_mtime_ns}" for f, s in sorted(
+            (f, os.stat(os.path.join(doc_dir, f)))
+            for f in os.listdir(doc_dir) if not f.startswith(".")))
+    tag = _h.md5((sf + stat + inspect.getsource(_warc_mod)
+                  + inspect.getsource(q_wet_roundtrip))
+                 .encode()).hexdigest()[:10]
+    shard_dir = os.path.join(tempfile.gettempdir(), f"wlos_wet_{tag}")
+    if not os.path.isdir(shard_dir):
+        import shutil
+        import uuid
+        staging = f"{shard_dir}.stage-{uuid.uuid4().hex}"
+        write_wet_shards(pages_df().repartition(
+            4, F.abs(F.xxhash64("url")) % 4), staging,
+            compress=True).collect()
+        try:
+            os.rename(staging, shard_dir)
+        except OSError:
+            if os.path.isdir(shard_dir):
+                shutil.rmtree(staging, ignore_errors=True)  # lost the race
+            else:
+                raise
+    wet = read_warc(spark, os.path.join(shard_dir, "*.warc.gz"),
+                    record_types=("conversion",))
+    return wet.select(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("bigint")
+         .alias("doc_id"),
+        "url",
+        F.col("html").cast("string").alias("text"),
+        F.length(F.col("html").cast("string")).cast("int")
+         .alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+_WET_ORACLE_SQL = """
+    WITH e AS (
+      SELECT doc_id,
+             'https://w' || CAST(doc_id % 9 AS VARCHAR) || '.com/p/'
+                 || CAST(doc_id AS VARCHAR) AS url,
+             CASE doc_id % 4
+               WHEN 0 THEN 'T' || CAST(doc_id AS VARCHAR) || ' Hello '
+                           || CAST(doc_id AS VARCHAR) || ' & more'
+               WHEN 1 THEN 'A<B >C "q" ''s'' &lt;'
+               WHEN 2 THEN 'Para one two'
+               ELSE 'plain text ' || CAST(doc_id AS VARCHAR) || ' no tags'
+             END AS text
+      FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, url, text,
+           CAST(length(text) AS INT) AS n_chars
+    FROM e ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order = driver certification priority: the driver artifact caps at
     # ~50 entries, so (a) the 34 queries the r6 cap absorbed (last
@@ -2134,6 +2385,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_cycle_sitemap": q_crawl_cycle_sitemap,
         "media_pixels_jpeg_prog": q_media_pixels_jpeg_prog,
         "media_frames_webp": q_media_frames_webp,
+        "gopher_rules": q_gopher_rules,
+        "c4_clean": q_c4_clean,
+        "surt_keys": q_surt_keys,
+        "wet_roundtrip": q_wet_roundtrip,
         # ---- entries below here absorb the driver's ~50-entry cap ----
         # cap-absorbing tail: r6 hash-green, code untouched this round
         "tfidf_pruned": q_tfidf_pruned,
@@ -2885,6 +3140,10 @@ def oracle_sql() -> dict[str, str]:
         "phase_trace": _phase_trace_oracle_sql(),
         "pq_topk": _pq_oracle_sql(),
         "ivfadc_topk": _ivfadc_oracle_sql(),
+        "gopher_rules": _gopher_oracle_sql(),
+        "c4_clean": _C4_ORACLE_SQL,
+        "surt_keys": _SURT_ORACLE_SQL,
+        "wet_roundtrip": _WET_ORACLE_SQL,
         "media_frames_webp": """
             -- the media_frames closed form over the WebP container
             -- (same palette/geometry; dispose-to-background uses the

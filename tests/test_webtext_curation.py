@@ -1,0 +1,253 @@
+"""Gopher rules, C4 cleaning, SURT keys, CDX index, WET export.
+
+The published web-corpus curation operators added in round 7 — each
+matrix pins one rule/behavior boundary so the gate queries' closed
+forms stay honest.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def _one(spark, text: str):
+    from wine_label_ocr_spark.operators.textops import gopher_rules
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    return gopher_rules(df).head().asDict()
+
+
+GOOD = ("the data be good and that have with of to " * 10).strip()  # 100 words
+
+
+class TestGopherRules:
+    def test_passing_doc(self, spark):
+        r = _one(spark, GOOD)
+        assert r["n_words"] == 100
+        assert r["gopher_ok"] is True
+        assert r["n_stop_hits"] == 8  # all required stopwords present
+
+    def test_word_count_bounds(self, spark):
+        assert _one(spark, "the be to of and that have with")["gopher_ok"] \
+            is False  # 8 words < 50
+
+    def test_mean_word_len(self, spark):
+        # 50 1-char words -> mean 1.0 < 3 fails even with stopword pad
+        r = _one(spark, ("a " * 48) + "the be")
+        assert r["mean_word_len"] < 3
+        assert r["gopher_ok"] is False
+
+    def test_symbol_ratio(self, spark):
+        base = GOOD + " " + "#" * 15
+        r = _one(spark, base)
+        assert r["symbol_ratio"] > 0.1
+        assert r["gopher_ok"] is False
+        # ellipsis forms count too: … and disjoint ... runs
+        # 12 "…" + one 12-dot token (4 disjoint "..." runs) over 113
+        # words -> 16/113 > 0.1
+        r2 = _one(spark, GOOD + " " + "… " * 12 + "..." * 4)
+        assert r2["symbol_ratio"] > 0.1
+
+    def test_bullet_and_ellipsis_lines(self, spark):
+        bullets = "\n".join("- item the be to of and that" for _ in range(10))
+        r = _one(spark, GOOD + "\n" + bullets)
+        assert r["bullet_line_frac"] == round(10 / 11, 6)
+        assert r["gopher_ok"] is False
+        ell = "\n".join("to be continued..." for _ in range(5))
+        r2 = _one(spark, GOOD + "\n" + ell)
+        assert r2["ellipsis_line_frac"] == round(5 / 6, 6)
+        assert r2["gopher_ok"] is False
+
+    def test_alpha_word_frac(self, spark):
+        r = _one(spark, GOOD + " " + "123 456 789 " * 10)
+        assert r["alpha_word_frac"] < 0.8
+        assert r["gopher_ok"] is False
+
+    def test_stopword_floor(self, spark):
+        text = "wine bottle label vintage maker region grape " * 8
+        r = _one(spark, text)
+        assert r["n_stop_hits"] == 0
+        assert r["gopher_ok"] is False
+
+    def test_empty_text(self, spark):
+        r = _one(spark, "")
+        assert r["n_words"] == 0 and r["gopher_ok"] is False
+
+
+class TestC4Clean:
+    def _clean(self, spark, text: str):
+        from wine_label_ocr_spark.operators.textops import c4_clean
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        return c4_clean(df).head().asDict()
+
+    def test_line_predicate_matrix(self, spark):
+        text = "\n".join([
+            "This is a proper sentence here.",     # kept
+            "No terminal punctuation for this one", # dropped: no terminal
+            "Too short.",                           # dropped: < 5 words
+            "Enable javascript to view this page.", # dropped: javascript
+            "  Another good sentence sits here!  ", # kept (trimmed)
+            'He said "quote ends the line here."',  # kept
+        ])
+        r = self._clean(spark, text)
+        assert r["n_kept_lines"] == 3
+        assert r["n_lines"] == 6
+        assert r["clean_text"].splitlines() == [
+            "This is a proper sentence here.",
+            "Another good sentence sits here!",
+            'He said "quote ends the line here."']
+        assert r["c4_ok"] is True
+
+    def test_page_rules(self, spark):
+        good = "\n".join("This is a proper sentence number %d." % i
+                         for i in range(4))
+        assert self._clean(spark, good)["c4_ok"] is True
+        assert self._clean(spark, good + "\nvar x = {1};")["c4_ok"] is False
+        assert self._clean(
+            spark, good + "\nLorem Ipsum dolor sit amet.")["c4_ok"] is False
+        two = "\n".join("This is a proper sentence number %d." % i
+                        for i in range(2))
+        assert self._clean(spark, two)["c4_ok"] is False  # < 3 kept lines
+
+    def test_all_dropped_is_tolerant(self, spark):
+        r = self._clean(spark, "no punct\nshort.")
+        assert r["n_kept_lines"] == 0 and r["clean_text"] == ""
+        assert r["c4_ok"] is False
+
+
+SURT_CASES = [
+    ("http://www.Example.COM:80/A/B/", "com,example)/a/b"),
+    ("https://sub.host.org:443/p?b=2&a=1#frag", "org,host,sub)/p?a=1&b=2"),
+    ("http://h8.net:8080/x", "net,h8:8080)/x"),  # non-default port kept
+    ("ftp://files.example.com/y", None),
+    ("http://User:pw@WWW.a.b/", "b,a)/"),
+    ("http://q.com?z=1&a=2", "com,q)/?a=2&z=1"),
+    ("HTTPS://T.io/P/", "io,t)/p"),
+    ("https://e.co/a/b?x=1", "co,e)/a/b?x=1"),
+    ("https://e.co", "co,e)/"),  # no path at all
+    ("not a url", None),
+]
+
+
+class TestSurt:
+    def test_matrix(self, spark):
+        from wine_label_ocr_spark.operators.textops import surt_key
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _) in enumerate(SURT_CASES)],
+            "i int, url string")
+        got = {r["i"]: r["s"] for r in
+               df.select("i", surt_key(F.col("url")).alias("s")).collect()}
+        for i, (u, want) in enumerate(SURT_CASES):
+            assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+    def test_prefix_contiguity(self, spark):
+        # the point of SURT: one host's URLs share a key prefix
+        from wine_label_ocr_spark.operators.textops import surt_key
+        urls = ["https://a.example.com/x", "http://www.example.com/",
+                "https://example.com/y?q=1", "https://example.org/x"]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        keys = [r[0] for r in
+                df.select(surt_key(F.col("url"))).collect()]
+        assert sum(k.startswith("com,example") for k in keys) == 3
+        assert sum(k.startswith("org,example") for k in keys) == 1
+
+
+class TestCdxIndex:
+    def _pages(self, spark, n=64):
+        return spark.range(n).select(
+            F.concat(F.lit("https://h"), (F.col("id") % 8).cast("string"),
+                     F.lit(".com/p/"), F.col("id").cast("string"))
+             .alias("url"),
+            F.expr("timestamp'2025-01-01' + make_interval(0,0,0,0,0,0,id)")
+             .alias("warc_ts"),
+            F.encode(F.concat(F.lit("body"), F.col("id").cast("string")),
+                     "utf-8").alias("html"))
+
+    def test_records_drop_non_http(self, spark):
+        from wine_label_ocr_spark.operators.cdx import cdx_records
+        df = spark.createDataFrame(
+            [("https://a.com/x", "2025-01-01 00:00:00", b"b"),
+             ("mailto:x@a.com", "2025-01-01 00:00:00", b"b")],
+            "url string, warc_ts string, html binary") \
+            .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        out = cdx_records(df).collect()
+        assert len(out) == 1 and out[0]["surt"] == "com,a)/x"
+        assert out[0]["digest"] is not None and out[0]["length"] == 1
+
+    def test_commit_lookup_and_prune(self, spark):
+        from wine_label_ocr_spark.operators.cdx import cdx_commit, cdx_lookup
+        from wine_label_ocr_spark.sources.table import ManifestTable
+        root = tempfile.mkdtemp(prefix="wlos_cdx_")
+        cdx_commit(self._pages(spark), root, n_files=8)
+        # point lookup: every capture of ONE url
+        got = cdx_lookup(spark, root, url="https://h3.com/p/3").collect()
+        assert [r["url"] for r in got] == ["https://h3.com/p/3"]
+        # prefix lookup: all captures under one host
+        pre = cdx_lookup(spark, root, surt_prefix="com,h3)").collect()
+        assert sorted(r["url"] for r in pre) == \
+            sorted(f"https://h{3}.com/p/{i}" for i in range(3, 64, 8))
+        # file-level pruning: the manifest stats must exclude most files
+        # for a narrow key range (range-partitioned commit -> disjoint)
+        t = ManifestTable(root)
+        snap = t._current_snapshot()
+        stats = snap["stats"]
+        assert snap["stats_col"] == "surt" and len(stats) >= 4
+        key = "com,h3)/p/3"
+        kept = [f for f in t.current_files()
+                if f not in stats
+                or (stats[f][0] <= key and stats[f][1] >= key)]
+        assert len(kept) < len(t.current_files())
+
+    def test_lookup_arg_validation(self, spark):
+        from wine_label_ocr_spark.operators.cdx import cdx_lookup
+        root = tempfile.mkdtemp(prefix="wlos_cdx_")
+        try:
+            cdx_lookup(spark, root)
+        except ValueError:
+            pass
+        else:
+            raise AssertionError("expected ValueError")
+
+
+class TestWet:
+    def test_html_to_text_matrix(self, spark):
+        from wine_label_ocr_spark.sources.warc import html_to_text
+        cases = [
+            ("<p>Hello   <b>world</b></p>", "Hello world"),
+            ("<script>var x='<p>';</script>ok", "ok"),
+            ("<style>p{color:red}</style>text", "text"),
+            ("<!-- secret -->shown", "shown"),
+            ("A&lt;B &amp; C &quot;q&quot; &#39;s&#39;", 'A<B & C "q" \'s\''),
+            ("&amp;lt; stays escaped", "&lt; stays escaped"),
+            ("no tags at all", "no tags at all"),
+            ("", ""),
+        ]
+        df = spark.createDataFrame(
+            [(i, h) for i, (h, _) in enumerate(cases)], "i int, h string")
+        got = {r["i"]: r["t"] for r in
+               df.select("i", html_to_text(F.col("h")).alias("t")).collect()}
+        for i, (h, want) in enumerate(cases):
+            assert got[i] == want, f"{h!r}: {got[i]!r} != {want!r}"
+
+    def test_wet_shard_roundtrip(self, spark):
+        from wine_label_ocr_spark.sources.warc import (
+            read_warc, write_wet_shards)
+        pages = spark.range(20).select(
+            F.concat(F.lit("https://s.com/"), F.col("id").cast("string"))
+             .alias("url"),
+            F.expr("timestamp'2025-01-01'").alias("warc_ts"),
+            F.encode(F.concat(F.lit("<p>Doc "), F.col("id").cast("string"),
+                              F.lit(" body.</p>")), "utf-8").alias("html"))
+        out = tempfile.mkdtemp(prefix="wlos_wet_t_")
+        manifest = write_wet_shards(pages.repartition(3), out,
+                                    compress=True).collect()
+        assert sum(m["n_records"] for m in manifest) == 20
+        back = read_warc(spark, os.path.join(out, "*.warc.gz"),
+                         record_types=("conversion",))
+        rows = {r["url"]: r["html"].decode() for r in back.collect()}
+        assert len(rows) == 20
+        assert rows["https://s.com/7"] == "Doc 7 body."
+        # response-typed readers must NOT see conversion records
+        assert read_warc(spark, os.path.join(out, "*.warc.gz")).count() == 0

@@ -904,3 +904,222 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         doc_fingerprint(t).alias("content_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher document-quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A1.1) — the
+# published web-corpus filter set. Pure JVM column algebra over shared
+# Java∩RE2 regexes, so the DuckDB oracle runs the same semantics.
+# ---------------------------------------------------------------------------
+
+# the 8 required "stop words" from A1.1 — a document must contain >= 2
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_features(text: Column) -> dict[str, Column]:
+    """The Gopher rule inputs as named columns.
+
+    * ``n_words`` — whitespace tokens;
+    * ``mean_word_len`` — sum(len(tok)) / n_words;
+    * ``symbol_ratio`` — (# count + ellipsis count, ``…`` or a disjoint
+      ``...`` run) / n_words ("symbol-to-word ratio");
+    * ``alpha_word_frac`` — fraction of words with >= 1 ASCII letter;
+    * ``bullet_line_frac`` / ``ellipsis_line_frac`` — fraction of
+      non-blank lines starting with a bullet (``•``, ``- ``, ``* ``) /
+      ending with an ellipsis;
+    * ``n_stop_hits`` — how many DISTINCT required stopwords appear.
+
+    Ratios divide exact integer counts in double (bit-identical across
+    engines); callers round for display, the gate compares unrounded.
+    """
+    toks = tokens_col(text)
+    n_words = F.size(toks)
+    safe_w = F.greatest(n_words, F.lit(1)).cast("double")
+    sum_len = F.aggregate(toks, F.lit(0).cast("bigint"),
+                          lambda a, t: a + F.length(t))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    n_uell = F.length(text) - F.length(F.replace(text, F.lit("…")))
+    n_dell = ((F.length(text) - F.length(F.replace(text, F.lit("..."))))
+              / F.lit(3)).cast("bigint")
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    lines = F.filter(F.split(text, r"\n"), lambda s: F.trim(s) != "")
+    n_lines = F.size(lines)
+    safe_l = F.greatest(n_lines, F.lit(1)).cast("double")
+    bullet = F.size(F.filter(
+        lines, lambda s: F.ltrim(s).startswith("•")
+        | F.ltrim(s).startswith("- ") | F.ltrim(s).startswith("* ")))
+    ell = F.size(F.filter(
+        lines, lambda s: F.rtrim(s).endswith("...")
+        | F.rtrim(s).endswith("…")))
+    # explicit membership sum (not array_intersect): bit-identical
+    # restatement exists in every engine's SQL dialect
+    low = F.transform(toks, F.lower)
+    stops = sum(
+        (F.array_contains(low, w).cast("int") for w in GOPHER_STOPWORDS),
+        start=F.lit(0))
+    return {
+        "n_words": n_words,
+        "mean_word_len": sum_len / safe_w,
+        "symbol_ratio": (n_hash + n_uell + n_dell) / safe_w,
+        "alpha_word_frac": alpha_words / safe_w,
+        "bullet_line_frac": bullet / safe_l,
+        "ellipsis_line_frac": ell / safe_l,
+        "n_stop_hits": stops,
+    }
+
+
+def gopher_gate(text: Column,
+                min_words: int = 50, max_words: int = 100_000,
+                min_mean_word_len: float = 3.0,
+                max_mean_word_len: float = 10.0,
+                max_symbol_ratio: float = 0.1,
+                max_bullet_frac: float = 0.9,
+                max_ellipsis_frac: float = 0.3,
+                min_alpha_word_frac: float = 0.8,
+                min_stop_hits: int = 2) -> Column:
+    """The A1.1 conjunction with the paper's thresholds as defaults:
+    50 <= words <= 100k, mean word length in [3, 10], symbol ratio
+    < 0.1, < 90% bullet lines, < 30% ellipsis lines, >= 80% alphabetic
+    words, >= 2 required stopwords."""
+    f = gopher_features(text)
+    return ((f["n_words"] >= min_words) & (f["n_words"] <= max_words)
+            & (f["mean_word_len"] >= min_mean_word_len)
+            & (f["mean_word_len"] <= max_mean_word_len)
+            & (f["symbol_ratio"] < max_symbol_ratio)
+            & (f["bullet_line_frac"] < max_bullet_frac)
+            & (f["ellipsis_line_frac"] < max_ellipsis_frac)
+            & (f["alpha_word_frac"] >= min_alpha_word_frac)
+            & (f["n_stop_hits"] >= min_stop_hits))
+
+
+def gopher_rules(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-document Gopher feature row + verdict — a pure projection
+    (zero Exchange, survives any scale: the rules never look across
+    documents). Features rounded to 6 places for display; ``gopher_ok``
+    is computed on the unrounded values."""
+    t = F.col(text_col)
+    f = gopher_features(t)
+    return df.select(
+        F.col(id_col),
+        f["n_words"].alias("n_words"),
+        F.round(f["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(f["symbol_ratio"], 6).alias("symbol_ratio"),
+        F.round(f["alpha_word_frac"], 6).alias("alpha_word_frac"),
+        F.round(f["bullet_line_frac"], 6).alias("bullet_line_frac"),
+        F.round(f["ellipsis_line_frac"], 6).alias("ellipsis_line_frac"),
+        f["n_stop_hits"].alias("n_stop_hits"),
+        gopher_gate(t).alias("gopher_ok"))
+
+
+# ---------------------------------------------------------------------------
+# C4-style page cleaning (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning...", §2.2) — the published line/page filter used to
+# build C4 from Common Crawl. Same pure-projection shape as gopher_rules.
+# ---------------------------------------------------------------------------
+
+# a kept line must end in one of these (C4: "terminal punctuation mark")
+C4_TERMINAL = (".", "!", "?", '"')
+
+
+def c4_line_keep(line: Column, min_line_words: int = 5) -> Column:
+    """C4's line predicate over a TRIMMED line: ends in terminal
+    punctuation, has >= ``min_line_words`` words, and does not mention
+    javascript (case-insensitive)."""
+    terminal = F.lit(False)
+    for ch in C4_TERMINAL:
+        terminal = terminal | line.endswith(ch)
+    return ((line != "") & terminal
+            & (F.size(tokens_col(line)) >= min_line_words)
+            & ~F.lower(line).contains("javascript"))
+
+
+def c4_clean(df: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text", min_line_words: int = 5,
+             min_kept_lines: int = 3) -> DataFrame:
+    """Per-document C4 cleaning: lines are trimmed and kept per
+    ``c4_line_keep``; the page survives iff >= ``min_kept_lines`` lines
+    survive (the "fewer than 3 sentences" page rule, with kept lines as
+    the sentence proxy), the raw text has no ``{`` (code page rule) and
+    no ``lorem ipsum``. Emits the cleaned text (kept lines joined with
+    newlines), the kept/total line counts, and ``c4_ok``.
+
+    Like the reference's tolerant-parse policy (ST8), nothing errors:
+    an all-dropped page simply emits ``clean_text=''`` and
+    ``c4_ok=false``. Zero Exchange — every rule is within-row.
+    """
+    t = F.col(text_col)
+    # NB: explicit single-arg lambda — passing F.trim directly would be
+    # introspected as a TWO-variable HOF lambda (trim's optional second
+    # param becomes the element index → trims index digits, not spaces)
+    kept = F.filter(F.transform(F.split(t, r"\n"), lambda s: F.trim(s)),
+                    lambda s: c4_line_keep(s, min_line_words))
+    n_kept = F.size(kept)
+    page_ok = (~t.contains("{")
+               & ~F.lower(t).contains("lorem ipsum")
+               & (n_kept >= min_kept_lines))
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        n_kept.alias("n_kept_lines"),
+        F.size(F.filter(F.split(t, r"\n"), lambda s: F.trim(s) != ""))
+         .alias("n_lines"),
+        page_ok.alias("c4_ok"))
+
+
+# ---------------------------------------------------------------------------
+# SURT — Sort-friendly URI Reordering Transform (the Wayback/IA key form:
+# pywb / webarchive-commons "surt" canonicalization, public spec). The key
+# under which a web-archive URL index (CDX) sorts, so one host's captures
+# are contiguous and prefix queries ("everything under com,example)/a/")
+# are range scans.
+# ---------------------------------------------------------------------------
+
+
+def surt_key(url: Column) -> Column:
+    """SURT form of an http(s) URL, lowercased (the wayback default):
+
+    * scheme dropped; userinfo dropped; leading ``www.`` dropped;
+    * default ports stripped (``:80`` http, ``:443`` https), other
+      ports kept;
+    * host labels REVERSED and comma-joined, then ``)`` + path;
+    * query params sorted bytewise and re-joined (``?a=1&b=2``), empty
+      query dropped; fragment dropped;
+    * trailing slash stripped from non-root paths; empty path → ``/``.
+
+    ``http://User@WWW.Example.COM:80/B/a?z=1&a=2#f`` →
+    ``com,example)/b/a?a=2&z=1``. NULL for non-http(s) values. Pure JVM
+    column algebra on shared-dialect regexes (DuckDB oracle runs the
+    same expressions).
+    """
+    from ..functions import let
+
+    def build(u: Column) -> Column:
+        scheme = F.lower(F.regexp_extract(
+            u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+        auth = F.lower(F.regexp_extract(
+            u, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]+)", 1))
+        auth = F.when(scheme == "http", F.regexp_replace(auth, r":80$", "")) \
+                .when(scheme == "https", F.regexp_replace(auth, r":443$", "")) \
+                .otherwise(auth)
+        host = F.regexp_replace(F.regexp_extract(auth, r"^([^:]*)", 1),
+                                r"^www\.", "")
+        port = F.regexp_extract(auth, r"(:\d+)$", 1)  # surviving port
+        rev = F.concat(
+            F.array_join(F.reverse(F.split(host, r"\.")), ","), port)
+        rest = F.lower(F.regexp_replace(
+            F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1),
+            r"#.*$", ""))
+        path = F.regexp_extract(rest, r"^([^?]*)", 1)
+        path = F.when(path == "", F.lit("/")) \
+                .otherwise(F.regexp_replace(path, r"(.)/$", "$1"))
+        query = F.regexp_replace(rest, r"^[^?]*\??", "")
+        q = F.array_join(F.array_sort(
+            F.filter(F.split(query, "&"), lambda p: p != "")), "&")
+        return F.concat(rev, F.lit(")"), path,
+                        F.when(q == "", F.lit("")).otherwise(
+                            F.concat(F.lit("?"), q)))
+
+    ok = F.regexp_extract(url, r"^(?i:https?)://[^/?#]+", 0) != ""
+    return F.when(ok, let(url, build)).otherwise(F.lit(None).cast("string"))

@@ -420,3 +420,57 @@ def write_wat_shards(pages: DataFrame, out_dir: str,
     return write_warc_shards(build_wat_records(pages), out_dir,
                              n_shards=n_shards, compress=compress,
                              record_type="metadata")
+
+
+def html_to_text(html: Column) -> Column:
+    """WET-style plain-text conversion of an HTML column — the Common
+    Crawl ``conversion`` record body. Deliberately the simple, declared
+    flavor (the full block-aware extraction is the certified lexer
+    pipeline; WET wants the whole-page text):
+
+    * ``<script>``/``<style>`` blocks dropped with their content;
+    * remaining tags dropped; HTML comments dropped;
+    * the 5 basic entities unescaped (incl. the ``&#39;`` apostrophe
+      form; ``&amp;`` last, so double-escapes stay escaped);
+    * runs of whitespace collapsed to one space, ends trimmed.
+
+    Pure JVM column algebra on shared Java∩RE2 regexes (the DuckDB
+    oracle runs the very same chain), so the conversion is a pure map
+    at any scale."""
+    t = F.regexp_replace(html, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+                    ("&#39;", "'"), ("&apos;", "'")):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.replace(t, F.lit("&amp;"), F.lit("&"))  # last: &amp;lt; stays &lt;
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def build_wet_records(pages: DataFrame, url_col: str = "url",
+                      ts_col: str = "warc_ts",
+                      html_col: str = "html") -> DataFrame:
+    """pages → WET-style rows ``(url, warc_ts, html=utf-8 text bytes,
+    lang=null)``: the ``conversion``-record body is the page's plain
+    text per ``html_to_text``. Pure map (JVM regex chain), feeding the
+    same distributed atomic shard writer as WARC/WAT — together the
+    three exports complete the Common-Crawl container triad."""
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("warc_ts"),
+        F.encode(html_to_text(F.col(html_col).cast("string")), "utf-8")
+         .alias("html"))
+
+
+def write_wet_shards(pages: DataFrame, out_dir: str,
+                     n_shards: int | None = None,
+                     compress: bool = True) -> DataFrame:
+    """Distributed WET export: one ``conversion`` WARC record per page
+    whose body is the extracted plain text — Common Crawl's WET
+    companion files. Same one-shard-per-task atomic writer; returns the
+    shard manifest. Read back with
+    ``read_warc(record_types=("conversion",))``."""
+    return write_warc_shards(build_wet_records(pages), out_dir,
+                             n_shards=n_shards, compress=compress,
+                             record_type="conversion")
