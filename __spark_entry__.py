@@ -2326,6 +2326,282 @@ _WET_ORACLE_SQL = """
 """
 
 
+def q_gopher_repetition(spark, sf):  # textops: full Gopher A1.1 repetition set
+    """The paper's full twelve repetition signals over planted shapes:
+    duplicate lines (m=0), duplicate paragraphs (m=1), a hot trigram
+    (m=2), and a twice-repeated 12-gram (m=3 — makes every
+    dup_{5..10}gram column fire), each prefixed to the real document
+    text so both engines also chew identical organic n-gram mass. The
+    oracle recomputes all twelve fractions independently in DuckDB
+    list/window algebra."""
+    from wine_label_ocr_spark.operators.textops import gopher_repetition
+    d = _t(spark, sf, "documents")
+    base = F.substring("text", 1, 200)
+    m = F.pmod(F.col("doc_id"), F.lit(5))
+    planted = (
+        F.when(m == 0, F.concat(
+            F.lit("alpha beta gamma delta\nalpha beta gamma delta\n"
+                  "epsilon zeta\n"), base))
+        .when(m == 1, F.concat(
+            F.lit("first paragraph of words\n\nfirst paragraph of words"
+                  "\n\nsecond block entirely\n\n"), base))
+        .when(m == 2, F.concat(
+            F.lit("buy cheap pills buy cheap pills buy cheap pills "),
+            base))
+        .when(m == 3, F.concat(
+            F.lit("quick brown fox jumps over the lazy dog near rivers "
+                  "and hills quick brown fox jumps over the lazy dog "
+                  "near rivers and hills "), base))
+        .otherwise(base))
+    out = gopher_repetition(d.withColumn("text", planted))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac",
+        "top_2gram_char_frac", "top_3gram_char_frac",
+        "top_4gram_char_frac",
+        "dup_5gram_char_frac", "dup_6gram_char_frac",
+        "dup_7gram_char_frac", "dup_8gram_char_frac",
+        "dup_9gram_char_frac", "dup_10gram_char_frac",
+    ).orderBy("doc_id")
+
+
+def _gopher_repetition_oracle_sql() -> str:
+    plant = """
+      CASE doc_id % 5
+        WHEN 0 THEN concat('alpha beta gamma delta', chr(10),
+                           'alpha beta gamma delta', chr(10),
+                           'epsilon zeta', chr(10), substr(text, 1, 200))
+        WHEN 1 THEN concat('first paragraph of words', chr(10), chr(10),
+                           'first paragraph of words', chr(10), chr(10),
+                           'second block entirely', chr(10), chr(10),
+                           substr(text, 1, 200))
+        WHEN 2 THEN concat('buy cheap pills buy cheap pills '
+                           'buy cheap pills ', substr(text, 1, 200))
+        WHEN 3 THEN concat('quick brown fox jumps over the lazy dog '
+                           'near rivers and hills quick brown fox jumps '
+                           'over the lazy dog near rivers and hills ',
+                           substr(text, 1, 200))
+        ELSE substr(text, 1, 200)
+      END"""
+    # per-unit duplicate fractions (lines / paragraphs) as inline list
+    # algebra; one lambda var name per nesting level (DuckDB shadows)
+    def unit(col):
+        frac = (f"CASE WHEN len({col}) > 0 THEN "
+                f"ROUND((len({col}) - len(list_distinct({col})))"
+                f" / CAST(len({col}) AS DOUBLE), 6) ELSE 0.0 END")
+        dupc = (f"CAST(COALESCE(list_sum(list_transform(list_distinct({col}),"
+                f" v -> (len(list_filter({col}, w -> w = v)) - 1)"
+                f" * length(v))), 0) AS BIGINT)")
+        totc = (f"CAST(COALESCE(list_sum(list_transform({col},"
+                f" u -> length(u))), 0) AS BIGINT)")
+        return frac, dupc, totc
+    lf, ldc, ltc = unit("ls")
+    pf, pdc, ptc = unit("ps")
+    return f"""
+        WITH p AS (
+          SELECT doc_id, {plant} AS t FROM documents),
+        u AS (
+          SELECT doc_id, t,
+                 CAST(GREATEST(length(t), 1) AS DOUBLE) AS total,
+                 list_filter(list_transform(string_split(t, chr(10)),
+                             s -> trim(s)), s -> s != '') AS ls,
+                 list_filter(list_transform(
+                             string_split_regex(t, '\\n{{2,}}'),
+                             s -> trim(s)), s -> s != '') AS ps,
+                 list_filter(string_split_regex(t, '\\s+'),
+                             x -> x != '') AS toks
+          FROM p),
+        unitstats AS (
+          SELECT doc_id,
+                 {lf} AS dup_line_frac,
+                 CASE WHEN {ltc} > 0
+                      THEN ROUND({ldc} / CAST({ltc} AS DOUBLE), 6)
+                      ELSE 0.0 END AS dup_line_char_frac,
+                 {pf} AS dup_para_frac,
+                 CASE WHEN {ptc} > 0
+                      THEN ROUND({pdc} / CAST({ptc} AS DOUBLE), 6)
+                      ELSE 0.0 END AS dup_para_char_frac
+          FROM u),
+        gr AS (
+          SELECT u.doc_id, u.total, nn.n AS n,
+                 unnest(generate_series(1, len(u.toks) - nn.n + 1)) AS i,
+                 u.toks AS toks
+          FROM u, (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) nn
+          WHERE len(u.toks) >= nn.n),
+        g2 AS (
+          SELECT doc_id, total, n, i - 1 AS pos,
+                 array_to_string(toks[i:i+n-1], ' ') AS g
+          FROM gr),
+        cnt AS (
+          SELECT doc_id, n, g, COUNT(*) AS c, MAX(total) AS total
+          FROM g2 GROUP BY doc_id, n, g),
+        topv AS (
+          SELECT doc_id, n,
+                 ROUND(c * length(g) / CAST(total AS DOUBLE), 6) AS v
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                          ORDER BY c DESC, g DESC) AS rk
+                FROM cnt WHERE n IN (2, 3, 4))
+          WHERE rk = 1),
+        top_piv AS (
+          SELECT doc_id,
+                 MAX(CASE WHEN n = 2 THEN v END) AS t2,
+                 MAX(CASE WHEN n = 3 THEN v END) AS t3,
+                 MAX(CASE WHEN n = 4 THEN v END) AS t4
+          FROM topv GROUP BY doc_id),
+        dpos AS (
+          SELECT DISTINCT doc_id, n, idx FROM (
+            SELECT g2.doc_id, g2.n,
+                   unnest(generate_series(g2.pos, g2.pos + g2.n - 1)) AS idx
+            FROM g2 JOIN cnt ON g2.doc_id = cnt.doc_id
+                 AND g2.n = cnt.n AND g2.g = cnt.g
+            WHERE g2.n IN (5, 6, 7, 8, 9, 10) AND cnt.c >= 2)),
+        tl AS (
+          SELECT doc_id, total, j - 1 AS idx, length(toks[j]) AS tlen
+          FROM (SELECT doc_id, total, toks,
+                       unnest(generate_series(1, len(toks))) AS j
+                FROM u)),
+        dupv AS (
+          SELECT d.doc_id, d.n,
+                 ROUND(CAST(SUM(t.tlen) AS BIGINT)
+                       / CAST(MAX(t.total) AS DOUBLE), 6) AS v
+          FROM dpos d JOIN tl t ON d.doc_id = t.doc_id AND d.idx = t.idx
+          GROUP BY d.doc_id, d.n),
+        dup_piv AS (
+          SELECT doc_id,
+                 MAX(CASE WHEN n = 5 THEN v END) AS d5,
+                 MAX(CASE WHEN n = 6 THEN v END) AS d6,
+                 MAX(CASE WHEN n = 7 THEN v END) AS d7,
+                 MAX(CASE WHEN n = 8 THEN v END) AS d8,
+                 MAX(CASE WHEN n = 9 THEN v END) AS d9,
+                 MAX(CASE WHEN n = 10 THEN v END) AS d10
+          FROM dupv GROUP BY doc_id)
+        SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+               s.dup_line_frac, s.dup_line_char_frac,
+               s.dup_para_frac, s.dup_para_char_frac,
+               COALESCE(tp.t2, 0.0) AS top_2gram_char_frac,
+               COALESCE(tp.t3, 0.0) AS top_3gram_char_frac,
+               COALESCE(tp.t4, 0.0) AS top_4gram_char_frac,
+               COALESCE(dp.d5, 0.0) AS dup_5gram_char_frac,
+               COALESCE(dp.d6, 0.0) AS dup_6gram_char_frac,
+               COALESCE(dp.d7, 0.0) AS dup_7gram_char_frac,
+               COALESCE(dp.d8, 0.0) AS dup_8gram_char_frac,
+               COALESCE(dp.d9, 0.0) AS dup_9gram_char_frac,
+               COALESCE(dp.d10, 0.0) AS dup_10gram_char_frac
+        FROM unitstats s
+        LEFT JOIN top_piv tp ON s.doc_id = tp.doc_id
+        LEFT JOIN dup_piv dp ON s.doc_id = dp.doc_id
+        ORDER BY doc_id
+    """
+
+
+def q_corpus_datacard(spark, sf):  # textops: per-language corpus data card
+    """The release-summary aggregation over the REAL documents table —
+    language id, token mass, mean quality (integer-scaled before the
+    sum for cross-engine determinism), Gopher and C4 pass rates, one
+    row per detected language. Full value twin: the oracle recomputes
+    every per-row feature (lang argmax, quality score, both published
+    gate conjunctions) independently in DuckDB."""
+    from wine_label_ocr_spark.operators.textops import corpus_datacard
+    d = _t(spark, sf, "documents")
+    return corpus_datacard(d).orderBy("lang")
+
+
+def _datacard_oracle_sql() -> str:
+    from wine_label_ocr_spark.operators.textops import (
+        GOPHER_STOPWORDS, LANG_MARKERS, QUALITY_STOPWORDS)
+    qstops = ",".join(f"'{s}'" for s in QUALITY_STOPWORDS)
+    score_cols = ", ".join(
+        "len(list_filter(ltoks, t -> list_contains([{}], t))) AS s_{}"
+        .format(", ".join(f"'{m}'" for m in markers), lang)
+        for lang, markers in LANG_MARKERS.items())
+    structs = ", ".join(
+        f"{{'score': s_{lang}, 'lang': '{lang}'}}" for lang in LANG_MARKERS)
+    gstops = " + ".join(
+        f"(CASE WHEN list_contains(ltoks, '{w}') THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOPWORDS)
+    return f"""
+        WITH f AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             tk -> tk != '') AS toks,
+                 list_filter(string_split(text, chr(10)),
+                             s -> trim(s) != '') AS lines,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                               s -> trim(s)),
+                   s -> s != ''
+                     AND (ends_with(s, '.') OR ends_with(s, '!')
+                          OR ends_with(s, '?') OR ends_with(s, '"'))
+                     AND len(list_filter(string_split_regex(s, '\\s+'),
+                                         w -> w != '')) >= 5
+                     AND NOT contains(lower(s), 'javascript')) AS kept
+          FROM documents),
+        g AS (
+          SELECT doc_id, text, toks, kept,
+                 list_transform(toks, t -> lower(t)) AS ltoks,
+                 len(toks) AS n_words,
+                 CAST(GREATEST(len(toks), 1) AS DOUBLE) AS sw,
+                 CAST(COALESCE(list_sum(list_transform(
+                      toks, t -> length(t))), 0) AS BIGINT) AS sum_len,
+                 length(text) - length(replace(text, '#', '')) AS n_hash,
+                 length(text) - length(replace(text, '…', '')) AS n_uell,
+                 CAST((length(text) - length(replace(text, '...', '')))
+                      / 3 AS BIGINT) AS n_dell,
+                 len(list_filter(toks,
+                     t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_w,
+                 CAST(GREATEST(len(lines), 1) AS DOUBLE) AS sl,
+                 len(list_filter(lines,
+                     s -> starts_with(ltrim(s), '•')
+                       OR starts_with(ltrim(s), '- ')
+                       OR starts_with(ltrim(s), '* '))) AS bullet,
+                 len(list_filter(lines,
+                     s -> ends_with(rtrim(s), '...')
+                       OR ends_with(rtrim(s), '…'))) AS ell,
+                 length(text) AS n,
+                 length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                 len(list_intersect(list_transform(toks, t -> lower(t)),
+                                    [{qstops}])) AS qstop
+          FROM f),
+        s AS (SELECT *, {score_cols} FROM g),
+        r AS (
+          SELECT doc_id,
+                 CASE WHEN best['score'] > 0 THEN best['lang']
+                      ELSE 'und' END AS lang,
+                 CAST(n_words AS BIGINT) AS nt,
+                 CAST(ROUND((CAST(0.4 AS DOUBLE)
+                         * LEAST(n / CAST(500.0 AS DOUBLE),
+                                 CAST(1.0 AS DOUBLE))
+                       + CAST(0.3 AS DOUBLE) * (alpha / GREATEST(n, 1))
+                       + CAST(0.3 AS DOUBLE)
+                         * LEAST((qstop / GREATEST(n_words, 1))
+                                 * CAST(3.0 AS DOUBLE),
+                                 CAST(1.0 AS DOUBLE))) * 1e6)
+                      AS BIGINT) AS q,
+                 CASE WHEN n_words >= 50 AND n_words <= 100000
+                       AND sum_len / sw >= 3.0 AND sum_len / sw <= 10.0
+                       AND (n_hash + n_uell + n_dell) / sw < 0.1
+                       AND bullet / sl < 0.9 AND ell / sl < 0.3
+                       AND alpha_w / sw >= 0.8
+                       AND ({gstops}) >= 2
+                      THEN 1 ELSE 0 END AS gok,
+                 CASE WHEN NOT contains(text, '{{')
+                       AND NOT contains(lower(text), 'lorem ipsum')
+                       AND len(kept) >= 3
+                      THEN 1 ELSE 0 END AS c4ok
+          FROM (SELECT *, list_max([{structs}]) AS best FROM s))
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS total_tokens,
+               ROUND((CAST(SUM(q) AS BIGINT) / CAST(COUNT(*) AS DOUBLE))
+                     / 1e6, 6) AS mean_quality,
+               ROUND(CAST(SUM(gok) AS BIGINT)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS gopher_pass_rate,
+               ROUND(CAST(SUM(c4ok) AS BIGINT)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS c4_pass_rate
+        FROM r GROUP BY lang ORDER BY lang
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order = driver certification priority: the driver artifact caps at
     # ~50 entries, so (a) the 34 queries the r6 cap absorbed (last
@@ -2389,6 +2665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "surt_keys": q_surt_keys,
         "wet_roundtrip": q_wet_roundtrip,
+        "gopher_repetition": q_gopher_repetition,
+        "corpus_datacard": q_corpus_datacard,
         # ---- entries below here absorb the driver's ~50-entry cap ----
         # cap-absorbing tail: r6 hash-green, code untouched this round
         "tfidf_pruned": q_tfidf_pruned,
@@ -3144,6 +3422,8 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": _C4_ORACLE_SQL,
         "surt_keys": _SURT_ORACLE_SQL,
         "wet_roundtrip": _WET_ORACLE_SQL,
+        "gopher_repetition": _gopher_repetition_oracle_sql(),
+        "corpus_datacard": _datacard_oracle_sql(),
         "media_frames_webp": """
             -- the media_frames closed form over the WebP container
             -- (same palette/geometry; dispose-to-background uses the

@@ -152,7 +152,8 @@ def test_curate_crawl_end_to_end(spark, tmp_path):
     # (minus any natural near-dups the synthesizer planted)
     assert 100 <= n_out <= 120
 
-    back = read_warc(spark, out + "/*.warc.gz")
+    back = read_warc(spark, out + "/*.warc.gz",
+                     record_types=("conversion",))
     assert back.count() == n_out
     # WET-style payloads: byte-identical to the source pages' EXTRACTED
     # text (the whole point of the byte-identity contract)
@@ -244,4 +245,23 @@ def test_curate_pages_optional_ingest_stages(spark):
     chk = norm.select((F.col("text") == fix_text(F.col("text")))
                       .alias("ok")).collect()
     assert all(r["ok"] for r in chk)
+
+    # c4: every surviving text is its own C4-clean form (the rewrite
+    # happened) and every survivor passed the page rules
+    from wine_label_ocr_spark.operators.textops import c4_text_cols
+    c4d = curate_pages(pages, min_quality=0.0, min_tokens=1, c4=True)
+    clean_again, _, _ = c4_text_cols(F.col("text"))
+    chk4 = c4d.select((F.col("text") == clean_again).alias("idem"),
+                      (~F.col("text").contains("{")).alias("nobrace")) \
+              .collect()
+    assert chk4 and all(r["idem"] and r["nobrace"] for r in chk4)
+
+    # gopher: survivors all pass the gate; non-survivors that fail only
+    # gopher exist (the stage actually cuts)
+    from wine_label_ocr_spark.operators.textops import gopher_gate
+    gop = curate_pages(pages, min_quality=0.0, min_tokens=1, gopher=True)
+    urls_g = {r["url"] for r in gop.select("url").collect()}
+    assert urls_g <= base_urls
+    ok_flags = gop.select(gopher_gate(F.col("text")).alias("ok")).collect()
+    assert all(r["ok"] for r in ok_flags)
     pages.unpersist()

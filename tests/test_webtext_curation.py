@@ -251,3 +251,71 @@ class TestWet:
         assert rows["https://s.com/7"] == "Doc 7 body."
         # response-typed readers must NOT see conversion records
         assert read_warc(spark, os.path.join(out, "*.warc.gz")).count() == 0
+
+
+class TestGopherRepetition:
+    """Full A1.1 repetition-signal set — every value below is
+    hand-computed from the definitions (see gopher_repetition's
+    docstring), so the column algebra can't drift silently."""
+
+    def _run(self, spark, text):
+        df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        from wine_label_ocr_spark.operators.textops import gopher_repetition
+        return gopher_repetition(df).head().asDict()
+
+    def test_dup_lines_and_top_ngrams(self, spark):
+        # "aa bb cc\naa bb cc\ndd ee": 23 chars, 8 tokens
+        r = self._run(spark, "aa bb cc\naa bb cc\ndd ee")
+        assert r["dup_line_frac"] == 0.333333          # 1 repeat of 3 lines
+        assert r["dup_line_char_frac"] == 0.380952     # 8 / 21
+        assert r["dup_para_frac"] == 0.0               # single paragraph
+        assert r["dup_para_char_frac"] == 0.0
+        # top bigram: tie at c=2 ("aa bb" vs "bb cc") breaks gram-desc
+        assert r["top_2gram_char_frac"] == round(2 * 5 / 23, 6)   # "bb cc"
+        assert r["top_3gram_char_frac"] == round(2 * 8 / 23, 6)   # "aa bb cc"
+        # all 4-grams unique -> c=1, lexicographically largest wins
+        assert r["top_4gram_char_frac"] == round(1 * 11 / 23, 6)  # "cc aa bb cc"
+        for n in (5, 6, 7, 8, 9, 10):
+            assert r[f"dup_{n}gram_char_frac"] == 0.0
+
+    def test_dup_ngram_masking(self, spark):
+        # 6-token phrase repeated: every token is covered ONCE by the
+        # dup mask even though overlapping dup 5-grams cover some twice
+        r = self._run(spark, "p q r s t u p q r s t u")
+        assert r["dup_5gram_char_frac"] == round(12 / 23, 6)
+        assert r["dup_6gram_char_frac"] == round(12 / 23, 6)
+        assert r["dup_7gram_char_frac"] == 0.0
+        assert r["top_2gram_char_frac"] == round(2 * 3 / 23, 6)   # "t u"
+        assert r["dup_line_frac"] == 0.0
+
+    def test_dup_paragraphs(self, spark):
+        r = self._run(spark, "one two three\n\none two three\n\nfour five")
+        assert r["dup_para_frac"] == 0.333333
+        assert r["dup_para_char_frac"] == round(13 / 35, 6)
+        assert r["dup_line_frac"] == 0.333333  # paras are single lines too
+
+    def test_empty_and_short(self, spark):
+        r = self._run(spark, "")
+        assert all(r[c] == 0.0 for c in r if c != "doc_id")
+        r2 = self._run(spark, "lone")  # 1 token: no grams at any n
+        assert all(r2[c] == 0.0 for c in r2 if c != "doc_id")
+
+
+class TestCorpusDatacard:
+    def test_groups_and_masses(self, spark):
+        from wine_label_ocr_spark.operators.textops import corpus_datacard
+        rows = spark.createDataFrame(
+            [(1, "the cat and the dog have that been with them"),
+             (2, "the quick brown fox is that and of have with"),
+             (3, "zzz qqq xxx")],
+            "doc_id int, text string")
+        out = {r["lang"]: r for r in corpus_datacard(rows).collect()}
+        assert set(out) == {"en", "und"}
+        assert out["en"]["n_docs"] == 2
+        assert out["en"]["total_tokens"] == 20
+        assert out["und"]["n_docs"] == 1
+        assert out["und"]["total_tokens"] == 3
+        for r in out.values():
+            assert 0.0 <= r["mean_quality"] <= 1.0
+            assert r["gopher_pass_rate"] in (0.0, 0.5, 1.0)
+            assert 0.0 <= r["c4_pass_rate"] <= 1.0

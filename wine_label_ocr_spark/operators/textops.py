@@ -1035,6 +1035,22 @@ def c4_line_keep(line: Column, min_line_words: int = 5) -> Column:
             & ~F.lower(line).contains("javascript"))
 
 
+def c4_text_cols(t: Column, min_line_words: int = 5,
+                 min_kept_lines: int = 3) -> tuple[Column, Column, Column]:
+    """(clean_text, n_kept_lines, page_ok) columns for a text column —
+    the C4 core shared by ``c4_clean`` (the gate projection) and the
+    curation capstone's optional c4 stage."""
+    # NB: explicit single-arg lambda — passing F.trim directly would be
+    # introspected as a TWO-variable HOF lambda (trim's optional second
+    # param becomes the element index → trims index digits, not spaces)
+    kept = F.filter(F.transform(F.split(t, r"\n"), lambda s: F.trim(s)),
+                    lambda s: c4_line_keep(s, min_line_words))
+    page_ok = (~t.contains("{")
+               & ~F.lower(t).contains("lorem ipsum")
+               & (F.size(kept) >= min_kept_lines))
+    return F.array_join(kept, "\n"), F.size(kept), page_ok
+
+
 def c4_clean(df: DataFrame, id_col: str = "doc_id",
              text_col: str = "text", min_line_words: int = 5,
              min_kept_lines: int = 3) -> DataFrame:
@@ -1050,18 +1066,11 @@ def c4_clean(df: DataFrame, id_col: str = "doc_id",
     ``c4_ok=false``. Zero Exchange — every rule is within-row.
     """
     t = F.col(text_col)
-    # NB: explicit single-arg lambda — passing F.trim directly would be
-    # introspected as a TWO-variable HOF lambda (trim's optional second
-    # param becomes the element index → trims index digits, not spaces)
-    kept = F.filter(F.transform(F.split(t, r"\n"), lambda s: F.trim(s)),
-                    lambda s: c4_line_keep(s, min_line_words))
-    n_kept = F.size(kept)
-    page_ok = (~t.contains("{")
-               & ~F.lower(t).contains("lorem ipsum")
-               & (n_kept >= min_kept_lines))
+    clean_text, n_kept, page_ok = c4_text_cols(
+        t, min_line_words, min_kept_lines)
     return df.select(
         F.col(id_col),
-        F.array_join(kept, "\n").alias("clean_text"),
+        clean_text.alias("clean_text"),
         n_kept.alias("n_kept_lines"),
         F.size(F.filter(F.split(t, r"\n"), lambda s: F.trim(s) != ""))
          .alias("n_lines"),
@@ -1123,3 +1132,175 @@ def surt_key(url: Column) -> Column:
 
     ok = F.regexp_extract(url, r"^(?i:https?)://[^/?#]+", 0) != ""
     return F.when(ok, let(url, build)).otherwise(F.lit(None).cast("string"))
+
+
+def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      top_ns: tuple[int, ...] = (2, 3, 4),
+                      dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10)
+                      ) -> DataFrame:
+    """The FULL Gopher repetition-signal set (Rae et al. 2021 A1.1),
+    extending ``repetition_stats``'s two signals to the paper's twelve:
+
+    * ``dup_line_frac`` / ``dup_para_frac`` — fraction of non-blank
+      trimmed lines / paragraphs (blank-line-separated) that are
+      repeats of an earlier one;
+    * ``dup_line_char_frac`` / ``dup_para_char_frac`` — fraction of
+      unit characters inside those repeats (occurrences beyond the
+      first; denominator = total unit characters);
+    * ``top_{n}gram_char_frac`` for n in ``top_ns`` — characters
+      covered by occurrences of the MOST frequent word n-gram (count ×
+      n-gram length, spaces included) over total document characters;
+      ties break to the lexicographically largest gram (deterministic
+      across engines and partitionings);
+    * ``dup_{n}gram_char_frac`` for n in ``dup_ns`` — characters of
+      tokens covered by ANY occurrence of a repeated n-gram, counted
+      ONCE per token even when overlapping n-grams cover it (the
+      masking semantics of the published implementations), over total
+      document characters.
+
+    Scale shape: line/paragraph stats are in-row column algebra (O(U²)
+    in units per row — crawl documents have hundreds of lines, not
+    millions); the n-gram stats are ONE explode keyed (doc, n, gram)
+    followed by count aggregation, a positions re-join for the dup
+    mask, and conditional-aggregation pivots — every shuffle carries
+    (doc_id, n, gram/pos) rows only, never the text.
+    """
+    t = F.col(text_col)
+    total = F.greatest(F.length(t), F.lit(1)).cast("double")
+
+    def unit_cols(units):
+        n = F.size(units)
+        nd = F.size(F.array_distinct(units))
+        frac = F.when(n > 0, F.round((n - nd) / n.cast("double"), 6)) \
+                .otherwise(F.lit(0.0))
+        dup_chars = F.aggregate(
+            F.transform(
+                F.array_distinct(units),
+                lambda v: (F.size(F.filter(units, lambda u: u == v))
+                           - 1).cast("bigint") * F.length(v)),
+            F.lit(0).cast("bigint"), lambda a, x: a + x)
+        tot_chars = F.aggregate(
+            F.transform(units, lambda u: F.length(u).cast("bigint")),
+            F.lit(0).cast("bigint"), lambda a, x: a + x)
+        char_frac = F.when(
+            tot_chars > 0,
+            F.round(dup_chars / tot_chars.cast("double"), 6)) \
+            .otherwise(F.lit(0.0))
+        return frac, char_frac
+
+    lines = F.filter(F.transform(F.split(t, r"\n"), lambda s: F.trim(s)),
+                     lambda s: s != "")
+    paras = F.filter(F.transform(F.split(t, r"\n{2,}"),
+                                 lambda s: F.trim(s)),
+                     lambda s: s != "")
+    line_frac, line_char = unit_cols(lines)
+    para_frac, para_char = unit_cols(paras)
+
+    all_ns = tuple(sorted(set(top_ns) | set(dup_ns)))
+    toks = tokens_col(t)
+    gram_t = "array<struct<n:int,pos:int,g:string>>"
+
+    # NB: closure factory, NOT ``lambda i, n=n`` — a default arg makes
+    # PySpark's HOF introspection bind the lambda as TWO-variable, so
+    # ``n`` would become the element-index column instead of the int
+    def _gram_fn(n):
+        def f(i):
+            return F.struct(
+                F.lit(n).alias("n"), (i - 1).cast("int").alias("pos"),
+                F.array_join(F.slice(toks, i, n), " ").alias("g"))
+        return f
+
+    per_n = [
+        F.when(F.size(toks) >= n, F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1), _gram_fn(n)))
+        .otherwise(F.expr(f"CAST(array() AS {gram_t})"))
+        for n in all_ns]
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        line_frac.alias("dup_line_frac"),
+        line_char.alias("dup_line_char_frac"),
+        para_frac.alias("dup_para_frac"),
+        para_char.alias("dup_para_char_frac"),
+        total.alias("_total"),
+        toks.alias("_toks"),
+        F.flatten(F.array(*per_n)).alias("_grams"))
+
+    exploded = base.select("doc_id", "_total",
+                           F.explode("_grams").alias("gr")) \
+        .select("doc_id", "_total", F.col("gr.n").alias("n"),
+                F.col("gr.pos").alias("pos"), F.col("gr.g").alias("g"))
+    counts = exploded.groupBy("doc_id", "n", "g") \
+        .agg(F.count(F.lit(1)).alias("c"), F.first("_total").alias("_total"))
+
+    # top-n-gram char coverage: count × gram length, deterministic
+    # tie-break (count desc, gram desc)
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id", "n").orderBy(
+        F.col("c").desc(), F.col("g").desc())
+    top = (counts.where(F.col("n").isin(*top_ns))
+           .withColumn("_rk", F.row_number().over(w))
+           .where(F.col("_rk") == 1)
+           .select("doc_id", "n",
+                   F.round((F.col("c") * F.length("g"))
+                           / F.col("_total"), 6).alias("v")))
+    top_piv = top.groupBy("doc_id").agg(*[
+        F.max(F.when(F.col("n") == n, F.col("v")))
+         .alias(f"top_{n}gram_char_frac") for n in top_ns])
+
+    # dup-n-gram mask: token indices covered by any gram with count>=2,
+    # each token counted once; chars = sum of those tokens' lengths
+    dup_pos = (exploded.where(F.col("n").isin(*dup_ns))
+               .join(counts.where(F.col("c") >= 2)
+                     .select("doc_id", "n", "g"), ["doc_id", "n", "g"])
+               .select("doc_id", "n",
+                       F.explode(F.sequence(
+                           F.col("pos"),
+                           F.col("pos") + F.col("n") - 1)).alias("idx"))
+               .distinct())
+    tok_lens = base.select(
+        "doc_id", "_total",
+        F.posexplode("_toks").alias("idx", "tok")) \
+        .select("doc_id", "_total", "idx",
+                F.length("tok").cast("bigint").alias("len"))
+    dup = (dup_pos.join(tok_lens, ["doc_id", "idx"])
+           .groupBy("doc_id", "n")
+           .agg(F.round(F.sum("len") / F.first("_total"), 6).alias("v")))
+    dup_piv = dup.groupBy("doc_id").agg(*[
+        F.max(F.when(F.col("n") == n, F.col("v")))
+         .alias(f"dup_{n}gram_char_frac") for n in dup_ns])
+
+    out = (base.drop("_total", "_toks", "_grams")
+           .join(top_piv, "doc_id", "left")
+           .join(dup_piv, "doc_id", "left"))
+    fills = {f"top_{n}gram_char_frac": 0.0 for n in top_ns}
+    fills.update({f"dup_{n}gram_char_frac": 0.0 for n in dup_ns})
+    return out.fillna(fills)
+
+
+def corpus_datacard(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-language corpus data card — the one-screen summary a corpus
+    release ships with: document count, token mass, mean quality score,
+    and the Gopher/C4 pass rates. One groupBy(lang) aggregation;
+    per-row doubles are integer-scaled BEFORE the sum (order-dependent
+    float addition would break cross-engine determinism), the final
+    mean is a single division."""
+    t = F.col(text_col)
+    q_e6 = F.round(quality_score(t) * 1e6).cast("bigint")
+    return (df.select(
+                lang_id(t).alias("lang"),
+                token_count(t).cast("bigint").alias("_nt"),
+                q_e6.alias("_q"),
+                gopher_gate(t).cast("int").alias("_g"),
+                c4_text_cols(t)[2].cast("int").alias("_c4"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_nt").alias("total_tokens"),
+                 F.round((F.sum("_q") / F.count(F.lit(1))) / 1e6, 6)
+                  .alias("mean_quality"),
+                 F.round(F.sum("_g") / F.count(F.lit(1)).cast("double"), 6)
+                  .alias("gopher_pass_rate"),
+                 F.round(F.sum("_c4") / F.count(F.lit(1)).cast("double"), 6)
+                  .alias("c4_pass_rate")))

@@ -34,7 +34,9 @@ def _curation_stages(pages: DataFrame, min_quality: float, min_tokens: int,
                      robots_rules: DataFrame | None = None,
                      normalize_text: bool = False,
                      prior_fps: DataFrame | None = None,
-                     checkpoint_uniq: bool = True):
+                     checkpoint_uniq: bool = True,
+                     c4: bool = False,
+                     gopher: bool = False):
     """The shared stage DAG: (records, candidates, unique, canonical).
 
     One construction used by both ``curate_pages`` (the product) and
@@ -47,7 +49,11 @@ def _curation_stages(pages: DataFrame, min_quality: float, min_tokens: int,
     pre-extract), ``normalize_text`` (``fix_text`` over the extracted
     text — runs BEFORE the gates so quality scores see clean text),
     ``prior_fps`` (crawl-over-crawl ``incremental_dedup`` between the
-    exact and near-dup stages)."""
+    exact and near-dup stages); ``c4`` (C4 line cleaning + page rules —
+    the text REWRITES to the kept lines, so it runs before every gate
+    that scores text); ``gopher`` (the Gopher A1.1 rule conjunction,
+    alongside the quality gates). All pure maps — the stage order stays
+    cheapest-cut-first."""
     if blocklist is not None:
         from ..operators.classify import filter_blocklisted
         pages = filter_blocklisted(pages, blocklist)
@@ -59,11 +65,20 @@ def _curation_stages(pages: DataFrame, min_quality: float, min_tokens: int,
     if normalize_text:
         from ..operators.textops import fix_text
         rec = rec.withColumn("text", fix_text(F.col("text")))
+    if c4:
+        from ..operators.textops import c4_text_cols
+        clean_text, _, page_ok = c4_text_cols(F.col("text"))
+        rec = (rec.withColumn("_c4ok", page_ok)
+               .withColumn("text", clean_text)
+               .filter(F.col("_c4ok")).drop("_c4ok"))
     cand = (rec.withColumn("_q", quality_score(F.col("text")))
             .withColumn("_nt", token_count(F.col("text")))
             .filter((F.col("_q") >= min_quality) & (F.col("_nt") >= min_tokens)))
     if langs:
         cand = cand.filter(lang_id(F.col("text")).isin(*langs))
+    if gopher:
+        from ..operators.textops import gopher_gate
+        cand = cand.filter(gopher_gate(F.col("text")))
     cand = cand.drop("_q", "_nt")
     # dedup ids must be stable & orderable: hash the url
     keyed = cand.withColumn("_did", F.xxhash64("url"))
@@ -99,7 +114,8 @@ def curate_pages(pages: DataFrame, min_quality: float = 0.3,
                  blocklist: DataFrame | None = None,
                  robots_rules: DataFrame | None = None,
                  normalize_text: bool = False,
-                 prior_fps: DataFrame | None = None) -> DataFrame:
+                 prior_fps: DataFrame | None = None,
+                 c4: bool = False, gopher: bool = False) -> DataFrame:
     """pages → curated records. Filters are pure maps over the extract
     output; dedup keeps the minimum-url-hash survivor per duplicate
     cluster (deterministic across runs and partitionings). See
@@ -109,7 +125,8 @@ def curate_pages(pages: DataFrame, min_quality: float = 0.3,
     _, _, _, canonical = _curation_stages(
         pages, min_quality, min_tokens, langs, near_dup_jaccard,
         blocklist=blocklist, robots_rules=robots_rules,
-        normalize_text=normalize_text, prior_fps=prior_fps)
+        normalize_text=normalize_text, prior_fps=prior_fps,
+        c4=c4, gopher=gopher)
     return canonical.drop("_did")
 
 
@@ -170,13 +187,15 @@ def curate_crawl(spark: SparkSession, in_glob: str, out_dir: str,
                  **kwargs) -> list:
     """The whole arc: WARC shards in, curated gzip WARC shards out.
 
-    Output records are WET-style (Common Crawl's extracted-text sibling
-    of WARC): the payload is the curated document's EXTRACTED text,
-    utf-8, under the source url/timestamp/lang. Returns the collected
-    export manifest (path, n_records, n_bytes per shard) — collecting it
-    is what commits the export."""
+    Output records are WET (Common Crawl's extracted-text sibling of
+    WARC): TRUE ``conversion``-type records whose payload is the curated
+    document's EXTRACTED text, utf-8, under the source url/timestamp/
+    lang — read back with ``read_warc(record_types=("conversion",))``.
+    Returns the collected export manifest (path, n_records, n_bytes per
+    shard) — collecting it is what commits the export."""
     curated = curate_pages(read_warc(spark, in_glob), **kwargs)
     wet = curated.select("url", "warc_ts",
                          F.encode("text", "utf-8").alias("html"), "lang")
     return write_warc_shards(wet, out_dir, n_shards=n_shards,
-                             compress=compress).collect()
+                             compress=compress,
+                             record_type="conversion").collect()
