@@ -199,6 +199,27 @@ def main() -> None:
              __import__("wine_label_ocr_spark.fixtures",
                         fromlist=["documents_as_media_frames"])
              .documents_as_media_frames(spark, SF))),
+        ("gopher_repetition — n-gram stats shuffle (doc, n, gram) only",
+         "Line/paragraph duplicate fractions are in-row list algebra "
+         "(zero Exchange for eight of twelve signals). The n-gram arm "
+         "explodes (doc_id, n, pos, gram) rows — never the text — into "
+         "one count aggregation with map-side partials; the dup mask "
+         "re-joins positions and distincts token indices; two "
+         "conditional-aggregation pivots come back on doc_id. At crawl "
+         "scale the shuffled rows are bounded by tokens×9 per doc and "
+         "carry short grams, not documents.",
+         __import__("wine_label_ocr_spark.operators.textops",
+                    fromlist=["gopher_repetition"]).gopher_repetition(
+             docs)),
+        ("corpus_datacard — one groupBy(lang), integer-scaled sums",
+         "Every per-row feature (lang argmax, quality, both gate "
+         "conjunctions) is computed in the map phase; ONE hash "
+         "aggregation on the tiny lang key space with map-side partial "
+         "combine. Quality doubles are integer-scaled before the sum so "
+         "the result is order-independent (cross-engine deterministic).",
+         __import__("wine_label_ocr_spark.operators.textops",
+                    fromlist=["corpus_datacard"]).corpus_datacard(
+             docs)),
         ("paragraph_dedup — boilerplate key set broadcast anti join",
          "Paragraph keys count distinct docs (one shuffle, map-side "
          "partials); the >=min_docs boilerplate set is small by "
