@@ -2602,6 +2602,257 @@ def _datacard_oracle_sql() -> str:
     """
 
 
+def q_anchor_text(spark, sf):  # graph: top-k anchor texts per link target
+    """Anchor-text index over planted html cycling: a shared hub target
+    (1/10 of pages each, same anchor), a second anchor on the same hub
+    for every 3rd page (uppercase tag, single quotes), a RELATIVE href
+    resolved against the page URL, an unquoted href, an exact-count TIE
+    (breaks anchor-asc), a nested-markup anchor (must NOT match), an
+    empty-after-trim anchor (must drop), and whitespace normalization
+    inside the anchor. The oracle STATES each (dst, anchor) row
+    closed-form from doc_id and recomputes count + top-k independently."""
+    from wine_label_ocr_spark.operators.graph import anchor_text_index
+    d = _t(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    a = F.pmod(F.col("doc_id"), F.lit(10)).cast("string")
+    b = F.pmod(F.col("doc_id"), F.lit(4)).cast("string")
+    h = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    alt = F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+                 F.concat(F.lit("<A HREF='https://hub.example/t"), a,
+                          F.lit("'>alt "), a, F.lit("</A>"))) \
+           .otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<a href="https://hub.example/t'), a, F.lit('">Topic '), a,
+        F.lit("</a>"), alt,
+        F.lit('<a href="/rel/'), b, F.lit('">  local\n  page '), b,
+        F.lit(" </a>"),
+        F.lit("<a href=https://bare.example/u"), a, F.lit(">bare "), a,
+        F.lit("</a>"),
+        F.lit('<a href="https://tie.example/z">zz b</a>'
+              '<a href="https://tie.example/z">zz a</a>'
+              '<a href="https://skip.example/n"><b>bold</b></a>'
+              '<a href="https://img.example/i">   </a>'))
+    pages = d.select(
+        F.concat(F.lit("https://s"), h, F.lit(".org/p/"), did).alias("url"),
+        html.alias("html"))
+    return anchor_text_index(pages, k=3).orderBy("dst", "rank")
+
+
+_ANCHOR_ORACLE_SQL = """
+    WITH d AS (
+      SELECT CAST(doc_id % 10 AS VARCHAR) AS a,
+             CAST(doc_id % 4 AS VARCHAR) AS b,
+             CAST(doc_id % 7 AS VARCHAR) AS h,
+             doc_id % 3 AS m3
+      FROM documents),
+    pairs AS (
+      SELECT 'https://hub.example/t' || a AS dst, 'Topic ' || a AS anchor
+      FROM d
+      UNION ALL
+      SELECT 'https://hub.example/t' || a, 'alt ' || a FROM d WHERE m3 = 0
+      UNION ALL
+      SELECT 'https://s' || h || '.org/rel/' || b, 'local page ' || b
+      FROM d
+      UNION ALL
+      SELECT 'https://bare.example/u' || a, 'bare ' || a FROM d
+      UNION ALL
+      SELECT 'https://tie.example/z', 'zz b' FROM d
+      UNION ALL
+      SELECT 'https://tie.example/z', 'zz a' FROM d),
+    c AS (
+      SELECT dst, anchor, COUNT(*) AS n_refs
+      FROM pairs GROUP BY dst, anchor),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY dst
+                 ORDER BY n_refs DESC, anchor) AS rk
+      FROM c)
+    SELECT dst, CAST(rk AS INT) AS rank, anchor,
+           CAST(n_refs AS BIGINT) AS n_refs
+    FROM r WHERE rk <= 3 ORDER BY dst, rank
+"""
+
+
+def q_script_profile(spark, sf):  # textops: Unicode-script histogram
+    """Script detection over planted multilingual snippets cycling
+    eleven shapes: one per covered script, a latin/cyrillic exact-count
+    TIE (breaks to the max script name), a CJK-dominant mixed line, and
+    a digits/punctuation-only 'none'. The oracle STATES every count and
+    the dominant script closed-form per shape — no regex in SQL."""
+    from wine_label_ocr_spark.operators.textops import script_profile
+    d = _t(spark, sf, "documents").select("doc_id")
+    m = F.pmod(F.col("doc_id"), F.lit(11))
+    text = (F.when(m == 0, F.lit("Hello, world! 123"))
+            .when(m == 1, F.lit("привет мир 77"))
+            .when(m == 2, F.lit("γειά σου κόσμε"))
+            .when(m == 3, F.lit("مرحبا بالعالم"))
+            .when(m == 4, F.lit("你好世界你好 ok"))
+            .when(m == 5, F.lit("שלום עולם"))
+            .when(m == 6, F.lit("да ok"))
+            .when(m == 7, F.lit("नमस्ते"))
+            .when(m == 8, F.lit("こんにちは"))
+            .when(m == 9, F.lit("안녕하세요"))
+            .otherwise(F.lit("1234 !?")))
+    out = script_profile(d.withColumn("text", text))
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      *[c for c in out.columns if c != "doc_id"]) \
+              .orderBy("doc_id")
+
+
+_SCRIPT_ORACLE_SQL = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(CASE doc_id % 11 WHEN 3 THEN 12 ELSE 0 END AS INT)
+               AS n_arabic,
+           CAST(CASE doc_id % 11 WHEN 4 THEN 6 ELSE 0 END AS INT)
+               AS n_cjk,
+           CAST(CASE doc_id % 11 WHEN 1 THEN 9 WHEN 6 THEN 2 ELSE 0 END
+               AS INT) AS n_cyrillic,
+           CAST(CASE doc_id % 11 WHEN 7 THEN 6 ELSE 0 END AS INT)
+               AS n_devanagari,
+           CAST(CASE doc_id % 11 WHEN 2 THEN 12 ELSE 0 END AS INT)
+               AS n_greek,
+           CAST(CASE doc_id % 11 WHEN 9 THEN 5 ELSE 0 END AS INT)
+               AS n_hangul,
+           CAST(CASE doc_id % 11 WHEN 5 THEN 8 ELSE 0 END AS INT)
+               AS n_hebrew,
+           CAST(CASE doc_id % 11 WHEN 8 THEN 5 ELSE 0 END AS INT)
+               AS n_kana,
+           CAST(CASE doc_id % 11 WHEN 0 THEN 10 WHEN 4 THEN 2
+                WHEN 6 THEN 2 ELSE 0 END AS INT) AS n_latin,
+           CASE doc_id % 11
+             WHEN 0 THEN 'latin'     WHEN 1 THEN 'cyrillic'
+             WHEN 2 THEN 'greek'     WHEN 3 THEN 'arabic'
+             WHEN 4 THEN 'cjk'       WHEN 5 THEN 'hebrew'
+             WHEN 6 THEN 'latin'     WHEN 7 THEN 'devanagari'
+             WHEN 8 THEN 'kana'      WHEN 9 THEN 'hangul'
+             ELSE 'none'
+           END AS dominant_script
+    FROM documents ORDER BY doc_id
+"""
+
+
+def q_lm_buckets(spark, sf):  # textops: corpus bigram LM + CCNet buckets
+    """CCNet-style perplexity bucketing over the REAL documents table —
+    full value twin: the DuckDB oracle trains the identical add-one
+    bigram LM from the same text and recomputes every integer-scaled
+    score and the ntile split."""
+    from wine_label_ocr_spark.operators.textops import bigram_lm_scores
+    d = _t(spark, sf, "documents")
+    return bigram_lm_scores(d).orderBy("doc_id")
+
+
+_LM_ORACLE_SQL = """
+    WITH base AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x != ''), t -> lower(t)) AS toks
+      FROM documents),
+    bi AS (
+      SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM base WHERE len(toks) >= 2)),
+    uni AS (
+      SELECT w, COUNT(*) AS c1
+      FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w),
+    v AS (SELECT COUNT(*) AS v FROM uni),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+    term AS (
+      SELECT bi.doc_id,
+             CAST(ROUND(ln((big.c12 + 1)
+                  / CAST(uni.c1 + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS t
+      FROM bi JOIN big ON bi.w1 = big.w1 AND bi.w2 = big.w2
+              JOIN uni ON bi.w1 = uni.w, v),
+    scored AS (
+      SELECT doc_id, CAST(SUM(t) AS BIGINT) AS logprob_scaled,
+             COUNT(*) AS n_bigrams
+      FROM term GROUP BY doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           logprob_scaled,
+           ROUND((logprob_scaled / CAST(n_bigrams AS DOUBLE)) / 1e6, 6)
+               AS mean_logprob,
+           CAST(NTILE(3) OVER (
+                ORDER BY logprob_scaled / CAST(n_bigrams AS DOUBLE) DESC,
+                         doc_id) AS INT) AS ppl_bucket
+    FROM scored ORDER BY doc_id
+"""
+
+
+def q_head_meta(spark, sf):  # html_meta: <head> metadata + robots meta
+    """Head-metadata extraction over planted html cycling eight shapes:
+    a full head (title/description/og:title/canonical/charset), robots
+    noindex with follow, uppercase NOFOLLOW, attribute order flipped +
+    single quotes, duplicate metas (FIRST wins), a bare page with
+    nothing, a token-boundary negative ('nofollowme' must NOT set the
+    flag) + http-equiv charset, and unquoted attribute values. The
+    oracle STATES every field closed-form per shape."""
+    from wine_label_ocr_spark.operators.html_meta import head_meta
+    d = _t(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    m = F.pmod(F.col("doc_id"), F.lit(8))
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit("<title>Page "), did,
+            F.lit('</title><meta name="description" content="Desc '), did,
+            F.lit('"><meta property="og:title" content="OG '), did,
+            F.lit('"><link rel="canonical" href="https://c.com/'), did,
+            F.lit('"><meta charset="UTF-8">')))
+        .when(m == 1, F.lit(
+            '<meta name=robots content="noindex, follow"><title>T1</title>'))
+        .when(m == 2, F.lit('<meta name="ROBOTS" content="NOFOLLOW">'))
+        .when(m == 3, F.concat(
+            F.lit("<meta content='Rev "), did, F.lit("' name='description'>")))
+        .when(m == 4, F.lit(
+            '<meta name="description" content="first">'
+            '<meta name="description" content="second">'))
+        .when(m == 5, F.lit("<p>hi</p>"))
+        .when(m == 6, F.lit(
+            '<meta name="robots" content="nofollowme">'
+            '<meta http-equiv="Content-Type"'
+            ' content="text/html; charset=iso-8859-1">'))
+        .otherwise(F.concat(
+            F.lit("<meta name=description content=bare"), did,
+            F.lit("><link rel=canonical href=https://u.co/"), did,
+            F.lit(">"))))
+    pages = d.select(F.concat(F.lit("https://p.io/"), did).alias("url"),
+                     html.alias("html"))
+    return (head_meta(pages)
+            .select(F.regexp_extract("url", r"/(\d+)$", 1).cast("bigint")
+                     .alias("doc_id"),
+                    "title", "description", "og_title", "canonical",
+                    "charset", "robots_noindex", "robots_nofollow")
+            .orderBy("doc_id"))
+
+
+_HEAD_META_ORACLE_SQL = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE doc_id % 8
+             WHEN 0 THEN 'Page ' || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN 'T1'
+           END AS title,
+           CASE doc_id % 8
+             WHEN 0 THEN 'Desc ' || CAST(doc_id AS VARCHAR)
+             WHEN 3 THEN 'Rev ' || CAST(doc_id AS VARCHAR)
+             WHEN 4 THEN 'first'
+             WHEN 7 THEN 'bare' || CAST(doc_id AS VARCHAR)
+           END AS description,
+           CASE doc_id % 8
+             WHEN 0 THEN 'OG ' || CAST(doc_id AS VARCHAR)
+           END AS og_title,
+           CASE doc_id % 8
+             WHEN 0 THEN 'https://c.com/' || CAST(doc_id AS VARCHAR)
+             WHEN 7 THEN 'https://u.co/' || CAST(doc_id AS VARCHAR)
+           END AS canonical,
+           CASE doc_id % 8
+             WHEN 0 THEN 'utf-8'
+             WHEN 6 THEN 'iso-8859-1'
+           END AS charset,
+           (doc_id % 8 = 1) AS robots_noindex,
+           (doc_id % 8 = 2) AS robots_nofollow
+    FROM documents ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order = driver certification priority: the driver artifact caps at
     # ~50 entries, so (a) the 34 queries the r6 cap absorbed (last
@@ -2667,6 +2918,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip": q_wet_roundtrip,
         "gopher_repetition": q_gopher_repetition,
         "corpus_datacard": q_corpus_datacard,
+        "anchor_text": q_anchor_text,
+        "script_profile": q_script_profile,
+        "lm_buckets": q_lm_buckets,
+        "head_meta": q_head_meta,
         # ---- entries below here absorb the driver's ~50-entry cap ----
         # cap-absorbing tail: r6 hash-green, code untouched this round
         "tfidf_pruned": q_tfidf_pruned,
@@ -3424,6 +3679,10 @@ def oracle_sql() -> dict[str, str]:
         "wet_roundtrip": _WET_ORACLE_SQL,
         "gopher_repetition": _gopher_repetition_oracle_sql(),
         "corpus_datacard": _datacard_oracle_sql(),
+        "anchor_text": _ANCHOR_ORACLE_SQL,
+        "script_profile": _SCRIPT_ORACLE_SQL,
+        "lm_buckets": _LM_ORACLE_SQL,
+        "head_meta": _HEAD_META_ORACLE_SQL,
         "media_frames_webp": """
             -- the media_frames closed form over the WebP container
             -- (same palette/geometry; dispose-to-background uses the

@@ -209,3 +209,42 @@ def test_basefont_is_not_a_base_tag(spark):
            for r in G.extract_outlinks(df, resolve=True).collect()}
     assert got == {"x.html": "https://h.com/dir/x.html",
                    "y.html": "https://h.com/b/y.html"}
+
+
+class TestAnchorText:
+    def test_pairs_and_negatives(self, spark):
+        from wine_label_ocr_spark.operators.graph import anchor_pairs
+        html = ('<a href="https://x.com/a">First Link</a>'
+                "<A HREF='https://x.com/b'>second</A>"
+                '<a href=https://x.com/c>un quoted</a>'
+                '<a href="https://x.com/d"><b>nested</b></a>'
+                '<a href="#frag">skip</a>'
+                '<a href="https://x.com/e">  spaced \n out  </a>')
+        df = spark.createDataFrame([("u1", html)], "url string, html string")
+        rows = {r["href"]: r["anchor"] for r in anchor_pairs(df).collect()}
+        assert rows == {
+            "https://x.com/a": "First Link",
+            "https://x.com/b": "second",
+            "https://x.com/c": "un quoted",
+            "https://x.com/e": "spaced out",
+        }
+
+    def test_index_topk_and_ties(self, spark):
+        from wine_label_ocr_spark.operators.graph import anchor_text_index
+        mk = lambda n, a: f'<a href="https://t.com/p">{a}</a>' * n
+        pages = spark.createDataFrame(
+            [("https://s1.com/", mk(3, "big") + mk(2, "mid")
+              + mk(1, "zz") + mk(1, "aa")
+              + '<a href="/local">rel</a>'
+              + '<a href="https://t.com/p">   </a>')],
+            "url string, html string")
+        out = anchor_text_index(pages, k=3).collect()
+        by_dst = {}
+        for r in out:
+            by_dst.setdefault(r["dst"], []).append(
+                (r["rank"], r["anchor"], r["n_refs"]))
+        # top-3 with count-desc then anchor-asc tie-break; empty dropped
+        assert sorted(by_dst["https://t.com/p"]) == [
+            (1, "big", 3), (2, "mid", 2), (3, "aa", 1)]
+        # relative href resolved against the page url
+        assert by_dst["https://s1.com/local"] == [(1, "rel", 1)]

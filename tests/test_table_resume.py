@@ -202,3 +202,77 @@ def test_merge_upsert_rejects_schema_drift(spark, tmp_path):
     missing = spark.range(2).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="schema mismatch"):
         t.merge_upsert(spark, missing, key="k")
+
+
+def test_compact_bin_packs_and_tightens_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from wine_label_ocr_spark.sources.table import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    # 5 commits, each spreading keys over the FULL range in 2 files —
+    # the worst case for range pruning (every file overlaps every probe)
+    for i in range(5):
+        df = (spark.range(0, 400, 5)
+              .select((F.col("id") + i).alias("k"),
+                      ((F.col("id") + i) * 2).alias("v"))
+              .repartition(2))
+        t.append(df, stats_col="k")
+    pre_files = t.current_files()
+    pre_sid = t._current_snapshot()["id"]
+    pre_rows = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    assert len(pre_files) == 10
+
+    def probe_files(lo, hi):
+        snap = t._current_snapshot()
+        stats = snap["stats"]
+        return [f for f in t.current_files()
+                if f not in stats
+                or (stats[f][0] <= hi and stats[f][1] >= lo)]
+
+    # full-range commits leave MANY files overlapping a point probe
+    assert len(probe_files(7, 7)) > 1
+
+    sid = t.compact(spark, target_files=4, min_files=2)
+    assert sid is not None
+    # identical rows, fewer files, disjoint ranges -> point probe = 1 file
+    assert sorted((r["k"], r["v"])
+                  for r in t.read(spark).collect()) == pre_rows
+    assert len(t.current_files()) == 4
+    assert len(probe_files(7, 7)) == 1
+    assert t._current_snapshot()["op"] == "compact"
+    assert t._current_snapshot()["meta"]["compacted_from"] == 10
+    # pruned read returns the right rows
+    got = {r["k"] for r in
+           t.read(spark, key_between=(7, 7)).collect() if r["k"] == 7}
+    assert got == {7}
+    # time travel to the pre-compact snapshot still works...
+    assert t.read(spark, snapshot_id=pre_sid).count() == len(pre_rows)
+    # ...until vacuum reclaims the old files; current read survives
+    removed = t.vacuum()
+    assert removed == 10
+    assert sorted((r["k"], r["v"])
+                  for r in t.read(spark).collect()) == pre_rows
+    # below min_files it's a no-op
+    assert t.compact(spark, min_files=8) is None
+
+
+def test_seen_store_maybe_compact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from wine_label_ocr_spark.plans.crawl import SeenUrlStore
+
+    s = SeenUrlStore(str(tmp_path / "seen"), n_files_per_commit=4)
+    for i in range(3):
+        urls = spark.range(i * 50, (i + 1) * 50).select(
+            F.concat(F.lit("https://h.com/p"), F.col("id").cast("string"))
+             .alias("url"))
+        s.record_fetched(spark, urls)
+    assert s.maybe_compact(spark, max_files=64) is None  # under threshold
+    n_before = s.read(spark).count()
+    sid = s.maybe_compact(spark, max_files=2)
+    assert sid is not None
+    assert s.read(spark).count() == n_before
+    # fp stats survive compaction (sticky stats_col)
+    assert s.table._current_snapshot()["stats_col"] == "fp"
+    assert s.table._current_snapshot()["stats"]

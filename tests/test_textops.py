@@ -536,3 +536,58 @@ def test_bpe_large_merge_table_path_matches_literal_path(spark):
     packed_plan = df.select(bpe_tokenize(F.col("text"), big)) \
         ._jdf.queryExecution().optimizedPlan().toString()
     assert "str_to_map" in packed_plan or len(packed_plan) < 200_000
+
+
+class TestScriptProfile:
+    def _run(self, spark, text):
+        from wine_label_ocr_spark.operators.textops import script_profile
+        df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        return script_profile(df).head().asDict()
+
+    def test_counts_and_dominant(self, spark):
+        r = self._run(spark, "Hello мир 你好 123")
+        assert r["n_latin"] == 5 and r["n_cyrillic"] == 3 \
+            and r["n_cjk"] == 2
+        assert r["dominant_script"] == "latin"
+
+    def test_tie_breaks_to_max_name(self, spark):
+        assert self._run(spark, "да ok")["dominant_script"] == "latin"
+
+    def test_none(self, spark):
+        r = self._run(spark, "123 !? ÷")
+        assert r["dominant_script"] == "none"
+        assert all(v == 0 for k, v in r.items()
+                   if k.startswith("n_"))
+
+
+class TestBigramLM:
+    def test_scores_and_buckets(self, spark):
+        from wine_label_ocr_spark.operators.textops import bigram_lm_scores
+        import math
+        docs = spark.createDataFrame(
+            [(1, "a b a b a b"),   # all mass on the common bigrams
+             (2, "a b c d e f"),   # rare bigrams -> lower logprob
+             (3, "a b a b x y"),
+             (4, "z")],            # < 2 tokens: dropped
+            "doc_id int, text string")
+        out = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[1]["n_bigrams"] == 5
+        # doc 1 is the most predictable -> bucket 1 (head); doc 2 tail
+        assert out[1]["ppl_bucket"] == 1
+        assert out[2]["ppl_bucket"] == 3
+        assert out[1]["mean_logprob"] > out[2]["mean_logprob"]
+        # independent rebuild of doc 2's score: bigrams are PER-DOC
+        # instances (no cross-doc pairs), unigrams and V include the
+        # bigram-less doc 4
+        import collections
+        docs_toks = [t.split() for t in
+                     ("a b a b a b", "a b c d e f", "a b a b x y", "z")]
+        uni = collections.Counter(w for ts in docs_toks for w in ts)
+        V = len(uni)
+        big = collections.Counter(
+            p for ts in docs_toks for p in zip(ts[:-1], ts[1:]))
+        want = sum(
+            round(math.log((big[(w1, w2)] + 1) / (uni[w1] + V)) * 1e6)
+            for w1, w2 in zip(docs_toks[1][:-1], docs_toks[1][1:]))
+        assert out[2]["logprob_scaled"] == want

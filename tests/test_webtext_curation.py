@@ -319,3 +319,62 @@ class TestCorpusDatacard:
             assert 0.0 <= r["mean_quality"] <= 1.0
             assert r["gopher_pass_rate"] in (0.0, 0.5, 1.0)
             assert 0.0 <= r["c4_pass_rate"] <= 1.0
+
+
+class TestHeadMeta:
+    def _run(self, spark, html):
+        from wine_label_ocr_spark.operators.html_meta import head_meta
+        df = spark.createDataFrame([("u", html)], "url string, html string")
+        return head_meta(df).head().asDict()
+
+    def test_full_head(self, spark):
+        r = self._run(spark, '<title>T</title>'
+                      '<meta name="description" content="D">'
+                      '<meta property="og:title" content="O">'
+                      '<link rel="canonical" href="https://c.io/x">'
+                      '<meta charset="UTF-8">')
+        assert (r["title"], r["description"], r["og_title"],
+                r["canonical"], r["charset"]) == \
+            ("T", "D", "O", "https://c.io/x", "utf-8")
+        assert not r["robots_noindex"] and not r["robots_nofollow"]
+
+    def test_attr_order_quotes_first_wins(self, spark):
+        r = self._run(spark, "<meta content='A B' name='description'>"
+                      '<meta name="description" content="second">')
+        assert r["description"] == "A B"
+
+    def test_robots_tokens(self, spark):
+        r = self._run(spark, '<meta name=ROBOTS content="NOINDEX, nofollow">')
+        assert r["robots_noindex"] and r["robots_nofollow"]
+        # token boundary: substrings must not fire
+        r2 = self._run(spark, '<meta name="robots" content="nofollowme">')
+        assert not r2["robots_nofollow"]
+
+    def test_http_equiv_charset_and_empty(self, spark):
+        r = self._run(spark, '<meta http-equiv="Content-Type"'
+                      ' content="text/html; charset=ISO-8859-1">')
+        assert r["charset"] == "iso-8859-1"
+        r2 = self._run(spark, "<p>plain</p>")
+        assert all(r2[k] is None for k in
+                   ("title", "description", "og_title", "canonical",
+                    "charset"))
+
+
+def test_crawl_cycle_respects_meta_nofollow(spark):
+    from pyspark.sql import functions as F
+
+    from wine_label_ocr_spark.plans.crawl import crawl_cycle
+    pages = spark.createDataFrame(
+        [("https://a.com/1",
+          '<a href="https://a.com/f1">x</a>'),
+         ("https://a.com/2",
+          '<meta name="robots" content="nofollow">'
+          '<a href="https://a.com/f2">y</a>')],
+        "url string, html string")
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nAllow: /")], "host string, robots_txt string")
+    on = {r["url"] for r in crawl_cycle(
+        pages, robots, respect_meta_robots=True).collect()}
+    off = {r["url"] for r in crawl_cycle(pages, robots).collect()}
+    assert "https://a.com/f1" in on and "https://a.com/f2" not in on
+    assert "https://a.com/f2" in off

@@ -220,6 +220,27 @@ def main() -> None:
          __import__("wine_label_ocr_spark.operators.textops",
                     fromlist=["corpus_datacard"]).corpus_datacard(
              docs)),
+        ("anchor_text_index — (dst, anchor) pairs shuffle, top-k window",
+         "Anchor extraction is a pure JVM map (two regexp_extract_all "
+         "passes zipped); the count aggregation shuffles short (dst, "
+         "anchor) string pairs with map-side partials — pages never "
+         "shuffle; the top-k window partitions on dst (cardinality ~ "
+         "unique targets, no single-reducer stage).",
+         E.q_anchor_text(spark, SF)),
+        ("lm_buckets — corpus bigram LM, integer-scaled scoring",
+         "Two count aggregations (bigrams, unigrams) with map-side "
+         "combine; scoring joins the doc-bigram instances back against "
+         "the counts (at 100 TB: prune the LM to top-M bigrams and "
+         "broadcast — the tfidf_pruned pattern); per-term logs are "
+         "integer-scaled before the sum (order-independent). The ntile "
+         "split is ONE global window — gate-scale shape; CCNet's "
+         "fixed-threshold design replaces it at corpus scale (noted "
+         "in-code).",
+         E.q_lm_buckets(spark, SF)),
+        ("script_profile — pure projection",
+         "Nine regexp_replace length-counts + one greatest() argmax, "
+         "all in-row: zero Exchange at any scale.",
+         E.q_script_profile(spark, SF)),
         ("paragraph_dedup — boilerplate key set broadcast anti join",
          "Paragraph keys count distinct docs (one shuffle, map-side "
          "partials); the >=min_docs boilerplate set is small by "

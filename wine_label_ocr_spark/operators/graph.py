@@ -189,3 +189,73 @@ def pagerank(edges: DataFrame, n_iters: int = 5, damping_pct: int = 85,
                             .cast("bigint").alias("rank_scaled"))
                  .localCheckpoint(eager=True))
     return ranks
+
+
+# anchor-text pickup: same RE2-safe href machinery as HREF_PATTERN plus a
+# second capture for the anchor's inner text.  [^<]* means anchors with
+# nested markup (<a ...><b>x</b></a>) do NOT match — a documented
+# simplification shared verbatim with the DuckDB oracle (capturing
+# through nested tags needs non-greedy dotall across tags, which the
+# shared dialect supports, but the *text* of nested markup would then
+# include tag bytes; dropping nested anchors is the cleaner contract).
+# Only <a> qualifies (an <area> has no inner text by construction).
+ANCHOR_PATTERN = (r"<(?i:a)\s(?:[^>]*\s)?(?i:href)\s*=\s*"
+                  r"(\"[^\"#][^\"]*\"|'[^'#][^']*'|[^\s\"'>#][^\s>]*)"
+                  r"[^>]*>([^<]*)</(?i:a)\s*>")
+
+
+def anchor_pairs(df: DataFrame, id_col: str = "url",
+                 html_col: str = "html") -> DataFrame:
+    """One row per (page, href, anchor_text) — the raw material of an
+    anchor-text index. Pure map: two JVM ``regexp_extract_all`` passes
+    over the same pattern (Spark extracts one group per call) zipped
+    positionally, so href and text always come from the SAME match.
+    Anchor text is whitespace-normalized (trim + inner collapse);
+    anchors wrapping nested markup don't match (see ANCHOR_PATTERN)."""
+    h = F.col(html_col)
+    hrefs = F.transform(
+        F.regexp_extract_all(h, F.lit(ANCHOR_PATTERN), 1), _unquote)
+    texts = F.transform(
+        F.regexp_extract_all(h, F.lit(ANCHOR_PATTERN), 2),
+        lambda t: F.trim(F.regexp_replace(t, r"\s+", " ")))
+    return (df.select(F.col(id_col).alias("src"),
+                      F.explode(F.arrays_zip(
+                          hrefs.alias("href"), texts.alias("anchor")))
+                       .alias("z"))
+            .select("src", F.col("z.href").alias("href"),
+                    F.col("z.anchor").alias("anchor")))
+
+
+def anchor_text_index(df: DataFrame, id_col: str = "url",
+                      html_col: str = "html", k: int = 3,
+                      resolve: bool = True) -> DataFrame:
+    """Top-k anchor texts per link TARGET — the classic web-graph
+    relevance signal (how the rest of the web describes a page), used
+    for retrieval training data and page-title repair.
+
+    Output: (dst, rank, anchor, n_refs) with rank 1..k per dst, ordered
+    by (n_refs desc, anchor asc) — fully deterministic.
+
+    Scale shape: the count aggregation shuffles (dst, anchor) string
+    pairs only (never pages) with map-side partial combine; the top-k
+    window partitions on dst — key cardinality ~unique targets, no
+    single-reducer stage. Empty anchors ("" after normalization — image
+    links) are dropped: they carry no signal and would otherwise
+    dominate every popular target's top-k."""
+    from .textops import resolve_href
+    pairs = anchor_pairs(df, id_col, html_col)
+    dst = (resolve_href(F.col("src"), F.col("href"))
+           if resolve else F.col("href"))
+    keyed = (pairs.select(dst.alias("dst"), "anchor")
+             .filter(F.col("dst").rlike(r"^https?://")
+                     & (F.col("anchor") != "")))
+    counts = keyed.groupBy("dst", "anchor").agg(
+        F.count(F.lit(1)).alias("n_refs"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("dst").orderBy(
+        F.col("n_refs").desc(), F.col("anchor"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("dst", F.col("rank").cast("int").alias("rank"),
+                    "anchor", F.col("n_refs").cast("bigint")
+                    .alias("n_refs")))

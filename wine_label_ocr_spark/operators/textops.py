@@ -1304,3 +1304,123 @@ def corpus_datacard(df: DataFrame, id_col: str = "doc_id",
                   .alias("gopher_pass_rate"),
                  F.round(F.sum("_c4") / F.count(F.lit(1)).cast("double"), 6)
                   .alias("c4_pass_rate")))
+
+
+# Unicode script ranges as LITERAL character ranges — identical pattern
+# bytes on both engines (Java regex and RE2 both accept literal-char
+# classes; named \p{Script=} classes differ between dialects, so we
+# stay on explicit ranges). Coverage: the major crawl scripts; chars
+# outside every range (digits, punctuation, space, other scripts)
+# count toward none.
+SCRIPT_RANGES = {
+    "arabic": "؀-ۿ",
+    "cjk": "一-鿿",
+    "cyrillic": "Ѐ-ӿ",
+    "devanagari": "ऀ-ॿ",
+    "greek": "Ͱ-Ͽ",
+    "hangul": "가-힯",
+    "hebrew": "֐-׿",
+    "kana": "぀-ヿ",
+    # NB: À-ɏ minus the two Latin-1 NON-letters embedded in the block
+    # (× U+00D7, ÷ U+00F7) — a division sign is not Latin text
+    "latin": "A-Za-zÀ-ÖØ-öø-ɏ",
+}
+
+
+def script_counts(text: Column) -> dict[str, Column]:
+    """Per-script character counts (exact ints — the cross-engine-safe
+    currency): count = length(text) - length(text with the script's
+    chars removed). One JVM regexp_replace per script, zero Exchange."""
+    return {
+        name: (F.length(text)
+               - F.length(F.regexp_replace(text, f"[{rng}]", "")))
+        for name, rng in SCRIPT_RANGES.items()
+    }
+
+
+def script_profile(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document script histogram + dominant script — the
+    multilingual-curation router (script disagreement with the claimed
+    language is a classic crawl-noise signal; CJK/kana mixtures route
+    to different tokenizers). Pure projection: every count is in-row
+    column algebra, ``dominant_script`` is an argmax over the counts
+    with a deterministic max-name tie-break, ``'none'`` when no script
+    char occurs at all."""
+    t = F.col(text_col)
+    counts = script_counts(t)
+    pairs = [F.struct(c.alias("n"), F.lit(name).alias("s"))
+             for name, c in counts.items()]
+    best = F.greatest(*pairs)
+    return df.select(
+        F.col(id_col),
+        *[c.cast("int").alias(f"n_{name}")
+          for name, c in sorted(counts.items())],
+        F.when(best["n"] > 0, best["s"]).otherwise(F.lit("none"))
+         .alias("dominant_script"))
+
+
+def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     n_buckets: int = 3) -> DataFrame:
+    """CCNet-style LM quality signal (Wenzek et al. 2020): train an
+    add-one-smoothed bigram LM on the corpus itself, score every
+    document by mean bigram log-probability, and split the corpus into
+    ``n_buckets`` perplexity buckets (bucket 1 = most predictable =
+    CCNet's "head"; highest = "tail").
+
+    logP(w2 | w1) = ln((c(w1,w2) + 1) / (c(w1) + V)) with c(w1) the
+    corpus unigram count and V the corpus vocabulary size — every input
+    to the log is an exact integer, and per-bigram terms are
+    integer-scaled (round(ln·1e6)) BEFORE the sum, so sums and means
+    are bit-identical across engines and partitionings (the
+    unigram_logprob pattern).
+
+    Documents with fewer than two tokens carry no bigram evidence and
+    are dropped (documented; a production run would route them to a
+    short-docs bucket before this operator).
+
+    Scale shape: bigram/unigram count aggregations shuffle word-pair /
+    word strings with map-side combine; scoring is one join of the
+    doc-bigram instances against the count tables (at 100 TB: prune the
+    LM to top-M bigrams and broadcast, the tfidf_pruned pattern); the
+    bucket split is ONE global ntile window over (score, doc_id) —
+    at corpus scale swap in fixed score thresholds from a reference
+    run (CCNet's actual design) to avoid the single-pass sort."""
+    from pyspark.sql import Window
+
+    toks = F.transform(tokens_col(F.col(text_col)), F.lower)
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    bi = (base.filter(F.size("_toks") >= 2)
+          .select("doc_id", F.explode(F.transform(
+              F.sequence(F.lit(1), F.size("_toks") - 1),
+              lambda i: F.struct(
+                  F.get(F.col("_toks"), i - 1).alias("w1"),
+                  F.get(F.col("_toks"), i).alias("w2")))).alias("b"))
+          .select("doc_id", F.col("b.w1").alias("w1"),
+                  F.col("b.w2").alias("w2")))
+    uni = (base.select(F.explode("_toks").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
+    vocab = uni.select(F.count(F.lit(1)).alias("v"))
+    big = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    term = (bi.join(big, ["w1", "w2"])
+            .join(uni.withColumnRenamed("w", "w1"), "w1")
+            .crossJoin(F.broadcast(vocab))
+            .select("doc_id",
+                    F.round(F.log((F.col("c12") + 1).cast("double")
+                                  / (F.col("c1") + F.col("v"))
+                                  .cast("double")) * 1e6)
+                    .cast("bigint").alias("t")))
+    scored = term.groupBy("doc_id").agg(
+        F.sum("t").alias("logprob_scaled"),
+        F.count(F.lit(1)).alias("n_bigrams"))
+    w = Window.orderBy(
+        (F.col("logprob_scaled").cast("double")
+         / F.col("n_bigrams").cast("double")).desc(), F.col("doc_id"))
+    return scored.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.col("logprob_scaled").cast("bigint").alias("logprob_scaled"),
+        F.round((F.col("logprob_scaled") / F.col("n_bigrams")) / 1e6, 6)
+         .alias("mean_logprob"),
+        F.ntile(n_buckets).over(w).cast("int").alias("ppl_bucket"))

@@ -106,12 +106,23 @@ class SeenUrlStore:
                                        stats_col="fp",
                                        meta={"op": "record_fetched"})
 
+    def maybe_compact(self, spark, max_files: int = 64) -> int | None:
+        """Periodic maintenance: once per-cycle commits accumulate past
+        ``max_files`` data files, rewrite the store range-disjoint on fp
+        (``ManifestTable.compact``) so ``key_between`` membership probes
+        go back to touching one file per fp range instead of one file
+        per historical cycle. Safe to call every cycle — no-op below the
+        threshold; old snapshots stay time-travelable until vacuum."""
+        return self.table.compact(spark, min_files=max_files,
+                                  meta={"op": "seen_store_compact"})
+
 
 def _crawl_stages(pages: DataFrame, robots: DataFrame,
                   seen_fps: DataFrame | None,
                   default_delay_ms: int, n_workers: int,
                   agent: str, oracle_safe: bool,
-                  sitemaps: DataFrame | None = None):
+                  sitemaps: DataFrame | None = None,
+                  respect_meta_robots: bool = False):
     """The shared stage DAG: (links, candidates, unseen, allowed,
     schedule). One construction used by both ``crawl_cycle`` (the
     product) and ``crawl_cycle_funnel`` (its per-stage survivor counts,
@@ -126,7 +137,16 @@ def _crawl_stages(pages: DataFrame, robots: DataFrame,
     the seen anti-join, so sitemap seeds get the same dedup/robots/
     politeness treatment as extracted outlinks."""
     dirs = robots_directives(robots, agent=agent)
-    links = extract_outlinks(pages, resolve=True)
+    link_src = pages
+    if respect_meta_robots:
+        # <meta name=robots content=nofollow>: this page's outlinks must
+        # not feed the frontier. A pure-map filter on the SAME page scan
+        # (zero joins, zero extra passes) — the page itself still counts
+        # as fetched/seen; only its link contribution drops.
+        from ..operators.html_meta import robots_meta_flags
+        _, nofollow = robots_meta_flags(F.col("html").cast("string"))
+        link_src = pages.filter(~nofollow)
+    links = extract_outlinks(link_src, resolve=True)
     cand_urls = links.select(canonical_url(F.col("resolved")).alias("url"))
     if sitemaps is not None:
         declared = dirs.select(F.explode("sitemaps").alias("url")).distinct()
@@ -164,7 +184,8 @@ def crawl_cycle(pages: DataFrame, robots: DataFrame,
                 default_delay_ms: int = 1000, n_workers: int = 16,
                 agent: str = "*",
                 oracle_safe: bool = False,
-                sitemaps: DataFrame | None = None) -> DataFrame:
+                sitemaps: DataFrame | None = None,
+                respect_meta_robots: bool = False) -> DataFrame:
     """One crawl cycle: fetched ``pages (url, html)`` + per-host
     ``robots (host, robots_txt)`` + the prior cycles' seen-URL store →
     the next fetch schedule ``(url, host, seq, worker, delay_ms,
@@ -177,7 +198,8 @@ def crawl_cycle(pages: DataFrame, robots: DataFrame,
     for the cycle after — the crawl-over-crawl loop."""
     *_, sched = _crawl_stages(pages, robots, seen_fps,
                               default_delay_ms, n_workers, agent,
-                              oracle_safe, sitemaps=sitemaps)
+                              oracle_safe, sitemaps=sitemaps,
+                              respect_meta_robots=respect_meta_robots)
     return sched
 
 

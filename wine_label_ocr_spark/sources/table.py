@@ -224,6 +224,45 @@ class ManifestTable:
             self._commit(m)
         return removed
 
+    def compact(self, spark: SparkSession, target_files: int | None = None,
+                min_files: int = 8,
+                meta: dict[str, Any] | None = None) -> int | None:
+        """Rewrite the CURRENT snapshot into fewer, range-sorted data
+        files — the Iceberg rewrite-data-files (bin-pack + sort) analog.
+
+        Append-heavy stores accumulate one file set per commit (the
+        crawl seen-URL store grows a commit per cycle); small files cost
+        listing/open overhead and, worse, OVERLAPPING key ranges, so
+        ``key_between`` pruning degrades toward scan-everything. Compact
+        rewrites the table ``repartitionByRange`` on the sticky stats
+        column (disjoint per-file ranges — a point probe prunes to ONE
+        file) and commits it as a normal snapshot: rows are identical,
+        history is preserved (time travel to pre-compact snapshots still
+        works until ``vacuum``), and readers flip atomically.
+
+        ``target_files`` defaults to on-disk-bytes / 64 MiB (min 1); a
+        no-op (returns None) when the table has fewer than ``min_files``
+        files — callers can invoke it unconditionally per cycle.
+        """
+        files = self.current_files()
+        if len(files) < max(min_files, 2):
+            return None
+        snap = self._current_snapshot() or {}
+        col = snap.get("stats_col")
+        df = spark.read.parquet(*files)
+        if target_files is None:
+            total = sum(os.path.getsize(f) for f in files)
+            target_files = max(1, min(len(files) - 1,
+                                      -(-total // (64 << 20))))
+        if col is not None:
+            df = df.repartitionByRange(target_files, F.col(col)) \
+                   .sortWithinPartitions(col)
+        else:
+            df = df.repartition(target_files)
+        return self.overwrite(
+            df, meta={**(meta or {}), "compacted_from": len(files)},
+            stats_col=col, op="compact")
+
     def merge_insert(self, spark: SparkSession, df: DataFrame, key: str,
                      meta: dict[str, Any] | None = None,
                      stats_col: str | None = None) -> int:
