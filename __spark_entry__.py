@@ -2897,10 +2897,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": q_url_canon,
         "vintage_fallback_grid": q_vintage_fallback_grid,
         "warc_extract": q_warc_extract,
-        # rows-only-by-design (iterative Lloyd / zlib-defined) — cheap,
-        # keep their rows check fresh alongside the rotation
-        "ivf_topk": q_ivf_topk,
-        "compression_ratio": q_compression_ratio,
         # (b) new or behaviorally-touched this round (r7): WebP
         # hostile-dims guard + mvhd v1 guard touched the media decode
         # path; sitemap seeding touched plans/crawl (so the two crawl
@@ -2922,6 +2918,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "lm_buckets": q_lm_buckets,
         "head_meta": q_head_meta,
+        # rows-only-by-design (iterative Lloyd / zlib-defined): a rows
+        # check carries less info than the hash gates above, so these
+        # two sit LAST before the cap line — if the ~50-entry cap bites,
+        # it absorbs them (r6-certified, code untouched), never a new
+        # hash gate
+        "ivf_topk": q_ivf_topk,
+        "compression_ratio": q_compression_ratio,
         # ---- entries below here absorb the driver's ~50-entry cap ----
         # cap-absorbing tail: r6 hash-green, code untouched this round
         "tfidf_pruned": q_tfidf_pruned,

@@ -246,10 +246,21 @@ def test_curate_pages_optional_ingest_stages(spark):
                       .alias("ok")).collect()
     assert all(r["ok"] for r in chk)
 
-    # c4: every surviving text is its own C4-clean form (the rewrite
-    # happened) and every survivor passed the page rules
+    # c4: the fixture's word-salad lines carry no terminal punctuation,
+    # so vanilla fixture pages legitimately fail C4's page rule — the
+    # stage must drop ALL of them. Pages with sentence-shaped content
+    # appended must survive WITH their text rewritten to the kept lines
+    # (C4-idempotent).
     from wine_label_ocr_spark.operators.textops import c4_text_cols
-    c4d = curate_pages(pages, min_quality=0.0, min_tokens=1, c4=True)
+    assert curate_pages(pages, min_quality=0.0, min_tokens=1,
+                        c4=True).count() == 0
+    sentences = F.concat(
+        F.col("html"),
+        F.lit(b"<p>This line ends with proper punctuation today.</p>"
+              b"<p>Another full sentence keeps the page alive.</p>"
+              b"<p>Three kept lines satisfy the page rule.</p>"))
+    pages_s = pages.withColumn("html", sentences)
+    c4d = curate_pages(pages_s, min_quality=0.0, min_tokens=1, c4=True)
     clean_again, _, _ = c4_text_cols(F.col("text"))
     chk4 = c4d.select((F.col("text") == clean_again).alias("idem"),
                       (~F.col("text").contains("{")).alias("nobrace")) \

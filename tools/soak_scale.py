@@ -255,7 +255,30 @@ def run_crawlloop(n_pages: int) -> dict:
         t_commit = time.time() - t2
         files1, bytes1 = store_stats()
 
-        # ---- cycle 2: batch-2 pages, store must prune the overlap ----
+        # ---- compact (r7): per-cycle commits → range-disjoint files ----
+        def live_files():
+            return store.table.current_files()
+
+        def probe_count(fp):
+            snap = store.table._current_snapshot() or {}
+            stats = snap.get("stats") or {}
+            return len([f for f in live_files()
+                        if f not in stats
+                        or (stats[f][0] <= fp <= stats[f][1])])
+
+        probe_fp = store.read(spark).head()["fp"]
+        files_pre, probe_pre = len(live_files()), probe_count(probe_fp)
+        rows_pre_compact = store.read(spark).count()
+        t_c = time.time()
+        compact_sid = store.maybe_compact(spark, max_files=4)
+        t_compact = time.time() - t_c
+        files_post, probe_post = len(live_files()), probe_count(probe_fp)
+        assert compact_sid is not None, "compaction should trigger"
+        assert store.read(spark).count() == rows_pre_compact, \
+            "compaction changed row count"
+        assert probe_post <= probe_pre and files_post < files_pre
+
+        # ---- cycle 2 runs against the COMPACTED store ----
         seen2 = store.read(spark).select("fp")
         t3 = time.time()
         s2 = crawl_cycle(b2, robots, seen2).select("url").cache()
@@ -300,6 +323,11 @@ def run_crawlloop(n_pages: int) -> dict:
                     rows_after - rows_before,
                 "store_files": files1,
                 "store_mb": round(bytes1 / 1e6, 2),
+                "compact_sec": round(t_compact, 1),
+                "compact_files_pre": files_pre,
+                "compact_files_post": files_post,
+                "compact_probe_files_pre": probe_pre,
+                "compact_probe_files_post": probe_post,
                 "shuffle_read_mb_c1": round((sr1 - sr0) / 1e6, 1),
                 "shuffle_write_mb_c1": round((sw1 - sw0) / 1e6, 1),
                 "shuffle_read_mb_c2": round((sr2 - sr1) / 1e6, 1),
