@@ -2853,6 +2853,53 @@ _HEAD_META_ORACLE_SQL = """
 """
 
 
+def q_frontier_priority(spark, sf):  # frontier: budgeted priority crawl
+    """Budget-bound priority scheduling: hosts h0–h4 carry descending
+    pagerank-style ranks, h5–h9 are unknown (priority 0); the top-120
+    cut crosses a host boundary mid-host at sf0.01, so the gate pins
+    the (rank desc, url asc) selection order, the unknown-host
+    fallback, AND the per-host seq/worker/offset schedule over exactly
+    the selected set. The oracle recomputes the whole selection
+    independently (ORDER BY + LIMIT in SQL, not a closed-form
+    special-case)."""
+    from wine_label_ocr_spark.operators.frontier import prioritized_frontier
+    d = _t(spark, sf, "documents").select("doc_id")
+    urls = d.select(
+        F.concat(F.lit("https://h"),
+                 F.pmod(F.col("doc_id"), F.lit(10)).cast("string"),
+                 F.lit(".com/p/"),
+                 F.lpad(F.col("doc_id").cast("string"), 9, "0"))
+        .alias("url"))
+    ranks = spark.createDataFrame(
+        [(f"h{k}.com", (10 - k) * 1000) for k in range(5)],
+        "host string, rank_scaled long")
+    return (prioritized_frontier(urls, ranks, budget=120,
+                                 n_workers=16, oracle_safe=True)
+            .orderBy("url"))
+
+
+_FRONTIER_PRIORITY_ORACLE_SQL = """
+    WITH c AS (
+      SELECT 'https://h' || (doc_id % 10) || '.com/p/'
+                 || printf('%09d', doc_id) AS url,
+             'h' || (doc_id % 10) || '.com' AS host,
+             CASE WHEN doc_id % 10 < 5
+                  THEN (10 - doc_id % 10) * 1000 ELSE 0 END AS priority
+      FROM documents),
+    top AS (SELECT * FROM c ORDER BY priority DESC, url LIMIT 120),
+    s AS (SELECT url, host, priority,
+                 ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) AS seq
+          FROM top)
+    SELECT url, host, CAST(seq AS INT) AS seq,
+           CAST(CAST(CAST(concat('0x', substr(md5(host || '#0'), 1, 15))
+                AS UBIGINT) AS BIGINT) % 16 AS INT) AS worker,
+           CAST(1000 AS BIGINT) AS delay_ms,
+           CAST((seq - 1) * 1000 AS BIGINT) AS fetch_offset_ms,
+           CAST(priority AS BIGINT) AS priority
+    FROM s ORDER BY url
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order = driver certification priority: the driver artifact caps at
     # ~50 entries, so (a) the 34 queries the r6 cap absorbed (last
@@ -2918,6 +2965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "lm_buckets": q_lm_buckets,
         "head_meta": q_head_meta,
+        "frontier_priority": q_frontier_priority,
         # rows-only-by-design (iterative Lloyd / zlib-defined): a rows
         # check carries less info than the hash gates above, so these
         # two sit LAST before the cap line — if the ~50-entry cap bites,
@@ -3686,6 +3734,7 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _SCRIPT_ORACLE_SQL,
         "lm_buckets": _LM_ORACLE_SQL,
         "head_meta": _HEAD_META_ORACLE_SQL,
+        "frontier_priority": _FRONTIER_PRIORITY_ORACLE_SQL,
         "media_frames_webp": """
             -- the media_frames closed form over the WebP container
             -- (same palette/geometry; dispose-to-background uses the

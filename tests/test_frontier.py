@@ -66,3 +66,34 @@ def test_delay_table_normalized_and_duplicates_resolve_polite(spark):
     assert [r["fetch_offset_ms"] for r in h] == [0, 3000]
     u = [r for r in rows if r["host"] == "u.com"][0]
     assert u["delay_ms"] == 700
+
+
+def test_prioritized_frontier_budget_and_order(spark):
+    from pyspark.sql import functions as F
+
+    from wine_label_ocr_spark.operators.frontier import prioritized_frontier
+
+    urls = spark.createDataFrame(
+        [(f"https://{h}.com/p{i}",) for h in ("big", "mid", "unk")
+         for i in range(4)], "url string")
+    ranks = spark.createDataFrame(
+        [("big.com", 900), ("mid.com", 500)], "host string, rank_scaled long")
+    out = prioritized_frontier(urls, ranks, budget=6, n_workers=4).collect()
+    assert len(out) == 6
+    got = {r["url"]: r for r in out}
+    # all 4 big.com (rank 900) + first 2 mid.com by url asc
+    assert {u for u in got} == (
+        {f"https://big.com/p{i}" for i in range(4)}
+        | {"https://mid.com/p0", "https://mid.com/p1"})
+    # priority column carried; unknown hosts rank 0 and lose
+    assert all(got[u]["priority"] == 900 for u in got if "big" in u)
+    # per-host politeness schedule intact over the selected set
+    seqs = sorted(r["seq"] for r in out if r["host"] == "big.com")
+    assert seqs == [1, 2, 3, 4]
+    offs = {r["seq"]: r["fetch_offset_ms"] for r in out
+            if r["host"] == "big.com"}
+    assert offs == {1: 0, 2: 1000, 3: 2000, 4: 3000}
+    # budget >= candidates: everything schedules, unknown hosts last
+    all12 = prioritized_frontier(urls, ranks, budget=100, n_workers=4)
+    assert all12.count() == 12
+    assert all12.filter("host = 'unk.com'").count() == 4

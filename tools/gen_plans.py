@@ -241,6 +241,13 @@ def main() -> None:
          "Nine regexp_replace length-counts + one greatest() argmax, "
          "all in-row: zero Exchange at any scale.",
          E.q_script_profile(spark, SF)),
+        ("prioritized_frontier — TakeOrdered top-budget, no global sort",
+         "The rank join is host-keyed (ranks ≪ candidates, broadcast "
+         "under AQE); the budget cut is TakeOrderedAndProject — a "
+         "size-N heap per partition and a driver merge of N rows, so "
+         "selection never globally sorts the frontier; scheduling then "
+         "windows per host over ONLY the selected set.",
+         E.q_frontier_priority(spark, SF)),
         ("paragraph_dedup — boilerplate key set broadcast anti join",
          "Paragraph keys count distinct docs (one shuffle, map-side "
          "partials); the >=min_docs boilerplate set is small by "

@@ -80,3 +80,47 @@ def schedule_frontier(urls: DataFrame, delays: DataFrame | None = None,
             .withColumn("fetch_offset_ms",
                         ((F.col("seq") - 1) * F.col("delay_ms"))
                         .cast("bigint")))
+
+
+def prioritized_frontier(urls: DataFrame, host_ranks: DataFrame,
+                         budget: int,
+                         delays: DataFrame | None = None,
+                         default_delay_ms: int = 1000, n_workers: int = 16,
+                         url_col: str = "url",
+                         rank_host_col: str = "host",
+                         rank_col: str = "rank_scaled",
+                         oracle_safe: bool = False) -> DataFrame:
+    """Budgeted priority crawl: rank frontier candidates by host
+    authority and politeness-schedule only the global top-``budget``.
+
+    Real crawls are always budget-bound (fetch capacity per cycle ≪
+    frontier size); the standard selection policy is host authority —
+    feed ``graph.pagerank``'s ``(host, rank_scaled)`` output straight
+    in. Unknown hosts rank 0 (crawled last). Selection order is
+    (rank desc, url asc): fully deterministic, so replanning the same
+    frontier yields the same schedule.
+
+    Scale shape: the rank join is host-keyed (ranks ≪ candidates,
+    broadcastable); the top-N is ``orderBy().limit()`` — Spark's
+    TakeOrderedAndProject keeps a size-N heap PER PARTITION and merges
+    N rows on the driver, so there is NO global sort even at a 10^12
+    frontier (budget rows must fit on the driver, which a fetch budget
+    does by definition). Scheduling then adds ``priority`` to the
+    standard ``schedule_frontier`` columns."""
+    u = (urls.select(F.col(url_col).alias("url"),
+                     registrable_host(F.col(url_col)).alias("_host"))
+         .filter(F.col("_host").isNotNull()))
+    r = host_ranks.select(F.col(rank_host_col).alias("_host"),
+                          F.col(rank_col).cast("bigint").alias("_rank"))
+    top = (u.join(r, "_host", "left")
+           .select("url",
+                   F.coalesce(F.col("_rank"), F.lit(0)).alias("priority"))
+           .orderBy(F.col("priority").desc(), F.col("url"))
+           .limit(int(budget)))
+    sched = schedule_frontier(top, delays=delays,
+                              default_delay_ms=default_delay_ms,
+                              n_workers=n_workers,
+                              oracle_safe=oracle_safe)
+    return sched.join(top, "url").select(
+        "url", "host", "seq", "worker", "delay_ms", "fetch_offset_ms",
+        F.col("priority").cast("bigint").alias("priority"))
