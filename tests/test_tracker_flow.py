@@ -276,3 +276,29 @@ def test_curate_pages_optional_ingest_stages(spark):
     ok_flags = gop.select(gopher_gate(F.col("text")).alias("ok")).collect()
     assert all(r["ok"] for r in ok_flags)
     pages.unpersist()
+
+
+def test_curate_pages_lm_bucket_stage(spark):
+    """CCNet-style LM stage: keeping ALL buckets is identity (every
+    fixture doc carries bigrams), keeping only the head is a strict,
+    deterministic subset."""
+    from wine_label_ocr_spark.fixtures import pages_spark
+    from wine_label_ocr_spark.plans.curate import curate_pages
+
+    pages = pages_spark(spark, 40, partitions=4).cache()
+    base = {r["url"] for r in
+            curate_pages(pages, min_quality=0.0, min_tokens=1)
+            .select("url").collect()}
+    allb = {r["url"] for r in
+            curate_pages(pages, min_quality=0.0, min_tokens=1,
+                         lm_keep=(1, 2, 3)).select("url").collect()}
+    assert allb == base
+    head = {r["url"] for r in
+            curate_pages(pages, min_quality=0.0, min_tokens=1,
+                         lm_keep=(1,)).select("url").collect()}
+    head2 = {r["url"] for r in
+             curate_pages(pages, min_quality=0.0, min_tokens=1,
+                          lm_keep=(1,)).select("url").collect()}
+    assert head == head2          # deterministic replan
+    assert head < base and head   # strict non-empty subset
+    pages.unpersist()

@@ -36,7 +36,8 @@ def _curation_stages(pages: DataFrame, min_quality: float, min_tokens: int,
                      prior_fps: DataFrame | None = None,
                      checkpoint_uniq: bool = True,
                      c4: bool = False,
-                     gopher: bool = False):
+                     gopher: bool = False,
+                     lm_keep: tuple[int, ...] | None = None):
     """The shared stage DAG: (records, candidates, unique, canonical).
 
     One construction used by both ``curate_pages`` (the product) and
@@ -80,6 +81,23 @@ def _curation_stages(pages: DataFrame, min_quality: float, min_tokens: int,
         from ..operators.textops import gopher_gate
         cand = cand.filter(gopher_gate(F.col("text")))
     cand = cand.drop("_q", "_nt")
+    if lm_keep:
+        # CCNet-style LM filtering (Wenzek et al. 2020): train the
+        # bigram LM over THIS corpus's post-gate candidates, keep only
+        # the requested perplexity buckets (1 = head). Runs after the
+        # cheap per-doc gates (corpus-relative, so it must see the
+        # final candidate population) and before dedup. Docs too short
+        # to carry a bigram are dropped with the tail (unscorable).
+        # This is the one curation stage with corpus-wide shuffles
+        # (two count aggs + an instance re-join) — the price of a
+        # corpus-trained model; see bigram_lm_scores for the
+        # broadcast-pruned variant at 100 TB.
+        from ..operators.textops import bigram_lm_scores
+        b = (bigram_lm_scores(cand, id_col="url")
+             .select(F.col("doc_id").alias("url"), "ppl_bucket"))
+        cand = (cand.join(b, "url")
+                .filter(F.col("ppl_bucket").isin(*lm_keep))
+                .drop("ppl_bucket"))
     # dedup ids must be stable & orderable: hash the url
     keyed = cand.withColumn("_did", F.xxhash64("url"))
     uniq = exact_dedup(keyed, text_col="text", id_col="_did")
@@ -115,7 +133,8 @@ def curate_pages(pages: DataFrame, min_quality: float = 0.3,
                  robots_rules: DataFrame | None = None,
                  normalize_text: bool = False,
                  prior_fps: DataFrame | None = None,
-                 c4: bool = False, gopher: bool = False) -> DataFrame:
+                 c4: bool = False, gopher: bool = False,
+                 lm_keep: tuple[int, ...] | None = None) -> DataFrame:
     """pages → curated records. Filters are pure maps over the extract
     output; dedup keeps the minimum-url-hash survivor per duplicate
     cluster (deterministic across runs and partitionings). See
@@ -126,7 +145,7 @@ def curate_pages(pages: DataFrame, min_quality: float = 0.3,
         pages, min_quality, min_tokens, langs, near_dup_jaccard,
         blocklist=blocklist, robots_rules=robots_rules,
         normalize_text=normalize_text, prior_fps=prior_fps,
-        c4=c4, gopher=gopher)
+        c4=c4, gopher=gopher, lm_keep=lm_keep)
     return canonical.drop("_did")
 
 
