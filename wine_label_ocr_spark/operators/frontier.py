@@ -106,7 +106,11 @@ def prioritized_frontier(urls: DataFrame, host_ranks: DataFrame,
     N rows on the driver, so there is NO global sort even at a 10^12
     frontier (budget rows must fit on the driver, which a fetch budget
     does by definition). Scheduling then adds ``priority`` to the
-    standard ``schedule_frontier`` columns."""
+    standard ``schedule_frontier`` columns.
+
+    Candidates are assumed DISTINCT urls (the crawl cycle's candidate
+    ``distinct`` guarantees it) — duplicate urls would fan out the
+    final priority join, same contract as ``schedule_frontier``."""
     u = (urls.select(F.col(url_col).alias("url"),
                      registrable_host(F.col(url_col)).alias("_host"))
          .filter(F.col("_host").isNotNull()))

@@ -79,8 +79,11 @@ def head_meta(df: DataFrame, id_col: str = "url",
     * title: first <title> text (no nested markup — WAT's rule);
     * description / og_title: first matching <meta name=|property=>;
     * canonical: first <link rel=canonical> href;
-    * charset: first charset= declaration anywhere in a tag (covers
-      both <meta charset> and http-equiv content-type);
+    * charset: first ``charset=`` declaration anywhere in the document
+      (covers both <meta charset> and http-equiv content-type; a
+      body-text mention would also match — acceptable for the routing
+      use, where a wrong-but-declared charset already routes to the
+      detection fallback);
     * robots_noindex / robots_nofollow: token match inside the first
       <meta name=robots> content (comma/space separated, the
       Google/Bing rule) — ``noindex`` gates indexing, ``nofollow``
