@@ -248,3 +248,12 @@ class TestAnchorText:
             (1, "big", 3), (2, "mid", 2), (3, "aa", 1)]
         # relative href resolved against the page url
         assert by_dst["https://s1.com/local"] == [(1, "rel", 1)]
+
+    def test_index_unresolved_raw_hrefs(self, spark):
+        from wine_label_ocr_spark.operators.graph import anchor_text_index
+        pages = spark.createDataFrame(
+            [("https://s.com/", '<a href="https://t.com/x">a</a>'
+              '<a href="/rel">b</a>')], "url string, html string")
+        out = anchor_text_index(pages, k=2, resolve=False).collect()
+        # without resolution, relative hrefs fail the http(s) filter
+        assert {r["dst"] for r in out} == {"https://t.com/x"}

@@ -276,3 +276,20 @@ def test_seen_store_maybe_compact(spark, tmp_path):
     # fp stats survive compaction (sticky stats_col)
     assert s.table._current_snapshot()["stats_col"] == "fp"
     assert s.table._current_snapshot()["stats"]
+
+
+def test_compact_without_stats_col(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from wine_label_ocr_spark.sources.table import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "nostats"))
+    for i in range(3):
+        t.append(spark.range(i * 10, (i + 1) * 10)
+                 .select(F.col("id").alias("a")).repartition(2))
+    assert len(t.current_files()) == 6
+    sid = t.compact(spark, target_files=2, min_files=2)
+    assert sid is not None
+    assert len(t.current_files()) == 2
+    assert sorted(r["a"] for r in t.read(spark).collect()) == list(range(30))
+    assert t._current_snapshot()["stats_col"] is None

@@ -337,9 +337,67 @@ def run_crawlloop(n_pages: int) -> dict:
         spark.stop()
 
 
+def run_curatefull(n_pages: int) -> dict:
+    """The r7 curation stack at scale: pages → extract → C4 clean →
+    quality/token gates → Gopher A1.1 gate → CCNet bigram-LM bucket
+    keep (head+middle) → exact dedup → near-dup keep-one. The LM stage
+    is the one corpus-wide-shuffle stage (bigram/unigram count aggs +
+    an instance re-join over every candidate) — this soak prices it.
+
+    Fixture pages carry sentence-shaped paragraphs appended so C4's
+    terminal-punctuation page rule keeps them (the vanilla word-salad
+    fixture fails C4 by design — pinned in tests)."""
+    from pyspark.sql import functions as F
+
+    from wine_label_ocr_spark.fixtures import pages_spark
+    from wine_label_ocr_spark.plans.curate import curate_pages
+    from wine_label_ocr_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+    spark = get_spark(app="soak_curatefull", master="local[32]",
+                      shuffle_partitions=256)
+    spark.sparkContext.setLogLevel("ERROR")
+    base = tempfile.mkdtemp(prefix="wlos_curatefull_")
+    try:
+        pq = os.path.join(base, "pages")
+        t0 = time.time()
+        sent = F.lit(b"<p>This line ends with proper punctuation today."
+                     b"</p><p>Another full sentence keeps the page alive."
+                     b"</p><p>Three kept lines satisfy the page rule.</p>")
+        (pages_spark(spark, n_pages, partitions=128)
+         .withColumn("html", F.concat(F.col("html"), sent))
+         .write.parquet(pq))
+        t_ingest = time.time() - t0
+        pages = spark.read.parquet(pq)
+
+        t1 = time.time()
+        plain = curate_pages(pages, min_quality=0.0, min_tokens=1)
+        n_plain = plain.count()
+        t_plain = time.time() - t1
+
+        t2 = time.time()
+        full = curate_pages(pages, min_quality=0.0, min_tokens=1,
+                            c4=True, gopher=True, lm_keep=(1, 2))
+        n_full = full.count()
+        t_full = time.time() - t2
+        return {"soak": "curatefull", "n_pages": n_pages,
+                "ingest_sec": round(t_ingest, 1),
+                "plain_sec": round(t_plain, 1),
+                "plain_docs_per_sec": round(n_pages / t_plain, 1),
+                "n_plain": n_plain,
+                "full_sec": round(t_full, 1),
+                "full_docs_per_sec": round(n_pages / t_full, 1),
+                "n_full": n_full,
+                "stage_overhead_x": round(t_full / t_plain, 2)}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     which = sys.argv[1]
     n = int(sys.argv[2])
     out = {"capstone": run_capstone, "ivfadc": run_ivfadc,
-           "crawlloop": run_crawlloop}[which](n)
+           "crawlloop": run_crawlloop,
+           "curatefull": run_curatefull}[which](n)
     print("SOAKRESULT " + json.dumps(out))
