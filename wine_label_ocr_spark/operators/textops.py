@@ -646,25 +646,37 @@ def remove_dot_segments(path: Column) -> Column:
     from ..functions import let
 
     def rds(p: Column) -> Column:
-        segs = F.split(p, "/")
-        folded = F.aggregate(
-            segs,
-            F.array().cast("array<string>"),
-            lambda acc, s: (
-                F.when(s == ".", acc)
-                 .when(s == "..",
-                       F.when(F.size(acc) > 1,
-                              F.slice(acc, 1, F.size(acc) - 1))
-                        .otherwise(acc))
-                 .otherwise(F.concat(acc, F.array(s)))))
-        last = F.get(segs, F.size(segs) - 1)
-        joined = F.array_join(
-            F.when(last.isin(".", ".."),
-                   F.concat(folded, F.array(F.lit(""))))
-             .otherwise(folded), "/")
-        return F.when(joined == "", F.lit("/")).otherwise(joined)
+        # fast path: no "." / ".." SEGMENT anywhere (the overwhelmingly
+        # common case for crawl hrefs) → the fold is the identity
+        # (split+join preserves empty segments), so skip it. The guard
+        # requires the dot(s) to span a whole segment: "/a.b/", "/x."
+        # and "/..hidden" stay on the fast path.
+        needs = p.rlike(r"(^|/)\.\.?(/|$)")
+        return F.when(~needs, p).otherwise(_rds_fold(p))
 
     return let(path, rds)
+
+
+def _rds_fold(p: Column) -> Column:
+    """The §5.2.4 stack fold itself — only reached for paths that
+    actually contain a ``.``/``..`` segment (see the guard above)."""
+    segs = F.split(p, "/")
+    folded = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: (
+            F.when(s == ".", acc)
+             .when(s == "..",
+                   F.when(F.size(acc) > 1,
+                          F.slice(acc, 1, F.size(acc) - 1))
+                    .otherwise(acc))
+             .otherwise(F.concat(acc, F.array(s)))))
+    last = F.get(segs, F.size(segs) - 1)
+    joined = F.array_join(
+        F.when(last.isin(".", ".."),
+               F.concat(folded, F.array(F.lit(""))))
+         .otherwise(folded), "/")
+    return F.when(joined == "", F.lit("/")).otherwise(joined)
 
 
 def resolve_href(base: Column, href: Column) -> Column:
