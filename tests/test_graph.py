@@ -249,6 +249,20 @@ class TestAnchorText:
         # relative href resolved against the page url
         assert by_dst["https://s1.com/local"] == [(1, "rel", 1)]
 
+    def test_index_uppercase_scheme_kept(self, spark):
+        # resolve_href passes uppercase-scheme absolute hrefs through
+        # unchanged; the index's scheme filter must be case-insensitive
+        # (as resolve_href and surt_key are) or those anchors vanish
+        from wine_label_ocr_spark.operators.graph import anchor_text_index
+        pages = spark.createDataFrame(
+            [("https://s.com/", '<a href="HTTPS://T.com/x">shout</a>'
+              '<a href="https://t.com/y">quiet</a>')],
+            "url string, html string")
+        out = {r["dst"]: r["anchor"] for r in
+               anchor_text_index(pages, k=1).collect()}
+        assert out == {"HTTPS://T.com/x": "shout",
+                       "https://t.com/y": "quiet"}
+
     def test_index_unresolved_raw_hrefs(self, spark):
         from wine_label_ocr_spark.operators.graph import anchor_text_index
         pages = spark.createDataFrame(

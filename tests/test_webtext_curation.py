@@ -200,6 +200,46 @@ class TestCdxIndex:
                 or (stats[f][0] <= key and stats[f][1] >= key)]
         assert len(kept) < len(t.current_files())
 
+    def test_digest_is_cdx_base32_sha1(self, spark):
+        # CDX(J) convention: digest = Base32(SHA-1(payload)), 32 chars,
+        # no padding — must interop with Wayback/pywb digests
+        import base64
+        import hashlib
+
+        from wine_label_ocr_spark.operators.cdx import cdx_records
+        payloads = [b"b", b"hello world", bytes(range(256))]
+        df = spark.createDataFrame(
+            [(f"https://a.com/{i}", "2025-01-01 00:00:00", p)
+             for i, p in enumerate(payloads)],
+            "url string, warc_ts string, html binary") \
+            .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        got = {r["url"]: r["digest"] for r in cdx_records(df).collect()}
+        for i, p in enumerate(payloads):
+            want = base64.b32encode(hashlib.sha1(p).digest()).decode()
+            assert got[f"https://a.com/{i}"] == want
+            assert len(want) == 32 and "=" not in want
+
+    def test_prefix_successor_astral_safe(self, spark):
+        from wine_label_ocr_spark.operators.cdx import (
+            _prefix_successor, cdx_commit, cdx_lookup)
+        # unit: successor covers astral continuations U+FFFF misses
+        assert _prefix_successor("com,a)/") == "com,a)0"
+        assert _prefix_successor("x" + chr(0x10FFFF)) == "y"
+        assert _prefix_successor(chr(0x10FFFF)) is None
+        emoji = "\U0001F600"  # U+1F600 > U+FFFF: sorts ABOVE prefix+U+FFFF
+        assert "com,a)/" + emoji > "com,a)/" + "￿"
+        assert "com,a)/" + emoji < _prefix_successor("com,a)/")
+        # end-to-end: a file holding ONLY astral-path keys must not be
+        # pruned away by the prefix lookup's manifest range
+        root = tempfile.mkdtemp(prefix="wlos_cdx_astral_")
+        df = spark.createDataFrame(
+            [(f"https://a.com/{emoji}", "2025-01-01 00:00:00", b"x")],
+            "url string, warc_ts string, html binary") \
+            .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        cdx_commit(df, root, n_files=1)
+        pre = cdx_lookup(spark, root, surt_prefix="com,a)/").collect()
+        assert len(pre) == 1 and emoji in pre[0]["url"]
+
     def test_lookup_arg_validation(self, spark):
         from wine_label_ocr_spark.operators.cdx import cdx_lookup
         root = tempfile.mkdtemp(prefix="wlos_cdx_")
@@ -349,6 +389,17 @@ class TestHeadMeta:
         # token boundary: substrings must not fire
         r2 = self._run(spark, '<meta name="robots" content="nofollowme">')
         assert not r2["robots_nofollow"]
+
+    def test_robots_combined_across_tags(self, spark):
+        # the Google/Bing rule: directives from ALL robots meta tags
+        # merge (most restrictive wins) — separate noindex and nofollow
+        # tags must BOTH apply, not just the first tag in document order
+        r = self._run(spark, '<meta name="robots" content="noindex">'
+                      '<meta name="robots" content="nofollow">')
+        assert r["robots_noindex"] and r["robots_nofollow"]
+        r2 = self._run(spark, '<meta name="robots" content="all">'
+                       '<meta name="robots" content="noindex">')
+        assert r2["robots_noindex"] and not r2["robots_nofollow"]
 
     def test_http_equiv_charset_and_empty(self, spark):
         r = self._run(spark, '<meta http-equiv="Content-Type"'

@@ -23,9 +23,39 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..sources.table import ManifestTable
 from .textops import surt_key
 
-# one code point above every byte that appears in a lowercased SURT —
-# ``(prefix, prefix + _HI)`` is the inclusive range covering the prefix
-_HI = "￿"
+# RFC 4648 Base32 alphabet — CDX(J) digests are Base32(SHA-1), 20 bytes
+# → exactly 32 chars, no padding (the Wayback/pywb convention).
+_B32_ALPHABET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+
+
+def sha1_base32(body: Column) -> Column:
+    """Base32-encoded SHA-1 of ``body`` — the CDX(J) content-digest
+    convention (pywb `to_b32`-compatible): 160 bits → 32 chars of the
+    RFC 4648 alphabet, no padding. Pure column algebra: the 40-char hex
+    digest splits into four 40-bit groups (each fits a BIGINT via
+    ``conv``), each group yields eight 5-bit alphabet indexes."""
+    hx = F.sha1(body)
+    chars = []
+    for g in range(4):
+        word = F.conv(F.substring(hx, 1 + g * 10, 10), 16, 10).cast("bigint")
+        for j in range(8):
+            idx = F.shiftright(word, 5 * (7 - j)).bitwiseAND(F.lit(31))
+            chars.append(F.substring(F.lit(_B32_ALPHABET), idx + 1, F.lit(1)))
+    return F.concat(*chars)
+
+
+def _prefix_successor(prefix: str) -> str | None:
+    """Smallest string greater than every string with ``prefix``:
+    increment the last code point (dropping trailing U+10FFFF chars
+    that cannot be incremented). Correct for ALL code points including
+    astral ones — unlike appending U+FFFF, which sorts BELOW e.g. a raw
+    emoji and would wrongly exclude such keys. None = unbounded (the
+    degenerate all-U+10FFFF prefix)."""
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix[:i] + chr(cp + 1)
+    return None
 
 
 def cdx_records(pages: DataFrame, url_col: str = "url",
@@ -33,8 +63,9 @@ def cdx_records(pages: DataFrame, url_col: str = "url",
                 payload_col: str | None = "html") -> DataFrame:
     """pages → CDX capture rows ``(surt, url, ts, digest, length)``.
 
-    ``digest``/``length`` come from ``payload_col`` when present (sha1
-    over the raw bytes — the CDX content-digest convention); both NULL
+    ``digest``/``length`` come from ``payload_col`` when present
+    (Base32-encoded SHA-1 over the raw bytes — the CDX(J) content-digest
+    convention, interoperable with Wayback/pywb digests); both NULL
     when the payload column is absent. Non-http(s) URLs (NULL surt) are
     dropped: they cannot be keyed. Pure map."""
     cols = [surt_key(F.col(url_col)).alias("surt"),
@@ -42,7 +73,7 @@ def cdx_records(pages: DataFrame, url_col: str = "url",
             F.col(ts_col).alias("ts")]
     if payload_col is not None and payload_col in pages.columns:
         body = F.col(payload_col).cast("binary")
-        cols += [F.sha1(body).alias("digest"),
+        cols += [sha1_base32(body).alias("digest"),
                  F.length(body).cast("bigint").alias("length")]
     else:
         cols += [F.lit(None).cast("string").alias("digest"),
@@ -72,9 +103,14 @@ def cdx_lookup(spark: SparkSession, root: str, url: str | None = None,
                surt_prefix: str | None = None) -> DataFrame:
     """Prefix/point lookup against a committed CDX index. Exactly one of
     ``url`` (point: all captures of that URL's SURT) or ``surt_prefix``
-    (range: every capture under the prefix) must be given. The manifest
-    range ``key_between=(key, key + _HI)`` skips non-overlapping files
-    before the scan; the residual filter keeps the answer exact."""
+    (range: every capture under the prefix) must be given. Point
+    lookups prune with the exact range ``key_between=(key, key)``;
+    prefix lookups prune with ``(prefix, successor(prefix))`` where the
+    successor increments the prefix's last code point — exact for ALL
+    code points including astral ones (appending U+FFFF would wrongly
+    exclude SURT keys whose next code point is > U+FFFF, e.g. raw emoji
+    in a path). The residual filter keeps the answer exact either
+    way."""
     if (url is None) == (surt_prefix is None):
         raise ValueError("pass exactly one of url= or surt_prefix=")
     table = ManifestTable(root)
@@ -88,7 +124,8 @@ def cdx_lookup(spark: SparkSession, root: str, url: str | None = None,
                                       "ts timestamp, digest string, "
                                       "length bigint")
                 if df is None else df.where(F.col("surt") == key))
-    df = table.read(spark, key_between=(surt_prefix, surt_prefix + _HI))
+    df = table.read(spark,
+                    key_between=(surt_prefix, _prefix_successor(surt_prefix)))
     return (spark.createDataFrame([], "surt string, url string, "
                                   "ts timestamp, digest string, "
                                   "length bigint")

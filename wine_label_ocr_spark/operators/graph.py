@@ -247,7 +247,7 @@ def anchor_text_index(df: DataFrame, id_col: str = "url",
     dst = (resolve_href(F.col("src"), F.col("href"))
            if resolve else F.col("href"))
     keyed = (pairs.select(dst.alias("dst"), "anchor")
-             .filter(F.col("dst").rlike(r"^https?://")
+             .filter(F.col("dst").rlike(r"^(?i:https?)://")
                      & (F.col("anchor") != "")))
     counts = keyed.groupBy("dst", "anchor").agg(
         F.count(F.lit(1)).alias("n_refs"))

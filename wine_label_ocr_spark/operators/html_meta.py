@@ -60,15 +60,21 @@ def _meta_value(entries: Column, key: str) -> Column:
 
 
 def robots_meta_flags(html: Column) -> tuple[Column, Column]:
-    """(noindex, nofollow) boolean columns from the first
-    <meta name=robots> tag — token-matched inside the comma/space
-    separated content (the Google/Bing rule). Reusable as a bare
-    expression so the crawl cycle can gate outlink extraction with a
-    pure map (no join, no second pass over the page bytes)."""
-    robots = F.lower(F.coalesce(_meta_value(_meta_entries(html), "robots"),
-                                F.lit("")))
-    return (robots.rlike(r"(^|[,\s])noindex($|[,\s])"),
-            robots.rlike(r"(^|[,\s])nofollow($|[,\s])"))
+    """(noindex, nofollow) boolean columns combined across ALL
+    <meta name=robots> tags — token-matched inside each comma/space
+    separated content, most-restrictive-wins (the Google/Bing rule:
+    directives from every robots meta tag are merged, so separate
+    <meta robots=noindex> and <meta robots=nofollow> tags both apply).
+    Reusable as a bare expression so the crawl cycle can gate outlink
+    extraction with a pure map (no join, no second pass over the page
+    bytes)."""
+    robots = F.filter(_meta_entries(html), lambda e: e["k"] == "robots")
+
+    def any_token(pat: str) -> Column:
+        return F.exists(robots, lambda e: F.lower(e["v"]).rlike(pat))
+
+    return (any_token(r"(^|[,\s])noindex($|[,\s])"),
+            any_token(r"(^|[,\s])nofollow($|[,\s])"))
 
 
 def head_meta(df: DataFrame, id_col: str = "url",
@@ -84,10 +90,11 @@ def head_meta(df: DataFrame, id_col: str = "url",
       body-text mention would also match — acceptable for the routing
       use, where a wrong-but-declared charset already routes to the
       detection fallback);
-    * robots_noindex / robots_nofollow: token match inside the first
-      <meta name=robots> content (comma/space separated, the
-      Google/Bing rule) — ``noindex`` gates indexing, ``nofollow``
-      tells the crawler to drop this page's outlinks.
+    * robots_noindex / robots_nofollow: token match combined across
+      ALL <meta name=robots> contents (comma/space separated,
+      most-restrictive-wins — the Google/Bing rule) — ``noindex``
+      gates indexing, ``nofollow`` tells the crawler to drop this
+      page's outlinks.
     """
     html = F.col(html_col).cast("string")
     metas = _meta_entries(html)

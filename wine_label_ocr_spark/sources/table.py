@@ -85,11 +85,13 @@ class ManifestTable:
     def read(self, spark: SparkSession, snapshot_id: int | None = None,
              key_between: tuple | None = None) -> DataFrame | None:
         """Read a snapshot; with ``key_between=(lo, hi)`` (inclusive,
-        ``(v, v)`` for equality) files whose recorded [min, max] for the
-        snapshot's stats column cannot overlap are skipped BEFORE the scan
-        — file-level pruning from manifest stats, the Iceberg move. Files
-        without stats are always kept (safe), so pruning is best-effort
-        and never changes results."""
+        ``(v, v)`` for equality; ``hi=None`` for an unbounded upper —
+        the prefix-lookup shape, where no string successor of the
+        prefix is computable for every code point) files whose recorded
+        [min, max] for the snapshot's stats column cannot overlap are
+        skipped BEFORE the scan — file-level pruning from manifest
+        stats, the Iceberg move. Files without stats are always kept
+        (safe), so pruning is best-effort and never changes results."""
         files = self.current_files(snapshot_id)
         if not files:
             return None
@@ -99,7 +101,8 @@ class ManifestTable:
             lo, hi = key_between
             files = [f for f in files
                      if f not in stats
-                     or (stats[f][0] <= hi and stats[f][1] >= lo)]
+                     or ((hi is None or stats[f][0] <= hi)
+                         and stats[f][1] >= lo)]
             if not files:
                 return None
         return spark.read.parquet(*files)
