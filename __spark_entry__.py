@@ -16,6 +16,7 @@ Alignment rules used throughout (Spark ↔ DuckDB):
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
@@ -666,12 +667,23 @@ def q_rp_lsh_topk(spark, sf):  # ann: LSH-bucketed approximate top-k, oracle-che
     return rp_lsh_topk(q, e, dim=64, k=5, n_planes=6, n_probes=3)
 
 
-def q_ivf_topk(spark, sf):  # ann: IVF coarse-quantizer top-k (rows-only)
-    from wine_label_ocr_spark.operators.ann import ivf_topk
-    e = _t(spark, sf, "embeddings")
+def q_ivf_topk(spark, sf):  # ann: IVF top-k, fixed centroids, hash-gated
+    """IVF probe-and-rerank under a FULL value oracle (upgraded from the
+    r1–r7 rows-only gate, the ivfadc_topk precedent): fixed hash-derived
+    coarse centroids (8 cells, the same literals ivfadc uses) make cell
+    assignment + probe selection closed-form; exact cosine re-ranks the
+    probed cells. The learned-Lloyd flavor (``ivf_topk``) keeps its
+    recall/pruning pytest — this gate certifies the search plan."""
+    from wine_label_ocr_spark.operators.ann import (
+        ivf_fixed_topk, pq_fixed_codebooks)
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: F.round(x.cast("double"), 3)).alias("embedding"))
+    cents = pq_fixed_codebooks(1, 8, 64, seed=7)[0]
     q = (e.filter(F.col("vec_id") % 100 == 0)
          .select(F.col("vec_id").alias("q_id"), "embedding"))
-    return ivf_topk(q, e, dim=64, k=5, n_cells=8, nprobe=2, iters=2)
+    return ivf_fixed_topk(q, e, cents, k=5, n_probes=2)
 
 
 def q_embedding_quantized(spark, sf):  # ann: int8 quantization, oracle-checked
@@ -1035,20 +1047,63 @@ def q_media_frames_webp(spark, sf):  # multimodal: ANIMATED WebP raster decode
             .orderBy("url", "frame_idx"))
 
 
+# planted zlib inputs (all ASCII so char length == utf-8 byte length):
+# six repetitiveness shapes from degenerate-run to natural prose — the
+# operator's whole dynamic range. Fixed strings make the level-6 zlib
+# output length a pinned constant per shape, so the oracle states it
+# closed-form (the media_pixels pattern).
+_ZLIB_SHAPES = [
+    "a" * 800,                                             # degenerate run
+    "the quick brown fox jumps over the lazy dog. " * 18,  # sentence loop
+    "".join(hashlib.md5(f"junk{i}".encode()).hexdigest()
+            for i in range(12)),                           # hex noise
+    "ab" * 400,                                            # 2-cycle
+    "buy cheap widgets now " * 40,                         # template spam
+    "The committee convened at noon to review the annual budget, "
+    "noting that revenues had risen modestly while expenditures "
+    "remained flat across departments.",                   # natural prose
+]
+
+
 def q_compression_ratio(spark, sf):  # textops: zlib repetitiveness signal
-    """Rows-only gate (zlib output is library-defined, so no value oracle —
-    like ivf_topk): per-lang histogram of compressed/raw size ratio
-    deciles. Shape-certifies the one sanctioned pandas-UDF slow-path op
-    in textops under the driver's eye (r3 VERDICT #4); semantics are
-    pinned by pytest on planted repetitive/random inputs."""
+    """FULL value oracle (upgraded from the r1–r7 rows-only gate): the
+    REAL pandas-UDF operator runs over planted texts (one of 6 fixed
+    repetitiveness shapes per doc_id), and because each shape's level-6
+    zlib output length is a deterministic constant, the oracle pins
+    compressed length and ratio decile closed-form per shape. Emits
+    comp_len as an integer (ratio·raw_len rounds back to the exact
+    compressed byte count — no float seam crosses the engines)."""
     from wine_label_ocr_spark.operators.textops import compression_ratio
-    d = _t(spark, sf, "documents")
-    return (d.select("lang",
-                     F.floor(compression_ratio(F.col("text")) * 10)
-                      .cast("int").alias("decile"))
-            .groupBy("lang", "decile")
-            .agg(F.count("*").alias("n_docs"))
-            .orderBy("lang", "decile"))
+    d = _t(spark, sf, "documents").select("doc_id")
+    shapes = F.array(*[F.lit(s) for s in _ZLIB_SHAPES])
+    text = F.get(shapes, F.pmod(F.col("doc_id"),
+                                F.lit(len(_ZLIB_SHAPES))).cast("int"))
+    ratio = compression_ratio(text)
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.round(ratio * F.length(text)).cast("bigint").alias("comp_len"),
+        F.floor(ratio * 10).cast("int").alias("decile"))
+
+
+def _compression_ratio_oracle_sql() -> str:
+    """DuckDB twin of q_compression_ratio: per planted shape, the level-6
+    zlib output length is computed ONCE here (same zlib the executors
+    call) and stated as a literal; the decile replays the identical
+    float64 ops (clen/raw·10, floored)."""
+    import math
+    import zlib
+    n = len(_ZLIB_SHAPES)
+    clens = [len(zlib.compress(s.encode("utf-8"), 6)) for s in _ZLIB_SHAPES]
+    decs = [math.floor(c / len(s.encode("utf-8")) * 10)
+            for c, s in zip(clens, _ZLIB_SHAPES)]
+    clen_case = " ".join(f"WHEN {i} THEN {c}" for i, c in enumerate(clens))
+    dec_case = " ".join(f"WHEN {i} THEN {d}" for i, d in enumerate(decs))
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(CASE doc_id % {n} {clen_case} END AS BIGINT) AS comp_len,
+               CAST(CASE doc_id % {n} {dec_case} END AS INT) AS decile
+        FROM documents
+    """
 
 
 def q_curation_funnel(spark, sf):  # plans/curate: capstone survivor counts
@@ -1473,6 +1528,61 @@ def _ivfadc_oracle_sql(n_cells=8, m=4, ksub=8, dim=64, k=5,
         FROM (SELECT q_id, c_id, adc,
                      ROW_NUMBER() OVER (PARTITION BY q_id
                                         ORDER BY adc ASC, c_id) AS rank
+              FROM s)
+        WHERE rank <= {k}
+        ORDER BY q_id, rank
+    """
+
+
+def _ivf_fixed_oracle_sql(n_cells=8, dim=64, k=5, n_probes=2) -> str:
+    """DuckDB twin of q_ivf_topk (fixed-centroid flavor): same centroid
+    literals and struct-sort probe pick as the ivfadc twin, exact cosine
+    re-rank with the cosine_topk fold (query-major, left-to-right — the
+    identical order Spark's zip_with/aggregate folds)."""
+    from wine_label_ocr_spark.operators.ann import pq_fixed_codebooks
+    cents = pq_fixed_codebooks(1, n_cells, dim, seed=7)[0]
+
+    def d2full(vec: str, cent: list) -> str:
+        lit = "[" + ", ".join(repr(v) for v in cent) + "]"
+        return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list_transform(generate_series(1, {dim}), i -> "
+                f"({vec}[i] - {lit}[i]) * ({vec}[i] - {lit}[i]))), "
+                f"(a, b) -> a + b)")
+
+    cell_djs = "[" + ", ".join(d2full("e", c) for c in cents) + "]"
+    cell = f"(list_position({cell_djs}, list_min({cell_djs})) - 1)"
+    probe_structs = "[" + ", ".join(
+        f"struct_pack(d := {d2full('qe', c)}, c := {i})"
+        for i, c in enumerate(cents)) + "]"
+    cos = """
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, len(qe)), i -> qe[i] * ce[i])),
+            (a, b) -> a + b)
+        / GREATEST(
+            sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(qe, x -> x * x)), (a, b) -> a + b))
+            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(ce, x -> x * x)), (a, b) -> a + b)),
+            CAST(1e-12 AS DOUBLE))"""
+    return f"""
+        WITH r AS (SELECT vec_id,
+                          list_transform(embedding,
+                              x -> round(CAST(x AS DOUBLE), 3)) AS e
+                   FROM embeddings),
+        asg AS (SELECT vec_id AS c_id, e AS ce, {cell} AS cell FROM r),
+        q AS (SELECT vec_id AS q_id, e AS qe FROM r WHERE vec_id % 100 = 0),
+        pl AS (SELECT q_id, qe,
+                      list_sort({probe_structs})[1:{n_probes}] AS ps
+               FROM q),
+        probes AS (SELECT q_id, qe, p['c'] AS cell
+                   FROM pl, unnest(ps) AS t(p)),
+        s AS (SELECT q_id, asg.c_id, {cos} AS cosine
+              FROM asg JOIN probes USING (cell))
+        SELECT q_id, c_id, ROUND(cosine, 6) AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT q_id, c_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cosine DESC, c_id) AS rank
               FROM s)
         WHERE rank <= {k}
         ORDER BY q_id, rank
@@ -2901,81 +3011,45 @@ _FRONTIER_PRIORITY_ORACLE_SQL = """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Order = driver certification priority: the driver artifact caps at
-    # ~50 entries, so (a) the 34 queries the r6 cap absorbed (last
-    # hash-certified in r05, code untouched since) and (b) every query
-    # whose code/fixture changed THIS round (r7) run first; the tail
-    # that absorbs any cap is exclusively r6-certified queries with
-    # untouched code (union-across-rounds keeps those certified;
-    # nothing goes two rounds uncertified).
+    # Order = driver certification priority under the ~50-entry artifact
+    # cap. Rule (r7 VERDICT): NEW-or-never-certified gates outrank
+    # everything — new code has no certification history; re-certified
+    # code does. Then (2) gates whose code changed THIS round (r8), then
+    # (3) the stalest re-certifications (last hash-green in r6 — the r7
+    # cap-absorbing tail), and the cap is absorbed exclusively by
+    # r7-certified entries with untouched code (union-across-rounds
+    # keeps those certified; nothing goes two rounds uncertified).
     return {
-        # (a) r6-cap-absorbed (r05 hash-green, untouched) — re-certify
-        "best_variant": q_best_variant,
-        "bpe_real_tokens": q_bpe_real_tokens,
-        "curation_funnel": q_curation_funnel,
-        "ema_final": q_ema_final,
-        "host_stats": q_host_stats,
-        "image_dhash": q_image_dhash,
-        "incremental_dedup": q_incremental_dedup,
-        "ivfadc_topk": q_ivfadc_topk,
-        "latest_capture": q_latest_capture,
-        "lexical_diversity": q_lexical_diversity,
-        "media_features": q_media_features,
-        "media_pixels": q_media_pixels,
-        "media_pixels_gif": q_media_pixels_gif,
-        "media_pixels_jpeg": q_media_pixels_jpeg,
-        "median_by_type": q_median_by_type,
-        "near_dup_components": q_near_dup_components,
-        "pagerank": q_pagerank,
-        "pagerank_dangling": q_pagerank_dangling,
-        "paragraph_dedup": q_paragraph_dedup,
-        "phase_trace": q_phase_trace,
-        "pii_redaction": q_pii_redaction,
-        "pq_topk": q_pq_topk,
-        "repetition_stats": q_repetition_stats,
-        "rp_lsh_topk": q_rp_lsh_topk,
-        "salted_agg": q_salted_agg,
-        "sessionize": q_sessionize,
-        "simhash_fingerprints": q_simhash_fingerprints,
-        "simhash_pairs": q_simhash_pairs,
-        "stratified_sample": q_stratified_sample,
-        "training_funnel": q_training_funnel,
-        "union_names": q_union_names,
-        "url_canon": q_url_canon,
-        "vintage_fallback_grid": q_vintage_fallback_grid,
-        "warc_extract": q_warc_extract,
-        # (b) new or behaviorally-touched this round (r7): WebP
-        # hostile-dims guard + mvhd v1 guard touched the media decode
-        # path; sitemap seeding touched plans/crawl (so the two crawl
-        # capstone gates re-certify); new r7 gates append here
-        "media_pixels_webp": q_media_pixels_webp,
-        "media_mp4_meta": q_media_mp4_meta,
+        # (1) never-driver-certified before r8: the two r7 gates the cap
+        # cut (head_meta, frontier_priority) and the two upgraded from
+        # rows-only to full value oracles this round (ivf_topk via fixed
+        # centroids, compression_ratio via planted-shape zlib constants)
+        "head_meta": q_head_meta,
+        "frontier_priority": q_frontier_priority,
+        "ivf_topk": q_ivf_topk,
+        "compression_ratio": q_compression_ratio,
+        # (2) new r8 gates (appended as they land this round)
+        # (3) code-touched this round (r8): robots-meta merge touched the
+        # crawl gate path; the shared href-resolution pass touched
+        # crawl_cycle + anchor_text; the scheme-case fix touched
+        # anchor_text_index; VP8L 2-D distance codes + VP8 lossy touched
+        # media_pixels_webp; the pruned LM touched lm_buckets
         "crawl_cycle": q_crawl_cycle,
         "crawl_cycle_funnel": q_crawl_cycle_funnel,
         "crawl_cycle_sitemap": q_crawl_cycle_sitemap,
-        "media_pixels_jpeg_prog": q_media_pixels_jpeg_prog,
-        "media_frames_webp": q_media_frames_webp,
-        "gopher_rules": q_gopher_rules,
-        "c4_clean": q_c4_clean,
-        "surt_keys": q_surt_keys,
-        "wet_roundtrip": q_wet_roundtrip,
-        "gopher_repetition": q_gopher_repetition,
-        "corpus_datacard": q_corpus_datacard,
         "anchor_text": q_anchor_text,
-        "script_profile": q_script_profile,
+        "media_pixels_webp": q_media_pixels_webp,
         "lm_buckets": q_lm_buckets,
-        "head_meta": q_head_meta,
-        "frontier_priority": q_frontier_priority,
-        # rows-only-by-design (iterative Lloyd / zlib-defined): a rows
-        # check carries less info than the hash gates above, so these
-        # two sit LAST before the cap line — if the ~50-entry cap bites,
-        # it absorbs them (r6-certified, code untouched), never a new
-        # hash gate
-        "ivf_topk": q_ivf_topk,
-        "compression_ratio": q_compression_ratio,
-        # ---- entries below here absorb the driver's ~50-entry cap ----
-        # cap-absorbing tail: r6 hash-green, code untouched this round
+        # (4) stalest re-certifications: last hash-green in r6 (the r7
+        # cap-absorbing tail), code untouched since — these fill the
+        # remaining ~40 slots. With 100 gates and a ~50-entry cap the
+        # steady state is alternating halves (each gate re-certifies
+        # every other round); the handful of r6 entries past slot ~50
+        # carry to the FRONT of the r9 rotation. The tail below is
+        # ordered so any overflow lands on gates whose operator code is
+        # also exercised by an in-cap gate this round.
         "tfidf_pruned": q_tfidf_pruned,
+        "customers_without_orders": q_customers_without_orders,
         "quality_classifier": q_quality_classifier,
         "blocklist_filter": q_blocklist_filter,
         "exact_substring": q_exact_substring,
@@ -3015,12 +3089,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "cosine_topk": q_cosine_topk,
         "customers_with_orders": q_customers_with_orders,
-        "customers_without_orders": q_customers_without_orders,
         "decontamination": q_decontamination,
         "duplicate_passages": q_duplicate_passages,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_quantized": q_embedding_quantized,
         "exact_dedup": q_exact_dedup,
+        # ---- entries below here absorb the driver's ~50-entry cap ----
+        # cap-absorbing tail: r7 hash-green (CORRECTNESS_r07.json), code
+        # untouched this round — the freshest certifications, so the cap
+        # always eats the entries with the most recent history
+        "best_variant": q_best_variant,
+        "bpe_real_tokens": q_bpe_real_tokens,
+        "curation_funnel": q_curation_funnel,
+        "ema_final": q_ema_final,
+        "host_stats": q_host_stats,
+        "image_dhash": q_image_dhash,
+        "incremental_dedup": q_incremental_dedup,
+        "ivfadc_topk": q_ivfadc_topk,
+        "latest_capture": q_latest_capture,
+        "lexical_diversity": q_lexical_diversity,
+        "media_features": q_media_features,
+        "media_pixels": q_media_pixels,
+        "media_pixels_gif": q_media_pixels_gif,
+        "media_pixels_jpeg": q_media_pixels_jpeg,
+        "median_by_type": q_median_by_type,
+        "near_dup_components": q_near_dup_components,
+        "pagerank": q_pagerank,
+        "pagerank_dangling": q_pagerank_dangling,
+        "paragraph_dedup": q_paragraph_dedup,
+        "phase_trace": q_phase_trace,
+        "pii_redaction": q_pii_redaction,
+        "pq_topk": q_pq_topk,
+        "repetition_stats": q_repetition_stats,
+        "rp_lsh_topk": q_rp_lsh_topk,
+        "salted_agg": q_salted_agg,
+        "sessionize": q_sessionize,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_pairs": q_simhash_pairs,
+        "stratified_sample": q_stratified_sample,
+        "training_funnel": q_training_funnel,
+        "union_names": q_union_names,
+        "url_canon": q_url_canon,
+        "vintage_fallback_grid": q_vintage_fallback_grid,
+        "warc_extract": q_warc_extract,
+        "media_mp4_meta": q_media_mp4_meta,
+        "media_pixels_jpeg_prog": q_media_pixels_jpeg_prog,
+        "media_frames_webp": q_media_frames_webp,
+        "gopher_rules": q_gopher_rules,
+        "c4_clean": q_c4_clean,
+        "surt_keys": q_surt_keys,
+        "wet_roundtrip": q_wet_roundtrip,
+        "gopher_repetition": q_gopher_repetition,
+        "corpus_datacard": q_corpus_datacard,
+        "script_profile": q_script_profile,
     }
 
 
@@ -3724,6 +3845,8 @@ def oracle_sql() -> dict[str, str]:
         "phase_trace": _phase_trace_oracle_sql(),
         "pq_topk": _pq_oracle_sql(),
         "ivfadc_topk": _ivfadc_oracle_sql(),
+        "ivf_topk": _ivf_fixed_oracle_sql(),
+        "compression_ratio": _compression_ratio_oracle_sql(),
         "gopher_rules": _gopher_oracle_sql(),
         "c4_clean": _C4_ORACLE_SQL,
         "surt_keys": _SURT_ORACLE_SQL,

@@ -404,6 +404,35 @@ def test_ivf_recall_vs_exact(spark, emb):
     assert recall >= 0.5, recall  # half the cells probed → decent recall
 
 
+def test_ivf_fixed_full_probe_equals_exact(spark, emb):
+    """ivf_fixed_topk with n_probes == n_cells degenerates to exact
+    brute force: every corpus row is a candidate for every query, so the
+    output must equal cosine_topk row-for-row (the partial-probe flavor
+    is value-certified by the ivf_topk driver gate)."""
+    from wine_label_ocr_spark.operators.ann import pq_fixed_codebooks
+    cents = pq_fixed_codebooks(1, 8, 64, seed=7)[0]
+    q = emb.limit(4).select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = sorted(map(tuple, ann.cosine_topk(q, emb, k=3).collect()))
+    fixed = sorted(map(tuple,
+                       ann.ivf_fixed_topk(q, emb, cents, k=3,
+                                          n_probes=8).collect()))
+    assert fixed == exact
+
+
+def test_ivf_fixed_probe_prunes_candidates(spark, emb):
+    # partial probe must score strictly fewer candidates than |Q|·|C|
+    from wine_label_ocr_spark.operators.ann import pq_fixed_codebooks
+    cents = pq_fixed_codebooks(1, 8, 64, seed=7)[0]
+    q = emb.limit(4).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = ann.ivf_fixed_topk(q, emb, cents, k=3, n_probes=2)
+    rows = out.collect()
+    assert {r["q_id"] for r in rows} == {r["q_id"] for r in q.collect()}
+    # self-vector lands in its own nearest cell, which is always probed
+    top1 = {r["q_id"]: r["c_id"] for r in rows if r["rank"] == 1}
+    for qid, cid in top1.items():
+        assert qid == cid
+
+
 def test_drop_common_paragraphs(spark):
     """Boilerplate (>=min_docs distinct docs) stripped everywhere; unique
     paragraphs kept in order; a repeated paragraph INSIDE one doc is not

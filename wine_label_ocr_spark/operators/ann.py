@@ -270,6 +270,46 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
             .select("q_id", "c_id", F.round("cosine", 6).alias("cosine"), "rank"))
 
 
+def ivf_fixed_topk(queries: DataFrame, corpus: DataFrame,
+                   centroids: list[list[float]], k: int = 10,
+                   n_probes: int = 2,
+                   q_id: str = "q_id", c_id: str = "vec_id",
+                   q_vec: str = "embedding",
+                   c_vec: str = "embedding") -> DataFrame:
+    """IVF search with FIXED (plan-literal) coarse centroids — the
+    hash-gated flavor of ``ivf_topk``, which Lloyd-trains its cells
+    (the exact split ``pq_fixed_codebooks`` vs ``pq_train_codebooks``
+    already makes for PQ). With centroids as literals, cell assignment
+    and probe selection are closed-form column algebra a SQL twin
+    replays bit-identically, while the plan keeps the production IVF
+    shape: the corpus is assigned to its nearest cell once (pure map),
+    each query probes its ``n_probes`` nearest cells, and exact cosine
+    re-ranks only the probed cells' rows — the query side explodes
+    (queries ≪ corpus), the corpus side never shuffles beyond the
+    cell-key join. Returns (q_id, c_id, cosine, rank)."""
+    c = corpus.select(F.col(c_id).alias("c_id"), F.col(c_vec).alias("_cv"),
+                      _argmin_cell(F.col(c_vec), centroids).alias("cell"))
+
+    def probes_of(vec: Column) -> Column:
+        dists = F.array(*[F.struct(_l2sq(vec, cc).alias("d"),
+                                   F.lit(i).alias("c"))
+                          for i, cc in enumerate(centroids)])
+        return F.slice(F.array_sort(dists), 1, n_probes)
+
+    q = (queries.select(F.col(q_id).alias("q_id"), F.col(q_vec).alias("_qv"))
+         .select("q_id", "_qv",
+                 F.explode(probes_of(F.col("_qv"))).alias("_p"))
+         .select("q_id", "_qv", F.col("_p.c").alias("cell")))
+    scored = (c.join(F.broadcast(q), "cell")
+              .select("q_id", "c_id",
+                      cosine(F.col("_qv"), F.col("_cv")).alias("cosine")))
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "c_id", F.round("cosine", 6).alias("cosine"),
+                    "rank"))
+
+
 def quantize_embedding(vec: Column) -> tuple[Column, Column]:
     """Symmetric per-vector int8 quantization: q = round(x·127/max|x|).
 
