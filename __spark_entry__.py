@@ -1011,6 +1011,67 @@ def q_media_mp4_meta(spark, sf):  # multimodal: ISO-BMFF video metadata
     return mp4_metadata(pages).orderBy("url")
 
 
+def q_media_webp_lossy(spark, sf):  # multimodal: lossy-VP8 header metadata
+    """Planted lossy-VP8 keyframe headers (real RFC 6386 frame tag +
+    bool-coded first-partition prefix, built with the roundtrip-pinned
+    _VP8BoolWriter) → ``webp_lossy_meta``: dims, y_ac_qi (the encoder
+    quantizer — the decode-free quality prior lossy thumbnails filter
+    on), loop-filter level, partition count. Every 7th doc is a junk
+    payload that must come back parse_ok=false, not vanish (ST8).
+    The oracle restates every field closed-form from doc_id. Full VP8
+    raster decode is a recorded KILL this round (BENCH.md r8): its
+    ~1000+ probability/dequant constants are not verifiable offline."""
+    from collections.abc import Iterator
+
+    from wine_label_ocr_spark.operators.multimodal import webp_lossy_meta
+
+    def gen(batches) -> Iterator:
+        import pandas as pd
+
+        from wine_label_ocr_spark.operators.multimodal import (
+            encode_vp8_keyframe_header)
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 7 == 0:
+                    p = b"RIFF\x04\x00\x00\x00WEBPjunk"
+                else:
+                    p = encode_vp8_keyframe_header(
+                        16 * (1 + i % 40), 16 * (1 + i % 23),
+                        y_ac_qi=(i * 11) % 128,
+                        filter_level=i % 64, sharpness=i % 8,
+                        n_dct_partitions_log2=i % 4,
+                        y_dc_delta=(i % 31) - 15,
+                        uv_ac_delta=(i % 7) - 3)
+                rows.append((f"medialossy:{i:09d}", p))
+            yield pd.DataFrame(rows, columns=["url", "payload"])
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    pages = d.mapInPandas(gen, schema="url string, payload binary")
+    return webp_lossy_meta(pages).orderBy("url")
+
+
+_WEBP_LOSSY_ORACLE_SQL = """
+    SELECT 'medialossy:' || printf('%09d', doc_id) AS url,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(16 * (1 + doc_id % 40) AS INT) END AS width,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(16 * (1 + doc_id % 23) AS INT) END AS height,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST((doc_id * 11) % 128 AS INT) END AS y_ac_qi,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(doc_id % 64 AS INT) END AS filter_level,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                          WHEN 2 THEN 4 ELSE 8 END AS INT)
+                END AS n_dct_partitions,
+           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE TRUE END AS show_frame,
+           doc_id % 7 != 0 AS parse_ok
+    FROM documents ORDER BY url
+"""
+
+
 def q_media_frames(spark, sf):  # multimodal: ANIMATED GIF multi-frame decode
     """Animated GIFs (2–4 frames, disposal 1 and 2, Netscape app
     extension) → per-frame composited rasters with EXACT integer
@@ -2850,7 +2911,25 @@ def q_lm_buckets(spark, sf):  # textops: corpus bigram LM + CCNet buckets
     return bigram_lm_scores(d).orderBy("doc_id")
 
 
-_LM_ORACLE_SQL = """
+def q_lm_buckets_pruned(spark, sf):  # textops: pruned-broadcast LM flavor
+    """The 10^12-doc LM shape under the gate (r7 VERDICT #8): the bigram
+    LM pruned to c12 >= 2 and BROADCAST, so the instance explosion
+    never shuffles in the scoring join (plan pytest-pinned). The oracle
+    replays the identical pruning: OOV bigrams leave both the score and
+    n_bigrams, bigram-less docs drop before the ntile."""
+    from wine_label_ocr_spark.operators.textops import bigram_lm_scores
+    d = _t(spark, sf, "documents")
+    return bigram_lm_scores(d, min_count=2).orderBy("doc_id")
+
+
+def _lm_oracle_sql(min_count: int | None = None) -> str:
+    """DuckDB twin of bigram_lm_scores: identical add-one LM, integer-
+    scaled terms, ntile split. ``min_count`` replays the pruned-
+    broadcast flavor (bigrams with c12 < min_count excluded from score
+    AND n_bigrams; docs with no surviving bigram drop out before the
+    ntile — exactly the operator's OOV contract)."""
+    prune = f" WHERE big.c12 >= {min_count}" if min_count else ""
+    return f"""
     WITH base AS (
       SELECT doc_id,
              list_transform(list_filter(string_split_regex(text, '\\s+'),
@@ -2871,7 +2950,7 @@ _LM_ORACLE_SQL = """
              CAST(ROUND(ln((big.c12 + 1)
                   / CAST(uni.c1 + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS t
       FROM bi JOIN big ON bi.w1 = big.w1 AND bi.w2 = big.w2
-              JOIN uni ON bi.w1 = uni.w, v),
+              JOIN uni ON bi.w1 = uni.w, v{prune}),
     scored AS (
       SELECT doc_id, CAST(SUM(t) AS BIGINT) AS logprob_scaled,
              COUNT(*) AS n_bigrams
@@ -2885,7 +2964,10 @@ _LM_ORACLE_SQL = """
                 ORDER BY logprob_scaled / CAST(n_bigrams AS DOUBLE) DESC,
                          doc_id) AS INT) AS ppl_bucket
     FROM scored ORDER BY doc_id
-"""
+    """
+
+
+_LM_ORACLE_SQL = _lm_oracle_sql()
 
 
 def q_head_meta(spark, sf):  # html_meta: <head> metadata + robots meta
@@ -3029,6 +3111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "compression_ratio": q_compression_ratio,
         # (2) new r8 gates (appended as they land this round)
+        "lm_buckets_pruned": q_lm_buckets_pruned,
+        "media_webp_lossy": q_media_webp_lossy,
         # (3) code-touched this round (r8): robots-meta merge touched the
         # crawl gate path; the shared href-resolution pass touched
         # crawl_cycle + anchor_text; the scheme-case fix touched
@@ -3856,6 +3940,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text": _ANCHOR_ORACLE_SQL,
         "script_profile": _SCRIPT_ORACLE_SQL,
         "lm_buckets": _LM_ORACLE_SQL,
+        "lm_buckets_pruned": _lm_oracle_sql(min_count=2),
         "head_meta": _HEAD_META_ORACLE_SQL,
         "frontier_priority": _FRONTIER_PRIORITY_ORACLE_SQL,
         "media_frames_webp": """
@@ -4562,6 +4647,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY doc_id
         """,
+        "media_webp_lossy": _WEBP_LOSSY_ORACLE_SQL,
         "media_mp4_meta": """
             -- closed-form mvhd/tkhd metadata from doc_id; every 9th
             -- doc is truncated -> parse_ok=false with NULL fields

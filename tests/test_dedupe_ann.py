@@ -1244,6 +1244,224 @@ def test_webp_normal_code_and_lz77_paths():
     assert (out == expect).all()
 
 
+def _vp8l_two_lit_stream(w, h, n_lits, copy_len, dval):
+    """Hand-built VP8L stream: green NORMAL code over two literal
+    symbols (greens 40/41, emitted alternating) + one length symbol;
+    ``n_lits`` alternating literals then ONE copy of ``copy_len`` at
+    LZ77 distance value ``dval`` (<=120 exercises the 2-D
+    short-distance map). Returns the container bytes."""
+    from wine_label_ocr_spark.operators.multimodal import _VP8LBitWriter
+    lsym, leb, lextra = _lz77_prefix_bits(copy_len)
+    dsym, deb, dextra = _lz77_prefix_bits(dval + 0)  # dval IS the value
+    green_len = 256 + lsym
+    bw = _VP8LBitWriter()
+    bw.put(0x2F, 8)
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(0, 1)
+    bw.put(0, 3)
+    bw.put(0, 1)  # no transforms
+    bw.put(0, 1)  # no cache
+    bw.put(0, 1)  # no meta
+    # green NORMAL code: lengths {40:1, 41:2, green_len:2} -> canonical
+    # 40 -> 0, 41 -> 10, green_len -> 11 (DEFLATE assignment)
+    bw.put(0, 1)   # not simple
+    bw.put(1, 4)   # num_clc = 5 -> order 17,18,0,1,2
+    for v in (0, 1, 0, 2, 2):   # clc lens: 18->1, 1->2, 2->2
+        bw.put(v, 3)
+    bw.put(1, 1)   # explicit max symbol (= entries read)
+    bw.put(1, 3)   # length_nbits = 4
+    bw.put(4, 4)   # max_symbol = 2 + 4 = 6 entries
+    # CLC canonical: 18 -> 0, 1 -> 10, 2 -> 11; entries:
+    bw.put(0, 1); bw.put(40 - 11, 7)       # 18: 40 zeros (syms 0..39)
+    bw.put(1, 1); bw.put(0, 1)             # 1: lengths[40] = 1
+    bw.put(1, 1); bw.put(1, 1)             # 2: lengths[41] = 2
+    run = green_len - 42                   # zeros 42..green_len-1
+    bw.put(0, 1); bw.put(138 - 11, 7)      # 18: 138 zeros
+    bw.put(0, 1); bw.put(run - 138 - 11, 7)  # 18: the rest
+    bw.put(1, 1); bw.put(1, 1)             # 2: lengths[green_len] = 2
+    for v in (5, 9, 255):  # red, blue, alpha: simple 1-symbol codes
+        bw.put(1, 1); bw.put(0, 1); bw.put(1, 1); bw.put(v, 8)
+    bw.put(1, 1); bw.put(0, 1); bw.put(1, 1); bw.put(dsym, 8)  # dist
+    for i in range(n_lits):                # alternating literals
+        if i % 2 == 0:
+            bw.put(0, 1)                   # green 40
+        else:
+            bw.put(1, 1); bw.put(0, 1)     # green 41
+    bw.put(1, 1); bw.put(1, 1)             # green_len symbol
+    if leb:
+        bw.put(lextra, leb)
+    if deb:
+        bw.put(dextra, deb)
+    return _vp8l_container(bw.bytes())
+
+
+def test_webp_2d_short_distance_codes():
+    """RFC 9649 §4.2.1.3 short-distance codes (the former documented
+    seam): dval <= 120 maps to a 2-D neighbor offset. Exercised at a
+    near entry (dval=4 -> (-1,1) -> d = w-1) and the DEEPEST entry
+    (dval=120 -> (7,5) -> d = 5w+7); expectations replayed by an
+    independent linear-copy simulation with the hand-derived d."""
+    import numpy as np
+
+    from wine_label_ocr_spark.operators.multimodal import decode_webp
+
+    def expect(w, h, n_lits, copy_len, d):
+        greens = [40 if i % 2 == 0 else 41 for i in range(n_lits)]
+        for _ in range(copy_len):
+            greens.append(greens[len(greens) - d])
+        a = np.zeros((h, w, 3), np.uint8)
+        a[..., 0] = 5
+        a[..., 2] = 9
+        a[..., 1] = np.array(greens, np.uint8).reshape(h, w)
+        return a
+
+    # dval=4 -> table[3] = (-1, 1) -> d = 1*6 - 1 = 5
+    out = decode_webp(_vp8l_two_lit_stream(6, 2, 6, 6, 4))
+    assert out is not None and (out == expect(6, 2, 6, 6, 5)).all()
+
+    # dval=120 -> table[119] = (7, 5) -> d = 5*10 + 7 = 57
+    out2 = decode_webp(_vp8l_two_lit_stream(10, 7, 63, 7, 120))
+    assert out2 is not None and (out2 == expect(10, 7, 63, 7, 57)).all()
+
+    # a wrong-direction mapping (e.g. +1 instead of -1 for dval=4)
+    # would shift the copied row: pin one distinguishing pixel
+    assert out[1, 0, 1] == 41 and out[1, 1, 1] == 40
+
+
+def test_vp8_bool_coder_roundtrip_fuzz():
+    """The RFC 6386 boolean coder pair: every (prob, bit) sequence the
+    encoder writes, the decoder reads back bit-exactly — including
+    carry-propagation cases (runs of 1s at high probs). No independent
+    real-stream conformance vector exists offline; the roundtrip plus
+    the structure-exact header parse is the documented verification."""
+    import random
+
+    from wine_label_ocr_spark.operators.multimodal import (
+        _VP8BoolReader, _VP8BoolWriter)
+    rng = random.Random(7)
+    for _ in range(200):
+        seq = [(rng.randint(1, 254), rng.randint(0, 1))
+               for _ in range(rng.randint(1, 500))]
+        w = _VP8BoolWriter()
+        for p, v in seq:
+            w.write_bool(p, v)
+        r = _VP8BoolReader(w.bytes())
+        assert [r.read_bool(p) for p, _ in seq] == [v for _, v in seq]
+    # carry-stress: long run of 1s at prob 1 (bottom accumulates near
+    # the top of the interval, maximizing carry chains)
+    w = _VP8BoolWriter()
+    for _ in range(4000):
+        w.write_bool(1, 1)
+    r = _VP8BoolReader(w.bytes())
+    assert all(r.read_bool(1) == 1 for _ in range(4000))
+
+
+def test_vp8_keyframe_header_parse():
+    from wine_label_ocr_spark.operators.multimodal import (
+        _VP8BoolWriter, encode_vp8_keyframe_header,
+        parse_vp8_keyframe_header)
+    wp = encode_vp8_keyframe_header(640, 360, y_ac_qi=44, filter_level=9,
+                                    sharpness=3, n_dct_partitions_log2=2,
+                                    y_dc_delta=-3, uv_ac_delta=5)
+    m = parse_vp8_keyframe_header(wp)
+    assert m is not None and m["keyframe"] and m["show_frame"]
+    assert (m["width"], m["height"]) == (640, 360)
+    assert m["y_ac_qi"] == 44 and m["filter_level"] == 9
+    assert m["sharpness_level"] == 3 and m["n_dct_partitions"] == 4
+    assert m["y_dc_delta"] == -3 and m["uv_ac_delta"] == 5
+    assert m["y2_dc_delta"] == 0 and m["uv_dc_delta"] == 0
+    # bare stream (no RIFF container) parses too
+    bare = encode_vp8_keyframe_header(16, 16, y_ac_qi=100,
+                                      container=False)
+    assert parse_vp8_keyframe_header(bare)["y_ac_qi"] == 100
+    # segmentation block consumed field-exactly: hand-build a header
+    # with segmentation enabled (map + data updates) and verify the
+    # fields AFTER it still land
+    bw = _VP8BoolWriter()
+    bw.write_bool(128, 0)  # color_space
+    bw.write_bool(128, 0)  # clamping
+    bw.write_bool(128, 1)  # segmentation_enabled
+    bw.write_bool(128, 1)  # update_map
+    bw.write_bool(128, 1)  # update_data
+    bw.write_bool(128, 0)  # feature_mode
+    for q in (10, -20, 0, 5):  # per-segment quantizer
+        if q:
+            bw.write_bool(128, 1)
+            bw.put_signed(q, 7)
+        else:
+            bw.write_bool(128, 0)
+    for _ in range(4):         # per-segment loop filter: absent
+        bw.write_bool(128, 0)
+    for pr in (200, None, 30):  # segment tree probs
+        if pr is None:
+            bw.write_bool(128, 0)
+        else:
+            bw.write_bool(128, 1)
+            bw.put_literal(pr, 8)
+    bw.write_bool(128, 1)      # filter_type
+    bw.put_literal(33, 6)
+    bw.put_literal(1, 3)
+    bw.write_bool(128, 1)      # lf_delta_enabled
+    bw.write_bool(128, 1)      # lf_delta_update
+    for d in (1, 0, -2, 0, 0, 3, 0, 0):  # 4 ref + 4 mode deltas
+        if d:
+            bw.write_bool(128, 1)
+            bw.put_signed(d, 6)
+        else:
+            bw.write_bool(128, 0)
+    bw.put_literal(1, 2)       # 2 partitions
+    bw.put_literal(77, 7)      # y_ac_qi
+    for _ in range(5):
+        bw.write_bool(128, 0)  # no quant deltas
+    part = bw.bytes()
+    tag = (1 << 4) | (len(part) << 5)
+    stream = (tag.to_bytes(3, "little") + b"\x9d\x01\x2a"
+              + (320).to_bytes(2, "little") + (240).to_bytes(2, "little")
+              + part)
+    m2 = parse_vp8_keyframe_header(stream)
+    assert m2["segmentation_enabled"] and m2["y_ac_qi"] == 77
+    assert m2["filter_type"] == 1 and m2["filter_level"] == 33
+    assert m2["n_dct_partitions"] == 2
+    # tolerant paths
+    assert parse_vp8_keyframe_header(b"") is None
+    assert parse_vp8_keyframe_header(b"\x01" + stream[1:]) is None  # interframe
+    assert parse_vp8_keyframe_header(stream[:3] + b"xxx" + stream[6:]) is None
+    assert parse_vp8_keyframe_header(stream[:8]) is None
+
+
+def test_webp_lossy_meta_operator(spark):
+    from wine_label_ocr_spark.operators.multimodal import (
+        encode_vp8_keyframe_header, webp_lossy_meta)
+    rows = [("a", bytearray(encode_vp8_keyframe_header(64, 48, 30))),
+            ("b", bytearray(encode_vp8_keyframe_header(320, 240, 120,
+                                                       filter_level=63))),
+            ("junk", bytearray(b"not webp at all"))]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    out = {r["url"]: r for r in webp_lossy_meta(df).collect()}
+    assert out["a"]["parse_ok"] and out["a"]["y_ac_qi"] == 30
+    assert out["a"]["width"] == 64 and out["a"]["height"] == 48
+    assert out["b"]["y_ac_qi"] == 120 and out["b"]["filter_level"] == 63
+    assert not out["junk"]["parse_ok"] and out["junk"]["y_ac_qi"] is None
+    plan = webp_lossy_meta(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_vp8l_dist_map_matches_generation_rule():
+    """The 120-entry neighbor table must equal its published generation
+    rule: the 120 closest (dx, dy) with |dx| <= 8, 0 <= dy <= 8
+    (dy > 0 or dx > 0), ordered by (dx²+dy² asc, dy desc, dx desc) —
+    and the 120 cut must land on a clean distance boundary (no tie
+    split), which pins the window choice too."""
+    from wine_label_ocr_spark.operators.multimodal import _VP8L_DIST_MAP
+    cands = [(dx, dy) for dy in range(0, 9) for dx in range(-8, 9)
+             if (dy > 0 or dx > 0)]
+    cands.sort(key=lambda p: (p[0] ** 2 + p[1] ** 2, -p[1], -p[0]))
+    assert list(_VP8L_DIST_MAP) == cands[:120]
+    d2 = lambda p: p[0] ** 2 + p[1] ** 2  # noqa: E731
+    assert d2(cands[119]) < d2(cands[120])
+
+
 def test_webp_cache_subgreen_and_palette_paths():
     """Hand-built streams: (a) color cache hit + subtract-green
     inverse; (b) color-indexing palette with 8-pixels-per-byte

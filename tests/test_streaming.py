@@ -264,6 +264,51 @@ def test_sessionize_stream_equals_batch(spark, tmp_path):
         assert (g["event_id"], g["session_seq"]) == (w["event_id"], w["session_seq"])
 
 
+def test_sliding_window_stream_equals_batch(spark, tmp_path):
+    """ST2 streaming-native form (r7 VERDICT #9): the watermarked
+    SLIDING window agg must reproduce the batch twin exactly for every
+    window the watermark finalized — events split across micro-batches,
+    each event contributing to window/slide overlapping windows. A
+    far-future sentinel pushes the watermark past all real windows so
+    append mode emits them all; sentinel windows are excluded from the
+    comparison (they can never finalize)."""
+    t0 = datetime(2024, 1, 1)
+    schema = "user_id bigint, event_id bigint, ts timestamp, value double"
+    real = [(u, i, t0 + timedelta(seconds=s), float(v))
+            for i, (u, s, v) in enumerate([
+                (1, 0, 10.0), (1, 2, 14.0), (1, 3, 2.0), (1, 7, 30.0),
+                (1, 11, 6.0), (2, 1, 5.0), (2, 6, 25.0), (2, 12, 1.0)])]
+    sentinel = [(9, 999, t0 + timedelta(seconds=500), 0.0)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(real[:4], schema).coalesce(1) \
+        .write.parquet(src + "/f=1")
+    spark.createDataFrame(real[4:], schema).coalesce(1) \
+        .write.parquet(src + "/f=2")
+    spark.createDataFrame(sentinel, schema).coalesce(1) \
+        .write.parquet(src + "/f=3")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/f=*"))
+    q = (ST.sliding_spread_stream(stream, watermark="10 seconds",
+                                  window="5 seconds", slide="1 second")
+         .writeStream.format("memory").queryName("slide")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["window"]["start"], r["user_id"], r["n"], r["spread"])
+                 for r in spark.sql("select * from slide").collect()
+                 if r["user_id"] != 9)
+    batch = ST.sliding_spread_batch(
+        spark.createDataFrame(real, schema),
+        window="5 seconds", slide="1 second")
+    want = sorted((r["window"]["start"], r["user_id"], r["n"], r["spread"])
+                  for r in batch.collect())
+    assert got == want and len(got) > 0
+    # sliding sanity: every event lands in window/slide = 5 windows
+    assert sum(r[2] for r in got) == 5 * len(real)
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """ST2/ST8: an event arriving after its window has been finalized
     (watermark passed the window end in an earlier batch) is dropped and

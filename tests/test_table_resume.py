@@ -276,6 +276,18 @@ def test_seen_store_maybe_compact(spark, tmp_path):
     # fp stats survive compaction (sticky stats_col)
     assert s.table._current_snapshot()["stats_col"] == "fp"
     assert s.table._current_snapshot()["stats"]
+    # pruning floor: a small store must NOT collapse to one
+    # size-targeted file (that erases range-prune granularity) — the
+    # min_output_files floor keeps >= 8 disjoint-range files, so a
+    # point probe still opens ~1 file
+    files = s.table.current_files()
+    assert len(files) >= 8
+    stats = s.table._current_snapshot()["stats"]
+    some_fp = s.read(spark).head()["fp"]
+    kept = [f for f in files
+            if f not in stats
+            or (stats[f][0] <= some_fp and stats[f][1] >= some_fp)]
+    assert len(kept) <= 2
 
 
 def test_compact_without_stats_col(spark, tmp_path):

@@ -257,6 +257,38 @@ def test_host_of(spark):
                    "Upper.example"]
 
 
+def test_bigram_lm_pruned_broadcast_plan_and_equivalence(spark):
+    """min_count/top_n path for the CCNet bigram LM (r7 VERDICT #8):
+    (a) the scoring join is a BroadcastHashJoin and the bigram instance
+    explosion never crosses a (w1,w2)-keyed Exchange beyond the one LM
+    count build; (b) at min_count=1 the result is EXACTLY the default
+    (every observed bigram has c12 >= 1); (c) top_n prunes OOV bigrams
+    from both score and n_bigrams."""
+    from wine_label_ocr_spark.operators.textops import bigram_lm_scores
+    rows = [(i, ("the cat sat on the mat " * 3) if i % 2 == 0
+             else "purple zebra quantum flux") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    pruned = bigram_lm_scores(df, min_count=1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # exactly one (w1, w2)-keyed exchange: the LM count build — the
+    # instance-side scoring join must add none
+    assert plan.count("hashpartitioning(w1") == 1
+
+    exact = sorted(map(tuple, bigram_lm_scores(df).collect()))
+    got = sorted(map(tuple, pruned.collect()))
+    assert got == exact
+
+    # top_n=2 keeps only the 2 most frequent bigrams; odd docs (all
+    # singleton bigrams, tie-broken out) drop entirely
+    top = {r["doc_id"]: r for r in
+           bigram_lm_scores(df, top_n=2).collect()}
+    assert set(top) == {0, 2, 4, 6}
+    assert all(r["n_bigrams"] < e for r, e in
+               zip(top.values(), [18] * 4))
+
+
 def test_unigram_logprob_pruned_broadcast_plan_and_values(spark):
     """min_count/top_n path: (a) the scoring join is a BroadcastHashJoin
     and the token explosion never crosses a token-keyed Exchange (the

@@ -394,10 +394,95 @@ def run_curatefull(n_pages: int) -> dict:
         spark.stop()
 
 
+def run_anchorshare(n_pages: int) -> dict:
+    """Prices the r8 shared href-resolution pass (r7 VERDICT #4):
+    BENCH.md profiled RFC 3986 resolution as 97% of the standalone
+    anchor-index wall (872 docs/s at 400k pages vs ~120k docs/s for the
+    extraction itself), and the crawl cycle pays the same resolve over
+    the same hrefs. Three measurements on one fixture:
+
+    * cycle alone — ``crawl_cycle`` (the baseline wall);
+    * duplicated  — cycle + standalone ``anchor_text_index`` (the old
+      two-resolve path a user combining both operators paid);
+    * shared      — ``crawl_cycle(anchor_index_k=3)``: one lex + one
+      resolve feeding both consumers.
+
+    Done-bar: shared ≤ ~1.2× cycle-alone (vs ~2× for duplicated)."""
+    from wine_label_ocr_spark.fixtures import COLD_HOSTS, HOT_HOSTS, pages_spark
+    from wine_label_ocr_spark.operators.graph import anchor_text_index
+    from wine_label_ocr_spark.plans.crawl import crawl_cycle
+    from wine_label_ocr_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+    spark = get_spark(app="soak_anchorshare", master="local[32]",
+                      shuffle_partitions=128)
+    spark.sparkContext.setLogLevel("ERROR")
+    base = tempfile.mkdtemp(prefix="wlos_anchorshare_")
+    try:
+        pq = os.path.join(base, "pages")
+        t0 = time.time()
+        pages_spark(spark, n_pages, partitions=128).write.parquet(pq)
+        t_ingest = time.time() - t0
+        pages = spark.read.parquet(pq)
+        robots = spark.createDataFrame(
+            [(h, "User-agent: *\nDisallow: /x\n")
+             for h in HOT_HOSTS + COLD_HOSTS],
+            "host string, robots_txt string")
+
+        # untimed warm-up (codegen/JIT + page cache), then INTERLEAVED
+        # median-of-3: single-shot a→b→c ordering confounded the
+        # comparison with monotone host drift (three single-shot runs
+        # disagreed by 2x on this box) — a-b-c × 3 with medians makes
+        # each variant sample the same drift
+        import statistics
+        crawl_cycle(pages, robots).count()
+        t_alone_r, t_dup_r, t_shared_r = [], [], []
+        counts = {}
+        for _ in range(3):
+            t1 = time.time()
+            counts["alone"] = crawl_cycle(pages, robots).count()
+            t_alone_r.append(time.time() - t1)
+
+            t2 = time.time()
+            counts["dup_sched"] = crawl_cycle(pages, robots).count()
+            counts["dup_idx"] = anchor_text_index(pages, k=3).count()
+            t_dup_r.append(time.time() - t2)
+
+            t3 = time.time()
+            sched, idx = crawl_cycle(pages, robots, anchor_index_k=3)
+            counts["shared_sched"] = sched.count()
+            counts["shared_idx"] = idx.count()
+            t_shared_r.append(time.time() - t3)
+
+        assert counts["shared_sched"] == counts["alone"] \
+            == counts["dup_sched"]
+        t_alone = statistics.median(t_alone_r)
+        t_dup = statistics.median(t_dup_r)
+        t_shared = statistics.median(t_shared_r)
+        band = lambda r: [round(v, 1) for v in sorted(r)]  # noqa: E731
+        return {"soak": "anchorshare", "n_pages": n_pages,
+                "ingest_sec": round(t_ingest, 1),
+                "cycle_alone_sec": round(t_alone, 1),
+                "cycle_plus_standalone_index_sec": round(t_dup, 1),
+                "cycle_shared_index_sec": round(t_shared, 1),
+                "shared_over_alone_x": round(t_shared / t_alone, 2),
+                "dup_over_alone_x": round(t_dup / t_alone, 2),
+                "band_alone": band(t_alone_r),
+                "band_dup": band(t_dup_r),
+                "band_shared": band(t_shared_r),
+                "n_scheduled": counts["alone"],
+                "n_index_rows_standalone": counts["dup_idx"],
+                "n_index_rows_shared": counts["shared_idx"]}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     which = sys.argv[1]
     n = int(sys.argv[2])
     out = {"capstone": run_capstone, "ivfadc": run_ivfadc,
            "crawlloop": run_crawlloop,
-           "curatefull": run_curatefull}[which](n)
+           "curatefull": run_curatefull,
+           "anchorshare": run_anchorshare}[which](n)
     print("SOAKRESULT " + json.dumps(out))

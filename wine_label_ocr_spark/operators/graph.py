@@ -204,6 +204,65 @@ ANCHOR_PATTERN = (r"<(?i:a)\s(?:[^>]*\s)?(?i:href)\s*=\s*"
                   r"[^>]*>([^<]*)</(?i:a)\s*>")
 
 
+# one combined alternation so a page is lexed ONCE for both consumers:
+# at an `<a ...>simple text</a>` span the ANCHOR alternative wins
+# (ordered alternation) and captures href + text; an <area>, a nested-
+# markup anchor, or any other <a href> the anchor shape can't express
+# falls through to the HREF alternative at the same scan position —
+# every href attr HREF_PATTERN finds is still found exactly once.
+# Groups: 1 = anchor href, 2 = anchor text, 3 = bare href.
+PAGE_LINKS_PATTERN = ANCHOR_PATTERN + "|" + HREF_PATTERN
+
+
+def page_links(df: DataFrame, id_col: str = "url",
+               html_col: str = "html", resolve: bool = True) -> DataFrame:
+    """ONE extraction + ONE RFC 3986 resolve pass feeding BOTH frontier
+    expansion and the anchor-text index: ``(src, href, anchor, resolved)``
+    with ``anchor`` NULL for links that are not simple-text ``<a>``
+    anchors (area hrefs, nested-markup anchors).
+
+    This is the shared resolved-outlinks DataFrame the r7 review asked
+    for: when a crawl cycle and an anchor index run together, the RFC
+    3986 resolution (97% of the anchor-index wall at 400k pages —
+    BENCH.md) previously ran twice over the same hrefs. Row parity with
+    ``extract_outlinks(resolve=True)`` is structural (same href char
+    classes, one row per href attr) and pytest-pinned; anchor rows are
+    identical to ``anchor_pairs`` (same ANCHOR_PATTERN semantics,
+    whitespace-normalized text). Unlike the standalone
+    ``anchor_text_index(resolve=True)``, resolution here honors the
+    page's ``<base href>`` (the ``extract_outlinks`` rule)."""
+    h = F.col(html_col)
+    # ONE scan of the page bytes (group 0 = whole match), then the
+    # groups are re-extracted per MATCH — matches are tag-sized, so the
+    # per-match regex is O(tag) not O(page); a 3-group × 3-scan variant
+    # measured 1.6x the whole-page lexing cost of this shape
+    matches = F.regexp_extract_all(h, F.lit(PAGE_LINKS_PATTERN), 0)
+    base_cols = ([F.regexp_extract(h, BASE_PATTERN, 1).alias("_basetag")]
+                 if resolve else [])
+    out = df.select(
+        F.col(id_col).alias("src"), *base_cols,
+        F.explode(matches).alias("m"),
+    ).select(
+        "src", *(["_basetag"] if resolve else []),
+        F.regexp_extract(F.col("m"), PAGE_LINKS_PATTERN, 1).alias("_ah"),
+        F.regexp_extract(F.col("m"), PAGE_LINKS_PATTERN, 2).alias("_at"),
+        F.regexp_extract(F.col("m"), PAGE_LINKS_PATTERN, 3).alias("_bh"),
+    ).select(
+        "src", *(["_basetag"] if resolve else []),
+        _unquote(F.when(F.col("_ah") != "", F.col("_ah"))
+                 .otherwise(F.col("_bh"))).alias("href"),
+        F.when(F.col("_ah") != "",
+               F.trim(F.regexp_replace(F.col("_at"), r"\s+", " ")))
+         .alias("anchor"))
+    if not resolve:
+        return out
+    from .textops import resolve_href
+    eff_base = F.when(F.col("_basetag") == "", F.col("src")) \
+                .otherwise(resolve_href(F.col("src"), F.col("_basetag")))
+    return (out.withColumn("resolved", resolve_href(eff_base, F.col("href")))
+            .drop("_basetag"))
+
+
 def anchor_pairs(df: DataFrame, id_col: str = "url",
                  html_col: str = "html") -> DataFrame:
     """One row per (page, href, anchor_text) — the raw material of an
@@ -226,9 +285,10 @@ def anchor_pairs(df: DataFrame, id_col: str = "url",
                     F.col("z.anchor").alias("anchor")))
 
 
-def anchor_text_index(df: DataFrame, id_col: str = "url",
+def anchor_text_index(df: DataFrame | None = None, id_col: str = "url",
                       html_col: str = "html", k: int = 3,
-                      resolve: bool = True) -> DataFrame:
+                      resolve: bool = True,
+                      links: DataFrame | None = None) -> DataFrame:
     """Top-k anchor texts per link TARGET — the classic web-graph
     relevance signal (how the rest of the web describes a page), used
     for retrieval training data and page-title repair.
@@ -236,19 +296,31 @@ def anchor_text_index(df: DataFrame, id_col: str = "url",
     Output: (dst, rank, anchor, n_refs) with rank 1..k per dst, ordered
     by (n_refs desc, anchor asc) — fully deterministic.
 
+    ``links``: a pre-extracted ``page_links`` DataFrame (``resolved``,
+    ``anchor`` columns) to build the index from WITHOUT re-lexing or
+    re-resolving the pages — the shared-pass shape ``crawl_cycle``'s
+    ``anchor_index=True`` uses (resolution was 97% of this operator's
+    standalone wall at 400k pages). NULL anchors (non-anchor hrefs in
+    the shared extraction) drop with the empties.
+
     Scale shape: the count aggregation shuffles (dst, anchor) string
     pairs only (never pages) with map-side partial combine; the top-k
     window partitions on dst — key cardinality ~unique targets, no
     single-reducer stage. Empty anchors ("" after normalization — image
     links) are dropped: they carry no signal and would otherwise
     dominate every popular target's top-k."""
-    from .textops import resolve_href
-    pairs = anchor_pairs(df, id_col, html_col)
-    dst = (resolve_href(F.col("src"), F.col("href"))
-           if resolve else F.col("href"))
-    keyed = (pairs.select(dst.alias("dst"), "anchor")
-             .filter(F.col("dst").rlike(r"^(?i:https?)://")
-                     & (F.col("anchor") != "")))
+    if links is not None:
+        keyed = links.select(
+            F.col("resolved" if resolve else "href").alias("dst"), "anchor")
+    else:
+        from .textops import resolve_href
+        pairs = anchor_pairs(df, id_col, html_col)
+        dst = (resolve_href(F.col("src"), F.col("href"))
+               if resolve else F.col("href"))
+        keyed = pairs.select(dst.alias("dst"), "anchor")
+    keyed = keyed.filter(F.col("dst").rlike(r"^(?i:https?)://")
+                         & F.col("anchor").isNotNull()
+                         & (F.col("anchor") != ""))
     counts = keyed.groupBy("dst", "anchor").agg(
         F.count(F.lit(1)).alias("n_refs"))
     from pyspark.sql import Window

@@ -2281,13 +2281,41 @@ def _lz77_value(prefix_sym: int, br: _VP8LBits) -> int:
     return offset + br.read(extra) + 1
 
 
+# VP8L 2-D short-distance codes (RFC 9649 §4.2.1.3): LZ77 distance
+# values 1..120 address a NEARBY PIXEL as an (dx, dy) offset instead of
+# a linear distance — distance = dy·xsize + dx (floored at 1). The
+# table is the 120 closest above/left neighbors in the |dx| ≤ 8,
+# 0 ≤ dy ≤ 8 window ordered by (dx²+dy² asc, dy desc, dx desc) — the
+# generation rule is pinned by pytest (regenerates this literal) and
+# cross-checked against the packed-byte form of the same table in
+# public libwebp ((y<<4)|(8-x) bytes); the 120 cut falls on a clean
+# distance boundary (d²=74 kept, d²=80 out), so no tie is split.
+_VP8L_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (0, 8), (8, 0), (1, 8), (-1, 8), (4, 7), (-4, 7), (7, 4), (-7, 4),
+    (8, 1), (-8, 1), (2, 8), (-2, 8), (8, 2), (-8, 2), (6, 6), (-6, 6),
+    (3, 8), (-3, 8), (8, 3), (-8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5),
+)
+
+
 def _vp8l_entropy_image(br: _VP8LBits, w: int, h: int,
                         top_level: bool = False):
     """Decode one VP8L entropy-coded ARGB image → list of (a,r,g,b)
-    tuples, or None on an unsupported feature (short-distance 2-D
-    codes — the remaining documented seam; the 120-entry neighbor
-    table is not locally verifiable, and a guessed table would corrupt
-    silently). META PREFIX CODES are supported on the top-level image:
+    tuples, or None on hostile input. Short-distance 2-D codes
+    (distances 1..120 → ``_VP8L_DIST_MAP`` neighbor offsets, RFC 9649
+    §4.2.1.3) are decoded — the former documented seam is closed.
+    META PREFIX CODES are supported on the top-level image:
     a sub-resolution entropy image (same 3-bit+2 tile convention as
     the transforms) selects one of N prefix-code groups per tile,
     group index = (red << 8) | green of the tile pixel; the color
@@ -2353,8 +2381,12 @@ def _vp8l_entropy_image(br: _VP8LBits, w: int, h: int,
             length = _lz77_value(s - 256, br)
             dval = _lz77_value(dist.decode(br), br)
             if dval <= 120:
-                return None  # 2D neighbor distance map: documented seam
-            d = dval - 120
+                # 2-D short-distance code: neighbor offset in THIS
+                # image's coordinate space, floored at 1 (RFC 9649)
+                dx, dy = _VP8L_DIST_MAP[dval - 1]
+                d = max(dy * w + dx, 1)
+            else:
+                d = dval - 120
             if d > len(out):
                 return None
             for _ in range(length):
@@ -2497,6 +2529,296 @@ def _vp8l_inverse_crosscolor(px, w, h, size_bits, tiles, tw):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Lossy VP8 (RFC 6386) — bounded r8 scope: the boolean arithmetic coder
+# (§7) and the keyframe first-partition header through the quantizer
+# indices (§9.2-9.6). The full raster decode is a recorded KILL for this
+# round (BENCH.md): it requires ~1000+ spec constants (coefficient and
+# mode probability tables, dequant lookups) that cannot be independently
+# verified in this offline environment — a mis-recalled constant would
+# corrupt rasters silently. The header slice IS locally verifiable
+# (encoder/decoder roundtrip pins the bool coder; the uncompressed dims
+# cross-check parse_image_header) and carries the crawl signal that
+# matters for curation: y_ac_qi is the encoder's base quantizer — a
+# direct image-quality proxy for filtering/sampling lossy thumbnails.
+
+class _VP8BoolReader:
+    """RFC 6386 §7.3 boolean decoder. Reads past-the-end as zero bytes
+    (the spec's decoders tolerate this; callers bound via partition
+    size). Bit-exactness is pinned by roundtrip against
+    ``_VP8BoolWriter`` — no independent conformance vector is available
+    offline (documented caveat)."""
+
+    __slots__ = ("buf", "pos", "range", "value", "bit_count")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 2
+        self.range = 255
+        b0 = buf[0] if len(buf) > 0 else 0
+        b1 = buf[1] if len(buf) > 1 else 0
+        self.value = (b0 << 8) | b1
+        self.bit_count = 0
+
+    def read_bool(self, prob: int) -> int:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        big = split << 8
+        if self.value >= big:
+            ret = 1
+            self.range -= split
+            self.value -= big
+        else:
+            ret = 0
+            self.range = split
+        while self.range < 128:
+            self.value <<= 1
+            self.range <<= 1
+            self.bit_count += 1
+            if self.bit_count == 8:
+                self.bit_count = 0
+                nxt = self.buf[self.pos] if self.pos < len(self.buf) else 0
+                self.pos += 1
+                self.value |= nxt
+        return ret
+
+    def literal(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bool(128)
+        return v
+
+    def signed_literal(self, n: int) -> int:
+        v = self.literal(n)
+        return -v if self.read_bool(128) else v
+
+
+class _VP8BoolWriter:
+    """Inverse of ``_VP8BoolReader`` (§7.2 shape): carry-propagating
+    arithmetic encoder producing streams the reader replays exactly
+    (fuzz roundtrip pytest)."""
+
+    __slots__ = ("out", "range", "bottom", "bit_count")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.range = 255
+        self.bottom = 0
+        self.bit_count = 24
+
+    def _carry(self):
+        i = len(self.out) - 1
+        while i >= 0:
+            self.out[i] = (self.out[i] + 1) & 0xFF
+            if self.out[i]:
+                return
+            i -= 1
+
+    def write_bool(self, prob: int, value: int):
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if value:
+            self.bottom += split
+            if self.bottom >> 32:  # carry out of the 32-bit window
+                self._carry()
+                self.bottom &= 0xFFFFFFFF
+            self.range -= split
+        else:
+            self.range = split
+        while self.range < 128:
+            if self.bottom & (1 << 31):
+                self._carry()
+            self.bottom = (self.bottom << 1) & 0xFFFFFFFF
+            self.range <<= 1
+            self.bit_count -= 1
+            if self.bit_count == 0:
+                self.out.append((self.bottom >> 24) & 0xFF)
+                self.bottom &= 0xFFFFFF
+                self.bit_count = 8
+
+    def put_literal(self, value: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.write_bool(128, (value >> i) & 1)
+
+    def put_signed(self, value: int, n: int):
+        self.put_literal(abs(value), n)
+        self.write_bool(128, 1 if value < 0 else 0)
+
+    def bytes(self) -> bytes:
+        # flush: complete the in-flight byte (bit_count more shifts),
+        # propagating any carry into already-emitted bytes, then emit
+        # the remaining 32 bits of `bottom` — the decoder's value then
+        # lands inside [bottom, bottom + range) exactly
+        out = bytearray(self.out)
+        v = self.bottom << self.bit_count
+        if v >> 32:  # carry out of the 32-bit window
+            i = len(out) - 1
+            while i >= 0:
+                out[i] = (out[i] + 1) & 0xFF
+                if out[i]:
+                    break
+                i -= 1
+        v &= 0xFFFFFFFF
+        for _ in range(4):
+            out.append((v >> 24) & 0xFF)
+            v = (v << 8) & 0xFFFFFFFF
+        return bytes(out)
+
+
+def encode_vp8_keyframe_header(width: int, height: int, y_ac_qi: int,
+                               filter_level: int = 12,
+                               sharpness: int = 2,
+                               n_dct_partitions_log2: int = 0,
+                               y_dc_delta: int = 0,
+                               uv_ac_delta: int = 0,
+                               show_frame: bool = True,
+                               container: bool = True) -> bytes:
+    """FIXTURE generator (not a real encoder): a lossy-VP8 keyframe
+    whose uncompressed tag + bool-coded header carry the given values,
+    with NO macroblock data behind them — exactly the prefix
+    ``parse_vp8_keyframe_header`` consumes, so planted headers give the
+    parse a closed-form gate (the solid-color-PNG pattern)."""
+    bw = _VP8BoolWriter()
+    bw.write_bool(128, 0)  # color_space
+    bw.write_bool(128, 0)  # clamping_type
+    bw.write_bool(128, 0)  # segmentation_enabled
+    bw.write_bool(128, 0)  # filter_type
+    bw.put_literal(filter_level, 6)
+    bw.put_literal(sharpness, 3)
+    bw.write_bool(128, 0)  # mode_ref_lf_delta_enabled
+    bw.put_literal(n_dct_partitions_log2, 2)
+    bw.put_literal(y_ac_qi, 7)
+    for delta in (y_dc_delta, 0, 0, 0, uv_ac_delta):
+        if delta:
+            bw.write_bool(128, 1)
+            bw.put_signed(delta, 4)
+        else:
+            bw.write_bool(128, 0)
+    part = bw.bytes()
+    tag = (0 | (0 << 1) | ((1 if show_frame else 0) << 4)
+           | (len(part) << 5))
+    stream = (tag.to_bytes(3, "little") + b"\x9d\x01\x2a"
+              + (width & 0x3FFF).to_bytes(2, "little")
+              + (height & 0x3FFF).to_bytes(2, "little") + part)
+    if not container:
+        return stream
+    chunk = b"VP8 " + len(stream).to_bytes(4, "little") + stream
+    if len(stream) & 1:
+        chunk += b"\x00"
+    return (b"RIFF" + (4 + len(chunk)).to_bytes(4, "little")
+            + b"WEBP" + chunk)
+
+
+def parse_vp8_keyframe_header(payload: bytes) -> dict | None:
+    """Lossy-VP8 (RFC 6386) keyframe header parse — the uncompressed
+    frame tag (§9.1) plus the bool-coded first-partition prefix through
+    the quant indices (§9.2-9.6): color space, segmentation block (all
+    subfields consumed field-exactly), loop-filter setup, DCT partition
+    count, and ``y_ac_qi`` + the five quantizer deltas. Works on a bare
+    VP8 bitstream or a WebP container (``VP8 `` chunk). Tolerant → None
+    on non-keyframe / truncated / non-VP8 input."""
+    p = bytes(payload or b"")
+    if len(p) >= 16 and p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        pos, data = 12, None
+        while pos + 8 <= len(p):
+            four = p[pos:pos + 4]
+            ln = int.from_bytes(p[pos + 4:pos + 8], "little")
+            if four == b"VP8 ":
+                data = p[pos + 8:pos + 8 + ln]
+                break
+            pos += 8 + ln + (ln & 1)
+        if data is None:
+            return None
+        p = data
+    if len(p) < 10:
+        return None
+    tag = int.from_bytes(p[0:3], "little")
+    keyframe = not (tag & 1)
+    version = (tag >> 1) & 7
+    show_frame = (tag >> 4) & 1
+    first_part_size = tag >> 5
+    if not keyframe:
+        return None
+    if p[3:6] != b"\x9d\x01\x2a":
+        return None
+    wraw = int.from_bytes(p[6:8], "little")
+    hraw = int.from_bytes(p[8:10], "little")
+    out = {"keyframe": True, "version": version,
+           "show_frame": bool(show_frame),
+           "first_part_size": first_part_size,
+           "width": wraw & 0x3FFF, "xscale": wraw >> 14,
+           "height": hraw & 0x3FFF, "yscale": hraw >> 14}
+    try:
+        br = _VP8BoolReader(p[10:10 + max(first_part_size, 0)] or p[10:])
+        out["color_space"] = br.read_bool(128)
+        out["clamping_type"] = br.read_bool(128)
+        seg_enabled = br.read_bool(128)
+        out["segmentation_enabled"] = bool(seg_enabled)
+        if seg_enabled:
+            update_map = br.read_bool(128)
+            update_data = br.read_bool(128)
+            if update_data:
+                br.read_bool(128)  # segment_feature_mode
+                for _ in range(4):  # per-segment quantizer
+                    if br.read_bool(128):
+                        br.signed_literal(7)
+                for _ in range(4):  # per-segment loop filter
+                    if br.read_bool(128):
+                        br.signed_literal(6)
+            if update_map:
+                for _ in range(3):  # segment tree probs
+                    if br.read_bool(128):
+                        br.literal(8)
+        out["filter_type"] = br.read_bool(128)
+        out["filter_level"] = br.literal(6)
+        out["sharpness_level"] = br.literal(3)
+        if br.read_bool(128):  # mode_ref_lf_delta_enabled
+            if br.read_bool(128):  # ..._update
+                for _ in range(8):  # 4 ref deltas + 4 mode deltas
+                    if br.read_bool(128):
+                        br.signed_literal(6)
+        out["n_dct_partitions"] = 1 << br.literal(2)
+        out["y_ac_qi"] = br.literal(7)
+        for name in ("y_dc_delta", "y2_dc_delta", "y2_ac_delta",
+                     "uv_dc_delta", "uv_ac_delta"):
+            out[name] = br.signed_literal(4) if br.read_bool(128) else 0
+    except IndexError:
+        return None
+    return out
+
+
+def webp_lossy_meta(df: DataFrame, id_col: str = "url",
+                    payload_col: str = "payload") -> DataFrame:
+    """Lossy-WebP/VP8 keyframe header metadata as a DataFrame — one
+    Arrow-batched ``mapInPandas`` (pure map, zero Exchange): ``(id,
+    width, height, y_ac_qi, filter_level, n_dct_partitions, show_frame,
+    parse_ok)``. ``y_ac_qi`` (0..127, the encoder's base quantizer) is
+    the image-quality prior a crawl pipeline filters/samples lossy
+    thumbnails on BEFORE any raster decode exists — the same
+    decode-free routing role mp4_metadata plays for video."""
+    def run(batches: Iterable) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for key, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_vp8_keyframe_header(
+                    bytes(payload) if payload is not None else b"")
+                if m is None:
+                    out.append((key, None, None, None, None, None,
+                                None, False))
+                else:
+                    out.append((key, m["width"], m["height"],
+                                m["y_ac_qi"], m["filter_level"],
+                                m["n_dct_partitions"], m["show_frame"],
+                                True))
+            yield pd.DataFrame(out, columns=[
+                id_col, "width", "height", "y_ac_qi", "filter_level",
+                "n_dct_partitions", "show_frame", "parse_ok"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} string, width int, height int, "
+                    "y_ac_qi int, filter_level int, n_dct_partitions int, "
+                    "show_frame boolean, parse_ok boolean")
+
+
 def decode_webp(payload: bytes, rgba: bool = False):
     """REAL WebP-LOSSLESS (VP8L) raster decode, stdlib-only, for the
     common subset: simple AND normal (code-length-coded) prefix codes,
@@ -2505,10 +2827,9 @@ def decode_webp(payload: bytes, rgba: bool = False):
     the spec's border rules incl. the rightmost-column TR exception),
     cross-color (signed ColorTransformDelta algebra), subtract-green,
     color-indexing (palette) including sub-byte pixel bundling, and
-    META PREFIX CODES (per-tile prefix-code group selection).
-    Remaining seams (tolerant → None): 2-D short-distance codes (the
-    120-entry neighbor table is not locally verifiable) and lossy
-    VP8. Returns
+    META PREFIX CODES (per-tile prefix-code group selection) and 2-D
+    short-distance codes (RFC 9649 §4.2.1.3 — ``_VP8L_DIST_MAP``).
+    Remaining seam (tolerant → None): lossy VP8. Returns
     (h, w, 3) uint8 RGB — or (h, w, 4) RGBA with ``rgba=True`` (the
     animated-frame compositor needs the alpha plane) — or None."""
     import numpy as np

@@ -1374,7 +1374,9 @@ def script_profile(df: DataFrame, id_col: str = "doc_id",
 
 def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text",
-                     n_buckets: int = 3) -> DataFrame:
+                     n_buckets: int = 3,
+                     min_count: int | None = None,
+                     top_n: int | None = None) -> DataFrame:
     """CCNet-style LM quality signal (Wenzek et al. 2020): train an
     add-one-smoothed bigram LM on the corpus itself, score every
     document by mean bigram log-probability, and split the corpus into
@@ -1393,12 +1395,27 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
     short-docs bucket before this operator).
 
     Scale shape: bigram/unigram count aggregations shuffle word-pair /
-    word strings with map-side combine; scoring is one join of the
-    doc-bigram instances against the count tables (at 100 TB: prune the
-    LM to top-M bigrams and broadcast, the tfidf_pruned pattern); the
-    bucket split is ONE global ntile window over (score, doc_id) —
-    at corpus scale swap in fixed score thresholds from a reference
-    run (CCNet's actual design) to avoid the single-pass sort."""
+    word strings with map-side combine; the bucket split is ONE global
+    ntile window over (score, doc_id) — at corpus scale swap in fixed
+    score thresholds from a reference run (CCNet's actual design) to
+    avoid the single-pass sort. Two scoring shapes (the
+    ``unigram_logprob`` split):
+
+    * exact (default, the oracle's twin): the doc-bigram instances join
+      the count tables on (w1, w2) — the full bigram explosion crosses
+      an exchange. Fine to ~10^9 docs;
+    * pruned-broadcast (``min_count`` and/or ``top_n`` set — the
+      10^12-doc shape): the bigram LM is frequency-pruned (c12 >=
+      min_count, then the top_n most frequent, ties (w1, w2)-asc), its
+      per-bigram terms are precomputed against the UNPRUNED unigram
+      counts and vocab size, and the small table is broadcast — the
+      scoring join is map-side (BroadcastHashJoin), so the instance
+      explosion never shuffles. Pruned (OOV) bigrams are excluded from
+      both ``logprob_scaled`` and ``n_bigrams`` (a doc with no
+      surviving bigram drops out, like the <2-token docs); at
+      ``min_count=1, top_n=None`` the result is exactly the default
+      (every observed bigram has c12 >= 1 — pytest-pinned equivalence).
+    """
     from pyspark.sql import Window
 
     toks = F.transform(tokens_col(F.col(text_col)), F.lower)
@@ -1415,14 +1432,32 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
            .groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
     vocab = uni.select(F.count(F.lit(1)).alias("v"))
     big = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    term = (bi.join(big, ["w1", "w2"])
-            .join(uni.withColumnRenamed("w", "w1"), "w1")
-            .crossJoin(F.broadcast(vocab))
-            .select("doc_id",
-                    F.round(F.log((F.col("c12") + 1).cast("double")
-                                  / (F.col("c1") + F.col("v"))
-                                  .cast("double")) * 1e6)
-                    .cast("bigint").alias("t")))
+    t_expr = F.round(F.log((F.col("c12") + 1).cast("double")
+                           / (F.col("c1") + F.col("v")).cast("double"))
+                     * 1e6).cast("bigint")
+    if min_count is None and top_n is None:
+        term = (bi.join(big, ["w1", "w2"])
+                .join(uni.withColumnRenamed("w", "w1"), "w1")
+                .crossJoin(F.broadcast(vocab))
+                .select("doc_id", t_expr.alias("t")))
+    else:
+        pruned = big
+        if min_count is not None:
+            pruned = pruned.filter(F.col("c12") >= min_count)
+        if top_n is not None:
+            pruned = pruned.orderBy(F.col("c12").desc(), "w1", "w2") \
+                           .limit(top_n)
+        # terms precomputed ONCE on the tiny pruned side — broadcast
+        # INTO the unigram join too, so the (vocab-sized) unigram table
+        # never shuffles on w1 — then broadcast again for scoring: the
+        # scoring join is map-side and the bigram instance explosion
+        # stays in its scan partitions
+        scoring = F.broadcast(
+            uni.withColumnRenamed("w", "w1")
+               .join(F.broadcast(pruned), "w1")
+               .crossJoin(F.broadcast(vocab))
+               .select("w1", "w2", t_expr.alias("t")))
+        term = bi.join(scoring, ["w1", "w2"]).select("doc_id", "t")
     scored = term.groupBy("doc_id").agg(
         F.sum("t").alias("logprob_scaled"),
         F.count(F.lit(1)).alias("n_bigrams"))

@@ -122,7 +122,8 @@ def _crawl_stages(pages: DataFrame, robots: DataFrame,
                   default_delay_ms: int, n_workers: int,
                   agent: str, oracle_safe: bool,
                   sitemaps: DataFrame | None = None,
-                  respect_meta_robots: bool = False):
+                  respect_meta_robots: bool = False,
+                  with_anchors: bool = False):
     """The shared stage DAG: (links, candidates, unseen, allowed,
     schedule). One construction used by both ``crawl_cycle`` (the
     product) and ``crawl_cycle_funnel`` (its per-stage survivor counts,
@@ -146,7 +147,14 @@ def _crawl_stages(pages: DataFrame, robots: DataFrame,
         from ..operators.html_meta import robots_meta_flags
         _, nofollow = robots_meta_flags(F.col("html").cast("string"))
         link_src = pages.filter(~nofollow)
-    links = extract_outlinks(link_src, resolve=True)
+    if with_anchors:
+        # the shared pass: one lex + ONE RFC 3986 resolve feeds both the
+        # frontier candidates below AND the anchor-text index the caller
+        # builds from these rows (anchor NULL on non-anchor hrefs)
+        from ..operators.graph import page_links
+        links = page_links(link_src)
+    else:
+        links = extract_outlinks(link_src, resolve=True)
     cand_urls = links.select(canonical_url(F.col("resolved")).alias("url"))
     if sitemaps is not None:
         declared = dirs.select(F.explode("sitemaps").alias("url")).distinct()
@@ -185,7 +193,8 @@ def crawl_cycle(pages: DataFrame, robots: DataFrame,
                 agent: str = "*",
                 oracle_safe: bool = False,
                 sitemaps: DataFrame | None = None,
-                respect_meta_robots: bool = False) -> DataFrame:
+                respect_meta_robots: bool = False,
+                anchor_index_k: int | None = None):
     """One crawl cycle: fetched ``pages (url, html)`` + per-host
     ``robots (host, robots_txt)`` + the prior cycles' seen-URL store →
     the next fetch schedule ``(url, host, seq, worker, delay_ms,
@@ -193,14 +202,27 @@ def crawl_cycle(pages: DataFrame, robots: DataFrame,
     seeds the candidate set with robots-declared sitemap locs (see
     ``_crawl_stages``).
 
+    ``anchor_index_k``: when set, ALSO build the top-k anchor-text
+    index from the cycle's own extraction+resolution pass (``page_links``
+    — one lex, ONE RFC 3986 resolve for both consumers, instead of the
+    2× a standalone ``anchor_text_index`` call would pay) and return
+    ``(schedule, index)``. Unlike the standalone operator, anchor
+    targets then honor ``<base href>`` (the outlink rule), and pages
+    dropped by ``respect_meta_robots`` nofollow contribute no anchors
+    either — the polite-crawler view of the graph.
+
     Feed the returned URLs to the fetcher fleet, then
     ``seen_url_fps(fetched).union(seen_fps).distinct()`` is the store
     for the cycle after — the crawl-over-crawl loop."""
-    *_, sched = _crawl_stages(pages, robots, seen_fps,
-                              default_delay_ms, n_workers, agent,
-                              oracle_safe, sitemaps=sitemaps,
-                              respect_meta_robots=respect_meta_robots)
-    return sched
+    links, *_, sched = _crawl_stages(
+        pages, robots, seen_fps, default_delay_ms, n_workers, agent,
+        oracle_safe, sitemaps=sitemaps,
+        respect_meta_robots=respect_meta_robots,
+        with_anchors=anchor_index_k is not None)
+    if anchor_index_k is None:
+        return sched
+    from ..operators.graph import anchor_text_index
+    return sched, anchor_text_index(links=links, k=anchor_index_k)
 
 
 def crawl_cycle_funnel(pages: DataFrame, robots: DataFrame,

@@ -232,6 +232,37 @@ def windowed_counts_stream(events_stream: DataFrame,
                  F.round(F.max("value") - F.min("value"), 6).alias("spread")))
 
 
+def sliding_spread_stream(events_stream: DataFrame,
+                          watermark: str = "10 seconds",
+                          window: str = "5 seconds",
+                          slide: str = "1 second") -> DataFrame:
+    """ST2 streaming-native form — event-time SLIDING stats window with
+    watermark eviction (the reference's 5 s ring buffer re-evaluated on
+    every frame, Char_Count_TurnTable.py:82-94): each event lands in
+    window/slide overlapping windows; a window finalizes (append mode)
+    once the watermark passes its end, which is exactly the ring
+    buffer's eviction horizon. ``sliding_spread_batch`` is the
+    identical aggregation in batch — stream≡batch is pytest-pinned
+    (the ``sessionize_stream`` pattern)."""
+    return (events_stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window, slide), F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.max("value") - F.min("value"), 6).alias("spread")))
+
+
+def sliding_spread_batch(events: DataFrame,
+                         window: str = "5 seconds",
+                         slide: str = "1 second") -> DataFrame:
+    """Batch twin of ``sliding_spread_stream`` — same F.window sliding
+    assignment and aggregates, no watermark (batch sees everything)."""
+    return (events
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.window("ts", window, slide), F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.max("value") - F.min("value"), 6).alias("spread")))
+
+
 SESSION_STATE_DDL = "last_ts double, session_seq int"
 SESSION_OUT_DDL = ("user_id bigint, event_id bigint, ts timestamp, "
                    "session_seq int")
