@@ -478,11 +478,68 @@ def run_anchorshare(n_pages: int) -> dict:
         spark.stop()
 
 
+def run_lmstage(n_pages: int) -> dict:
+    """Prices the CCNet bigram-LM stage at scale, exact vs
+    pruned-broadcast (r7 VERDICT #8): the exact form joins the bigram
+    instance explosion against the count tables (instance-keyed
+    shuffle); the pruned form broadcasts a frequency-pruned LM so the
+    explosion never shuffles. Fixture pages carry sentence paragraphs
+    (real bigram structure). Reports both walls + the kept-doc counts
+    (pruning changes scores only for OOV-heavy docs)."""
+    from pyspark.sql import functions as F
+
+    from wine_label_ocr_spark.fixtures import pages_spark
+    from wine_label_ocr_spark.operators.textops import bigram_lm_scores
+    from wine_label_ocr_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+    spark = get_spark(app="soak_lmstage", master="local[32]",
+                      shuffle_partitions=256)
+    spark.sparkContext.setLogLevel("ERROR")
+    base = tempfile.mkdtemp(prefix="wlos_lmstage_")
+    try:
+        pq = os.path.join(base, "docs")
+        t0 = time.time()
+        sent = F.lit(" The committee convened at noon to review the "
+                     "annual budget. Revenues rose modestly while "
+                     "expenditures remained flat across departments.")
+        (pages_spark(spark, n_pages, partitions=128)
+         .select(F.xxhash64("url").alias("doc_id"),
+                 F.concat(F.col("text"), sent).alias("text"))
+         .write.parquet(pq))
+        t_ingest = time.time() - t0
+        docs = spark.read.parquet(pq)
+
+        def wall(df):
+            t = time.time()
+            n = df.count()
+            return round(time.time() - t, 1), n
+
+        # warm-up (codegen + python workers) on a slice
+        bigram_lm_scores(docs.limit(20000)).count()
+
+        t_exact, n_exact = wall(bigram_lm_scores(docs))
+        t_pruned, n_pruned = wall(bigram_lm_scores(docs, min_count=5,
+                                                   top_n=200_000))
+        return {"soak": "lmstage", "n_pages": n_pages,
+                "ingest_sec": round(t_ingest, 1),
+                "exact_sec": t_exact,
+                "exact_docs_per_sec": round(n_pages / t_exact, 1),
+                "pruned_sec": t_pruned,
+                "pruned_docs_per_sec": round(n_pages / t_pruned, 1),
+                "pruned_speedup_x": round(t_exact / t_pruned, 2),
+                "n_docs_exact": n_exact, "n_docs_pruned": n_pruned}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     which = sys.argv[1]
     n = int(sys.argv[2])
     out = {"capstone": run_capstone, "ivfadc": run_ivfadc,
            "crawlloop": run_crawlloop,
            "curatefull": run_curatefull,
-           "anchorshare": run_anchorshare}[which](n)
+           "anchorshare": run_anchorshare,
+           "lmstage": run_lmstage}[which](n)
     print("SOAKRESULT " + json.dumps(out))
