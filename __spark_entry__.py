@@ -2359,6 +2359,66 @@ _C4_ORACLE_SQL = """
 """
 
 
+def q_warc_revisit(spark, sf):  # cdx: WARC revisit-record dedup
+    """WARC 1.1 identical-payload-digest revisit classification over
+    planted captures (25 URL keys x 2 content versions x distinct
+    timestamps): first capture per (surt, digest) stays a response,
+    later ones become revisits pointing at the original. The digest is
+    the REAL Base32(SHA-1) column-algebra path (the CDX(J) convention);
+    the oracle states each planted payload's digest as a pinned
+    constant computed by hashlib at SQL-build time (DuckDB has no sha1
+    - the compression_ratio pattern)."""
+    from wine_label_ocr_spark.operators.cdx import revisit_records
+    d = _t(spark, sf, "documents").select("doc_id")
+    k = F.pmod(F.col("doc_id"), F.lit(25))
+    v = F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit(1)) \
+         .otherwise(F.lit(0))
+    pages = d.select(
+        F.concat(F.lit("https://h.com/p/"), k.cast("string")).alias("url"),
+        F.expr("timestamp'2025-01-01' + make_interval(0,0,0,0,0,0,doc_id)")
+         .alias("warc_ts"),
+        F.encode(F.concat(F.lit("body-"), k.cast("string"), F.lit("-"),
+                          v.cast("string")), "utf-8").alias("html"))
+    return revisit_records(pages).orderBy("url", "ts")
+
+
+def _warc_revisit_oracle_sql() -> str:
+    import base64
+    import hashlib as _h
+    vals = []
+    for k in range(25):
+        for v in range(2):
+            body = f"body-{k}-{v}".encode()
+            dig = base64.b32encode(_h.sha1(body).digest()).decode()
+            vals.append(f"({k}, {v}, '{dig}', {len(body)})")
+    values = ",\n           ".join(vals)
+    return f"""
+        WITH digs(k, v, digest, length) AS (VALUES
+           {values}),
+        caps AS (
+          SELECT doc_id % 25 AS k,
+                 CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS v,
+                 'https://h.com/p/' || (doc_id % 25) AS url,
+                 TIMESTAMP '2025-01-01' + doc_id * INTERVAL 1 SECOND AS ts
+          FROM documents),
+        rows AS (
+          SELECT 'com,h)/p/' || k AS surt, url, ts, digest,
+                 CAST(length AS BIGINT) AS length,
+                 ROW_NUMBER() OVER w AS rn,
+                 FIRST_VALUE(url) OVER w AS fu,
+                 FIRST_VALUE(ts) OVER w AS ft
+          FROM caps JOIN digs USING (k, v)
+          WINDOW w AS (PARTITION BY k, v ORDER BY ts, url
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT surt, url, ts, digest, length,
+               CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END
+                   AS record_type,
+               CASE WHEN rn > 1 THEN fu END AS refers_to_url,
+               CASE WHEN rn > 1 THEN ft END AS refers_to_ts
+        FROM rows ORDER BY url, ts
+    """
+
+
 def q_surt_keys(spark, sf):  # textops: SURT canonicalization
     """SURT keys over planted URL shapes cycling scheme case, default
     and explicit ports, userinfo, www-strip, host reversal, query sort,
@@ -3113,6 +3173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (2) new r8 gates (appended as they land this round)
         "lm_buckets_pruned": q_lm_buckets_pruned,
         "media_webp_lossy": q_media_webp_lossy,
+        "warc_revisit": q_warc_revisit,
         # (3) code-touched this round (r8): robots-meta merge touched the
         # crawl gate path; the shared href-resolution pass touched
         # crawl_cycle + anchor_text; the scheme-case fix touched
@@ -4648,6 +4709,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "media_webp_lossy": _WEBP_LOSSY_ORACLE_SQL,
+        "warc_revisit": _warc_revisit_oracle_sql(),
         "media_mp4_meta": """
             -- closed-form mvhd/tkhd metadata from doc_id; every 9th
             -- doc is truncated -> parse_ok=false with NULL fields

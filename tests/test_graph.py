@@ -288,7 +288,11 @@ class TestAnchorText:
         standalone = anchor_text_index(p2, k=3).collect()
         assert sorted(map(tuple, via_links)) == sorted(map(tuple, standalone))
 
-    def test_crawl_cycle_anchor_index_shared_pass(self, spark):
+    def test_crawl_cycle_anchor_index(self, spark):
+        # anchor_index_k: schedule identical to the plain cycle, index
+        # over the same pages (base-aware, nofollow-consistent);
+        # BENCH.md r8 records why this is a second anchor_pairs pass
+        # and not the one-scan page_links variant (1.11x vs 1.60x)
         from wine_label_ocr_spark.plans.crawl import crawl_cycle
         pages = spark.createDataFrame(
             [("https://a.com/1", '<a href="https://a.com/n1">go n1</a>'

@@ -240,6 +240,38 @@ class TestCdxIndex:
         pre = cdx_lookup(spark, root, surt_prefix="com,a)/").collect()
         assert len(pre) == 1 and emoji in pre[0]["url"]
 
+    def test_revisit_records(self, spark):
+        """WARC 1.1 identical-payload-digest profile: first capture per
+        (surt, digest) is the response; later identical captures become
+        revisits pointing at it; changed content starts a NEW response
+        (different digest, same surt)."""
+        from wine_label_ocr_spark.operators.cdx import revisit_records
+        rows = [
+            ("https://a.com/x", "2025-01-01 00:00:00", b"v1"),
+            ("https://a.com/x", "2025-01-02 00:00:00", b"v1"),  # revisit
+            ("https://a.com/x", "2025-01-03 00:00:00", b"v2"),  # changed
+            ("https://a.com/x", "2025-01-04 00:00:00", b"v2"),  # revisit
+            ("https://b.com/y", "2025-01-01 00:00:00", b"v1"),  # other surt
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts string, html binary") \
+            .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        out = sorted(revisit_records(df).collect(),
+                     key=lambda r: (r["url"], r["ts"]))
+        types = [r["record_type"] for r in out]
+        assert types == ["response", "revisit", "response", "revisit",
+                         "response"]
+        assert out[1]["refers_to_url"] == "https://a.com/x"
+        assert out[1]["refers_to_ts"] == out[0]["ts"]
+        assert out[3]["refers_to_ts"] == out[2]["ts"]
+        assert out[0]["refers_to_url"] is None
+        # same-payload different-surt rows never cross-link
+        assert out[4]["record_type"] == "response"
+        # one window, no self-join: plan has no Join node
+        plan = revisit_records(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Join" not in plan
+
     def test_lookup_arg_validation(self, spark):
         from wine_label_ocr_spark.operators.cdx import cdx_lookup
         root = tempfile.mkdtemp(prefix="wlos_cdx_")

@@ -18,7 +18,7 @@ snapshot-committed table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..sources.table import ManifestTable
 from .textops import surt_key
@@ -131,3 +131,36 @@ def cdx_lookup(spark: SparkSession, root: str, url: str | None = None,
                                   "length bigint")
             if df is None else
             df.where(F.col("surt").startswith(surt_prefix)))
+
+
+def revisit_records(pages: DataFrame, url_col: str = "url",
+                    ts_col: str = "warc_ts",
+                    payload_col: str = "html") -> DataFrame:
+    """WARC revisit-record classification (the WARC 1.1
+    identical-payload-digest profile, the Common Crawl storage
+    dedup): among all captures sharing a (surt, digest) pair, the
+    FIRST by (ts, url) stays a full ``response`` record; every later
+    one becomes a ``revisit`` pointing at the original via
+    (refers_to_url, refers_to_ts) — at archive scale this is most of
+    the corpus (unchanged pages re-fetched every crawl), stored as a
+    ~100-byte pointer instead of the payload.
+
+    Output: ``(surt, url, ts, digest, length, record_type,
+    refers_to_url, refers_to_ts)`` with refers_to_* NULL on responses.
+
+    Scale shape: ONE window over (surt, digest) — the same key the CDX
+    index is range-partitioned on, so on a committed index the sort is
+    cluster-local; no self-join, no second scan of payload bytes (the
+    digest is computed once by ``cdx_records``)."""
+    from pyspark.sql import Window
+    recs = cdx_records(pages, url_col, ts_col, payload_col)
+    w = Window.partitionBy("surt", "digest").orderBy("ts", "url")
+    first_url = F.first("url").over(w)
+    first_ts = F.first("ts").over(w)
+    rn = F.row_number().over(w)
+    return recs.select(
+        "surt", "url", "ts", "digest", "length",
+        F.when(rn == 1, F.lit("response")).otherwise(F.lit("revisit"))
+         .alias("record_type"),
+        F.when(rn > 1, first_url).alias("refers_to_url"),
+        F.when(rn > 1, first_ts).alias("refers_to_ts"))

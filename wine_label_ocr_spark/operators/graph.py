@@ -221,16 +221,23 @@ def page_links(df: DataFrame, id_col: str = "url",
     with ``anchor`` NULL for links that are not simple-text ``<a>``
     anchors (area hrefs, nested-markup anchors).
 
-    This is the shared resolved-outlinks DataFrame the r7 review asked
-    for: when a crawl cycle and an anchor index run together, the RFC
-    3986 resolution (97% of the anchor-index wall at 400k pages —
-    BENCH.md) previously ran twice over the same hrefs. Row parity with
+    The one-scan links table for callers that MATERIALIZE it once
+    (persist/write) and feed several consumers: frontier expansion,
+    anchor index, host graph. Row parity with
     ``extract_outlinks(resolve=True)`` is structural (same href char
     classes, one row per href attr) and pytest-pinned; anchor rows are
     identical to ``anchor_pairs`` (same ANCHOR_PATTERN semantics,
     whitespace-normalized text). Unlike the standalone
     ``anchor_text_index(resolve=True)``, resolution here honors the
-    page's ``<base href>`` (the ``extract_outlinks`` rule)."""
+    page's ``<base href>`` (the ``extract_outlinks`` rule).
+
+    MEASURED CAVEAT (BENCH.md r8): WITHOUT materialization each
+    consumer re-evaluates this plan, and the combined alternation lexes
+    slower than HREF_PATTERN alone — crawl_cycle(anchor_index_k=...)
+    therefore builds its index from a separate ``anchor_pairs`` pass
+    (1.11× the cycle alone vs 1.60× for the unmaterialized shared
+    plan). Use this operator when the links table is written/cached
+    once; use the per-consumer extractions when it is not."""
     h = F.col(html_col)
     # ONE scan of the page bytes (group 0 = whole match), then the
     # groups are re-extracted per MATCH — matches are tag-sized, so the

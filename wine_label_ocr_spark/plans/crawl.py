@@ -122,8 +122,7 @@ def _crawl_stages(pages: DataFrame, robots: DataFrame,
                   default_delay_ms: int, n_workers: int,
                   agent: str, oracle_safe: bool,
                   sitemaps: DataFrame | None = None,
-                  respect_meta_robots: bool = False,
-                  with_anchors: bool = False):
+                  respect_meta_robots: bool = False):
     """The shared stage DAG: (links, candidates, unseen, allowed,
     schedule). One construction used by both ``crawl_cycle`` (the
     product) and ``crawl_cycle_funnel`` (its per-stage survivor counts,
@@ -147,14 +146,7 @@ def _crawl_stages(pages: DataFrame, robots: DataFrame,
         from ..operators.html_meta import robots_meta_flags
         _, nofollow = robots_meta_flags(F.col("html").cast("string"))
         link_src = pages.filter(~nofollow)
-    if with_anchors:
-        # the shared pass: one lex + ONE RFC 3986 resolve feeds both the
-        # frontier candidates below AND the anchor-text index the caller
-        # builds from these rows (anchor NULL on non-anchor hrefs)
-        from ..operators.graph import page_links
-        links = page_links(link_src)
-    else:
-        links = extract_outlinks(link_src, resolve=True)
+    links = extract_outlinks(link_src, resolve=True)
     cand_urls = links.select(canonical_url(F.col("resolved")).alias("url"))
     if sitemaps is not None:
         declared = dirs.select(F.explode("sitemaps").alias("url")).distinct()
@@ -203,26 +195,43 @@ def crawl_cycle(pages: DataFrame, robots: DataFrame,
     ``_crawl_stages``).
 
     ``anchor_index_k``: when set, ALSO build the top-k anchor-text
-    index from the cycle's own extraction+resolution pass (``page_links``
-    — one lex, ONE RFC 3986 resolve for both consumers, instead of the
-    2× a standalone ``anchor_text_index`` call would pay) and return
-    ``(schedule, index)``. Unlike the standalone operator, anchor
-    targets then honor ``<base href>`` (the outlink rule), and pages
-    dropped by ``respect_meta_robots`` nofollow contribute no anchors
-    either — the polite-crawler view of the graph.
+    index over the same pages and return ``(schedule, index)``. Unlike
+    the standalone operator, anchor targets honor ``<base href>`` (the
+    outlink rule — the page id fed to the index is the effective base),
+    and pages dropped by ``respect_meta_robots`` nofollow contribute no
+    anchors either — the polite-crawler view of the graph. MEASURED
+    (BENCH.md r8, 200k pages, interleaved median-of-3): this separate
+    anchor_pairs pass costs 1.11× the cycle alone; a one-scan shared
+    combined-pattern lexer (``graph.page_links``) measured 1.60× —
+    without a links materialization each consumer re-lexes, and the
+    combined pattern lexes slower than HREF_PATTERN — so the shared
+    variant was killed here (page_links remains the right shape for
+    callers that persist the links table once).
 
     Feed the returned URLs to the fetcher fleet, then
     ``seen_url_fps(fetched).union(seen_fps).distinct()`` is the store
     for the cycle after — the crawl-over-crawl loop."""
-    links, *_, sched = _crawl_stages(
+    *_, sched = _crawl_stages(
         pages, robots, seen_fps, default_delay_ms, n_workers, agent,
         oracle_safe, sitemaps=sitemaps,
-        respect_meta_robots=respect_meta_robots,
-        with_anchors=anchor_index_k is not None)
+        respect_meta_robots=respect_meta_robots)
     if anchor_index_k is None:
         return sched
-    from ..operators.graph import anchor_text_index
-    return sched, anchor_text_index(links=links, k=anchor_index_k)
+    from ..operators.graph import BASE_PATTERN, anchor_text_index
+    from ..operators.textops import resolve_href
+    link_src = pages
+    if respect_meta_robots:
+        from ..operators.html_meta import robots_meta_flags
+        _, nofollow = robots_meta_flags(F.col("html").cast("string"))
+        link_src = pages.filter(~nofollow)
+    h = F.col("html").cast("string")
+    basetag = F.regexp_extract(h, BASE_PATTERN, 1)
+    eff_base = F.when(basetag == "", F.col("url")) \
+                .otherwise(resolve_href(F.col("url"), basetag))
+    src_pages = link_src.select(eff_base.alias("_eff_base"), "html")
+    idx = anchor_text_index(src_pages, id_col="_eff_base",
+                            k=anchor_index_k)
+    return sched, idx
 
 
 def crawl_cycle_funnel(pages: DataFrame, robots: DataFrame,
