@@ -301,4 +301,11 @@ def test_curate_pages_lm_bucket_stage(spark):
                           lm_keep=(1,)).select("url").collect()}
     assert head == head2          # deterministic replan
     assert head < base and head   # strict non-empty subset
+    # the 100 TB path: broadcast-pruned LM at min_count=1 is exactly
+    # the default (every observed bigram survives the prune)
+    head_pruned = {r["url"] for r in
+                   curate_pages(pages, min_quality=0.0, min_tokens=1,
+                                lm_keep=(1,), lm_min_count=1)
+                   .select("url").collect()}
+    assert head_pruned == head
     pages.unpersist()

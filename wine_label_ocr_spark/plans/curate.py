@@ -37,7 +37,9 @@ def _curation_stages(pages: DataFrame, min_quality: float, min_tokens: int,
                      checkpoint_uniq: bool = True,
                      c4: bool = False,
                      gopher: bool = False,
-                     lm_keep: tuple[int, ...] | None = None):
+                     lm_keep: tuple[int, ...] | None = None,
+                     lm_min_count: int | None = None,
+                     lm_top_n: int | None = None):
     """The shared stage DAG: (records, candidates, unique, canonical).
 
     One construction used by both ``curate_pages`` (the product) and
@@ -88,12 +90,15 @@ def _curation_stages(pages: DataFrame, min_quality: float, min_tokens: int,
         # cheap per-doc gates (corpus-relative, so it must see the
         # final candidate population) and before dedup. Docs too short
         # to carry a bigram are dropped with the tail (unscorable).
-        # This is the one curation stage with corpus-wide shuffles
-        # (two count aggs + an instance re-join) — the price of a
-        # corpus-trained model; see bigram_lm_scores for the
-        # broadcast-pruned variant at 100 TB.
+        # Exact form: the one curation stage with corpus-wide shuffles
+        # (two count aggs + an instance re-join). The 100 TB path is
+        # lm_min_count/lm_top_n — the broadcast-pruned LM, where the
+        # instance explosion never shuffles (measured 1.54x at 1M
+        # pages, BENCH.md r8) at the cost of OOV bigrams leaving the
+        # score (min_count=1, top_n=None is exactly the default).
         from ..operators.textops import bigram_lm_scores
-        b = (bigram_lm_scores(cand, id_col="url")
+        b = (bigram_lm_scores(cand, id_col="url",
+                              min_count=lm_min_count, top_n=lm_top_n)
              .select(F.col("doc_id").alias("url"), "ppl_bucket"))
         cand = (cand.join(b, "url")
                 .filter(F.col("ppl_bucket").isin(*lm_keep))
@@ -134,7 +139,9 @@ def curate_pages(pages: DataFrame, min_quality: float = 0.3,
                  normalize_text: bool = False,
                  prior_fps: DataFrame | None = None,
                  c4: bool = False, gopher: bool = False,
-                 lm_keep: tuple[int, ...] | None = None) -> DataFrame:
+                 lm_keep: tuple[int, ...] | None = None,
+                 lm_min_count: int | None = None,
+                 lm_top_n: int | None = None) -> DataFrame:
     """pages → curated records. Filters are pure maps over the extract
     output; dedup keeps the minimum-url-hash survivor per duplicate
     cluster (deterministic across runs and partitionings). See
@@ -145,7 +152,8 @@ def curate_pages(pages: DataFrame, min_quality: float = 0.3,
         pages, min_quality, min_tokens, langs, near_dup_jaccard,
         blocklist=blocklist, robots_rules=robots_rules,
         normalize_text=normalize_text, prior_fps=prior_fps,
-        c4=c4, gopher=gopher, lm_keep=lm_keep)
+        c4=c4, gopher=gopher, lm_keep=lm_keep,
+        lm_min_count=lm_min_count, lm_top_n=lm_top_n)
     return canonical.drop("_did")
 
 
