@@ -59,6 +59,26 @@ def test_crawl_cycle_composed_contracts(spark):
                for r in sched)
 
 
+def test_crawl_cycle_broadcast_candidates_plan_and_equivalence(spark):
+    """The incremental-crawl membership plan (broadcast_candidates=True)
+    must schedule EXACTLY what the default anti-join schedules, and its
+    plan must never shuffle the seen store: the store side reaches both
+    membership joins as a scan feeding BroadcastHashJoins — zero
+    fp-keyed Exchange (the default anti-join shuffles the whole store,
+    measured ~store-size per cycle at 1M pages, BENCH.md r8)."""
+    pages, robots, seen = _inputs(spark)
+    # materialize the store as production has it (a parquet scan, not a
+    # derivation carrying its own distinct-exchange)
+    seen = spark.createDataFrame(seen.collect(), "fp bigint")
+    base = sorted(r["url"] for r in crawl_cycle(pages, robots, seen).collect())
+    bc = crawl_cycle(pages, robots, seen, broadcast_candidates=True)
+    assert sorted(r["url"] for r in bc.collect()) == base
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(fp" not in plan
+    assert "hashpartitioning(_fp" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
 def test_crawl_cycle_funnel_counts(spark):
     pages, robots, seen = _inputs(spark)
     got = {r["stage"]: r["n_urls"]

@@ -293,6 +293,17 @@ def run_crawlloop(n_pages: int) -> dict:
         t_funnel2 = time.time() - t3
         sr2, sw2 = _shuffle_totals(ui_port)
 
+        # ---- cycle 2, incremental membership plan (r8): the store is
+        # probed in place (broadcast candidate fps), never shuffled ----
+        t4 = time.time()
+        s2bc = crawl_cycle(b2, robots, seen2,
+                           broadcast_candidates=True).select("url")
+        n_sched2_bc = s2bc.count()
+        t_cycle2_bc = time.time() - t4
+        sr3, sw3 = _shuffle_totals(ui_port)
+        assert n_sched2_bc == n_sched2, \
+            "broadcast-candidates plan changed the schedule"
+
         assert n_overlap == 0, "cycle-2 schedule re-issued a seen URL"
         assert n_fresh_only == n_sched2, "cycle 2 scheduled non-new URLs"
         # exact prune evidence: the anti-join removes from cycle 2's
@@ -331,7 +342,11 @@ def run_crawlloop(n_pages: int) -> dict:
                 "shuffle_read_mb_c1": round((sr1 - sr0) / 1e6, 1),
                 "shuffle_write_mb_c1": round((sw1 - sw0) / 1e6, 1),
                 "shuffle_read_mb_c2": round((sr2 - sr1) / 1e6, 1),
-                "shuffle_write_mb_c2": round((sw2 - sw1) / 1e6, 1)}
+                "shuffle_write_mb_c2": round((sw2 - sw1) / 1e6, 1),
+                "cycle2_bc_sec": round(t_cycle2_bc, 1),
+                "docs_per_sec_c2_bc": round(n_pages / t_cycle2_bc, 1),
+                "shuffle_read_mb_c2_bc": round((sr3 - sr2) / 1e6, 1),
+                "shuffle_write_mb_c2_bc": round((sw3 - sw2) / 1e6, 1)}
     finally:
         shutil.rmtree(base, ignore_errors=True)
         spark.stop()

@@ -3407,9 +3407,9 @@ def decode_raster(payload: bytes):
     """Format-dispatched REAL raster decode: PNG (``decode_png``),
     baseline + progressive JPEG (``decode_jpeg``), GIF
     (``decode_gif``), or
-    WebP-lossless (``decode_webp``) → (h, w, c) uint8; None for
-    anything else (lossy VP8 and the documented VP8L seams fall back
-    to the header path)."""
+    WebP-lossless (``decode_webp``, full VP8L incl. 2-D distance
+    codes) → (h, w, c) uint8; None for anything else (lossy VP8 — the
+    recorded r8 kill — falls back to the header/quality-meta path)."""
     p = bytes(payload or b"")
     if p[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(p)

@@ -122,7 +122,8 @@ def _crawl_stages(pages: DataFrame, robots: DataFrame,
                   default_delay_ms: int, n_workers: int,
                   agent: str, oracle_safe: bool,
                   sitemaps: DataFrame | None = None,
-                  respect_meta_robots: bool = False):
+                  respect_meta_robots: bool = False,
+                  broadcast_candidates: bool = False):
     """The shared stage DAG: (links, candidates, unseen, allowed,
     schedule). One construction used by both ``crawl_cycle`` (the
     product) and ``crawl_cycle_funnel`` (its per-stage survivor counts,
@@ -161,9 +162,30 @@ def _crawl_stages(pages: DataFrame, robots: DataFrame,
     unseen = cand
     if seen_fps is not None:
         keyed = cand.withColumn("_fp", _hash64(F.col("url"), 0, oracle_safe))
-        unseen = (keyed.join(seen_fps.select("fp"),
-                             keyed["_fp"] == F.col("fp"), "left_anti")
-                  .drop("_fp"))
+        if broadcast_candidates:
+            # incremental-crawl shape (candidates ≪ store): the store
+            # NEVER crosses an exchange. Pass 1: store ⋉ broadcast(cand
+            # fps) → the seen subset of the candidates (≤ |cand| rows,
+            # computed inside the store's scan partitions). Pass 2:
+            # cand ⟕anti broadcast(seen subset). Two broadcast joins,
+            # zero shuffle — vs the default anti-join, which shuffles
+            # the WHOLE store on fp (measured ~store-size shuffle per
+            # cycle at 1M; prohibitive at a 10^12-row store). Do NOT
+            # use when candidates rival the store (wide discovery
+            # crawls): the candidate broadcast would OOM the executors.
+            # no distinct: cand is already url-distinct, so the fps are
+            # distinct too (hash of a distinct key) — a distinct here
+            # would add the plan's ONLY exchange for nothing
+            cand_fps = keyed.select(F.col("_fp").alias("fp"))
+            seen_sub = seen_fps.select("fp").join(
+                F.broadcast(cand_fps), "fp", "left_semi")
+            unseen = (keyed.join(F.broadcast(seen_sub),
+                                 keyed["_fp"] == F.col("fp"), "left_anti")
+                      .drop("_fp"))
+        else:
+            unseen = (keyed.join(seen_fps.select("fp"),
+                                 keyed["_fp"] == F.col("fp"), "left_anti")
+                      .drop("_fp"))
     # map-flavored verdict: one host-keyed equi join against the packed
     # per-host rule table + per-row array algebra — the candidate set is
     # never shuffled (robots_allowed's explode+groupBy(url) would
@@ -186,7 +208,8 @@ def crawl_cycle(pages: DataFrame, robots: DataFrame,
                 oracle_safe: bool = False,
                 sitemaps: DataFrame | None = None,
                 respect_meta_robots: bool = False,
-                anchor_index_k: int | None = None):
+                anchor_index_k: int | None = None,
+                broadcast_candidates: bool = False):
     """One crawl cycle: fetched ``pages (url, html)`` + per-host
     ``robots (host, robots_txt)`` + the prior cycles' seen-URL store →
     the next fetch schedule ``(url, host, seq, worker, delay_ms,
@@ -208,13 +231,22 @@ def crawl_cycle(pages: DataFrame, robots: DataFrame,
     variant was killed here (page_links remains the right shape for
     callers that persist the links table once).
 
+    ``broadcast_candidates=True`` selects the incremental-crawl
+    membership plan: the seen store is probed IN PLACE (store-side
+    left-semi against the broadcast candidate fps, then a broadcast
+    anti-join back) so the store never crosses an exchange — zero
+    shuffle vs ~store-size shuffle for the default anti-join. Use when
+    candidates ≪ store (steady-state recrawl); keep the default for
+    wide discovery crawls where the candidate set itself is huge.
+
     Feed the returned URLs to the fetcher fleet, then
     ``seen_url_fps(fetched).union(seen_fps).distinct()`` is the store
     for the cycle after — the crawl-over-crawl loop."""
     *_, sched = _crawl_stages(
         pages, robots, seen_fps, default_delay_ms, n_workers, agent,
         oracle_safe, sitemaps=sitemaps,
-        respect_meta_robots=respect_meta_robots)
+        respect_meta_robots=respect_meta_robots,
+        broadcast_candidates=broadcast_candidates)
     if anchor_index_k is None:
         return sched
     from ..operators.graph import BASE_PATTERN, anchor_text_index
