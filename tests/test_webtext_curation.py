@@ -272,6 +272,48 @@ class TestCdxIndex:
             .executedPlan().toString()
         assert "Join" not in plan
 
+    def test_export_deduped_warc_roundtrip(self, spark, tmp_path):
+        """Deduped WARC export: one full response per distinct payload,
+        WARC 1.1 revisit pointers for repeats (profile + refers-to +
+        sha1:base32 payload digest headers, empty body), responses
+        readable back via read_warc, and the export measurably smaller
+        than the full one."""
+        import base64
+        import hashlib
+
+        from wine_label_ocr_spark.sources.warc import (
+            export_deduped_warc, read_warc, write_warc_shards)
+        big = b"<html>" + b"x" * 5000 + b"</html>"
+        rows = [("https://a.com/x", "2025-01-01 00:00:00", big),
+                ("https://a.com/x", "2025-01-02 00:00:00", big),
+                ("https://a.com/x", "2025-01-03 00:00:00", big),
+                ("https://b.com/y", "2025-01-01 00:00:00", b"tiny")]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts string, html binary") \
+            .withColumn("warc_ts", F.col("warc_ts").cast("timestamp")) \
+            .coalesce(1)
+        full_dir, dd_dir = str(tmp_path / "full"), str(tmp_path / "dd")
+        full = write_warc_shards(df, full_dir).collect()
+        dd = export_deduped_warc(df, dd_dir).collect()
+        assert sum(r["n_records"] for r in dd) == 4
+        # two 5KB duplicate payloads became pointers
+        assert (sum(r["n_bytes"] for r in dd)
+                < sum(r["n_bytes"] for r in full) - 8000)
+        # responses read back: exactly the two distinct payloads
+        got = {(r["url"], bytes(r["html"])) for r in
+               read_warc(spark, dd_dir + "/*.warc").collect()}
+        assert got == {("https://a.com/x", big), ("https://b.com/y", b"tiny")}
+        # raw revisit records carry the 1.1 profile + pointer headers
+        raw = b"".join(open(r["path"], "rb").read() for r in dd)
+        digest = base64.b32encode(hashlib.sha1(big).digest()).decode()
+        assert raw.count(b"WARC-Type: revisit") == 2
+        assert raw.count(
+            b"WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
+            b"identical-payload-digest") == 2
+        assert raw.count(b"WARC-Refers-To-Target-URI: https://a.com/x") == 2
+        assert raw.count(f"WARC-Payload-Digest: sha1:{digest}".encode()) == 2
+        assert b"WARC-Refers-To-Date: 2025-01-01" in raw
+
     def test_lookup_arg_validation(self, spark):
         from wine_label_ocr_spark.operators.cdx import cdx_lookup
         root = tempfile.mkdtemp(prefix="wlos_cdx_")

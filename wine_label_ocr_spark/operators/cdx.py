@@ -135,7 +135,8 @@ def cdx_lookup(spark: SparkSession, root: str, url: str | None = None,
 
 def revisit_records(pages: DataFrame, url_col: str = "url",
                     ts_col: str = "warc_ts",
-                    payload_col: str = "html") -> DataFrame:
+                    payload_col: str = "html",
+                    keep_payload: bool = False) -> DataFrame:
     """WARC revisit-record classification (the WARC 1.1
     identical-payload-digest profile, the Common Crawl storage
     dedup): among all captures sharing a (surt, digest) pair, the
@@ -148,19 +149,38 @@ def revisit_records(pages: DataFrame, url_col: str = "url",
     Output: ``(surt, url, ts, digest, length, record_type,
     refers_to_url, refers_to_ts)`` with refers_to_* NULL on responses.
 
+    ``keep_payload=True`` adds the payload bytes back as ``html`` —
+    non-NULL ONLY on responses (revisits are pointers) — so the result
+    feeds ``sources.warc.write_warc_shards`` directly as a deduped
+    export (``export_deduped_warc``). The payload then rides the one
+    (surt, digest) shuffle; with it off, only the ~100-byte capture
+    rows shuffle.
+
     Scale shape: ONE window over (surt, digest) — the same key the CDX
     index is range-partitioned on, so on a committed index the sort is
     cluster-local; no self-join, no second scan of payload bytes (the
     digest is computed once by ``cdx_records``)."""
     from pyspark.sql import Window
     recs = cdx_records(pages, url_col, ts_col, payload_col)
+    if keep_payload:
+        body = pages.select(
+            F.col(url_col).alias("url"), F.col(ts_col).alias("ts"),
+            F.col(payload_col).cast("binary").alias("_payload"))
+        # plan-local re-attach: (url, ts) is the capture's identity, so
+        # this is a narrow 1:1 join the optimizer collapses into the
+        # same scan lineage (no second pass over the page bytes)
+        recs = recs.join(body, ["url", "ts"])
     w = Window.partitionBy("surt", "digest").orderBy("ts", "url")
     first_url = F.first("url").over(w)
     first_ts = F.first("ts").over(w)
     rn = F.row_number().over(w)
-    return recs.select(
+    out_cols = [
         "surt", "url", "ts", "digest", "length",
         F.when(rn == 1, F.lit("response")).otherwise(F.lit("revisit"))
          .alias("record_type"),
         F.when(rn > 1, first_url).alias("refers_to_url"),
-        F.when(rn > 1, first_ts).alias("refers_to_ts"))
+        F.when(rn > 1, first_ts).alias("refers_to_ts")]
+    if keep_payload:
+        out_cols.append(
+            F.when(rn == 1, F.col("_payload")).alias("html"))
+    return recs.select(*out_cols)

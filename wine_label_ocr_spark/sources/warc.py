@@ -73,7 +73,10 @@ def format_warc_record(url: str, warc_ts: datetime, payload: bytes,
                        lang: str | None = None,
                        record_type: str = "response",
                        http_envelope: bool = False,
-                       http_content_type: str | None = None) -> bytes:
+                       http_content_type: str | None = None,
+                       refers_to_url: str | None = None,
+                       refers_to_ts: datetime | None = None,
+                       payload_digest: str | None = None) -> bytes:
     """One WARC/1.0 record (deterministic byte layout for golden tests).
 
     ``http_envelope=True`` writes the Common-Crawl layout: the WARC header
@@ -81,9 +84,27 @@ def format_warc_record(url: str, warc_ts: datetime, payload: bytes,
     becomes a full HTTP/1.1 response (status line, ``Content-Type`` from
     ``http_content_type`` — default ``text/html`` with the charset the
     extractor would detect from the payload — then the entity bytes).
-    """
+
+    ``record_type="revisit"`` writes the WARC 1.1 identical-payload-
+    digest profile: an EMPTY body plus ``WARC-Profile``,
+    ``WARC-Refers-To-Target-URI``/``-Date`` (the original capture) and
+    ``WARC-Payload-Digest: sha1:<base32>`` — a ~200-byte pointer in
+    place of the payload, the cross-crawl storage dedup Common Crawl
+    ships (see ``operators.cdx.revisit_records``)."""
     body = payload
     extra: list[tuple[str, str]] = []
+    if record_type == "revisit":
+        body = b""
+        extra = [("WARC-Profile",
+                  "http://netpreserve.org/warc/1.1/revisit/"
+                  "identical-payload-digest")]
+        if refers_to_url is not None:
+            extra.append(("WARC-Refers-To-Target-URI", refers_to_url))
+        if refers_to_ts is not None:
+            extra.append(("WARC-Refers-To-Date",
+                          refers_to_ts.strftime(_DATE_FMT)))
+        if payload_digest is not None:
+            extra.append(("WARC-Payload-Digest", f"sha1:{payload_digest}"))
     if http_envelope and record_type == "response":
         if http_content_type is None:
             from ..oracle import detect_charset
@@ -312,6 +333,11 @@ def write_warc_shards(pages: DataFrame, out_dir: str,
 
     def write_partition(batches: Iterable) -> Iterator:
         import pandas as pd
+
+        def _dt(v):
+            return (None if v is None or pd.isna(v)
+                    else pd.Timestamp(v).to_pydatetime())
+
         name = f"shard-{_uuid.uuid4().hex}.warc" + (".gz" if compress else "")
         tmp = os.path.join(out_dir, name + ".tmp")
         final = os.path.join(out_dir, name)
@@ -322,11 +348,20 @@ def write_warc_shards(pages: DataFrame, out_dir: str,
             if f is None:
                 f = open(tmp, "wb")
             for r in pdf.itertuples(index=False):
+                # per-row record type (the revisit_records shape)
+                # overrides the sink-level default; revisit rows carry
+                # no payload — the pointer headers replace it
+                rt = getattr(r, "record_type", None) or record_type
+                payload = (bytes(r.html)
+                           if getattr(r, "html", None) is not None else b"")
                 rec = pack(format_warc_record(
                     r.url, pd.Timestamp(r.ts).to_pydatetime(),
-                    bytes(r.html), getattr(r, "lang", None),
-                    record_type=record_type,
-                    http_envelope=http_envelope))
+                    payload, getattr(r, "lang", None),
+                    record_type=rt,
+                    http_envelope=http_envelope,
+                    refers_to_url=getattr(r, "refers_to_url", None),
+                    refers_to_ts=_dt(getattr(r, "refers_to_ts", None)),
+                    payload_digest=getattr(r, "digest", None)))
                 f.write(rec)
                 n += 1
                 n_bytes += len(rec)
@@ -338,10 +373,29 @@ def write_warc_shards(pages: DataFrame, out_dir: str,
         yield pd.DataFrame([(final, n, n_bytes)],
                            columns=["path", "n_records", "n_bytes"])
 
-    cols = [c for c in ("url", "warc_ts", "html", "lang") if c in pages.columns]
+    cols = [c for c in ("url", "warc_ts", "html", "lang", "record_type",
+                        "refers_to_url", "refers_to_ts", "digest")
+            if c in pages.columns]
     sel = pages.select(*cols).withColumnRenamed("warc_ts", "ts")
     return sel.mapInPandas(
         write_partition, schema="path string, n_records long, n_bytes long")
+
+
+def export_deduped_warc(pages: DataFrame, out_dir: str,
+                        n_shards: int | None = None,
+                        compress: bool = False) -> DataFrame:
+    """Deduplicated WARC export: classify captures with
+    ``operators.cdx.revisit_records`` (WARC 1.1 identical-payload-digest
+    profile) and ship ONE full ``response`` per distinct (surt, digest)
+    plus ~200-byte ``revisit`` pointers for every repeat — the
+    Common-Crawl cross-crawl storage shape. Returns the shard manifest;
+    at archive scale (most captures unchanged between crawls) the
+    byte cut approaches the corpus duplication rate."""
+    from ..operators.cdx import revisit_records
+    rv = revisit_records(pages, keep_payload=True)
+    return write_warc_shards(
+        rv.withColumnRenamed("ts", "warc_ts"),
+        out_dir, n_shards=n_shards, compress=compress)
 
 
 def read_warc(spark: SparkSession, path_glob: str,
