@@ -3174,11 +3174,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_buckets_pruned": q_lm_buckets_pruned,
         "media_webp_lossy": q_media_webp_lossy,
         "warc_revisit": q_warc_revisit,
-        # (3) code-touched this round (r8): robots-meta merge touched the
-        # crawl gate path; the shared href-resolution pass touched
-        # crawl_cycle + anchor_text; the scheme-case fix touched
-        # anchor_text_index; VP8L 2-D distance codes + VP8 lossy touched
-        # media_pixels_webp; the pruned LM touched lm_buckets
+        # (3) code-touched this round (r8): robots-meta merge + the
+        # anchor_index_k/broadcast_candidates additions touched the
+        # crawl gate path; the scheme-case fix touched
+        # anchor_text_index; VP8L 2-D distance codes touched
+        # media_pixels_webp; the pruned-flavor addition touched
+        # lm_buckets
         "crawl_cycle": q_crawl_cycle,
         "crawl_cycle_funnel": q_crawl_cycle_funnel,
         "crawl_cycle_sitemap": q_crawl_cycle_sitemap,
