@@ -272,6 +272,33 @@ class TestCdxIndex:
             .executedPlan().toString()
         assert "Join" not in plan
 
+    def test_revisit_null_digest_always_response(self, spark):
+        """NULL payload → NULL digest = UNKNOWN content: the
+        identical-payload-digest relation is unverifiable, so every
+        NULL-digest capture stays a full response — never a revisit of
+        another unknown (ADVICE r8: the window groups NULLs together,
+        which would otherwise collapse all fetch-failure captures of a
+        surt onto the first one)."""
+        from wine_label_ocr_spark.operators.cdx import revisit_records
+        rows = [
+            ("https://a.com/x", "2025-01-01 00:00:00", None),
+            ("https://a.com/x", "2025-01-02 00:00:00", None),
+            ("https://a.com/x", "2025-01-03 00:00:00", b"v1"),
+            ("https://a.com/x", "2025-01-04 00:00:00", b"v1"),
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts string, html binary") \
+            .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        out = sorted(revisit_records(df, keep_payload=True).collect(),
+                     key=lambda r: r["ts"])
+        assert [r["record_type"] for r in out] == [
+            "response", "response", "response", "revisit"]
+        assert all(r["refers_to_url"] is None for r in out[:3])
+        # NULL-digest responses keep their (absent) payload slot; the
+        # real revisit still points at the first REAL capture
+        assert out[3]["refers_to_ts"] == out[2]["ts"]
+        assert out[3]["html"] is None and out[2]["html"] == b"v1"
+
     def test_export_deduped_warc_roundtrip(self, spark, tmp_path):
         """Deduped WARC export: one full response per distinct payload,
         WARC 1.1 revisit pointers for repeats (profile + refers-to +
@@ -474,6 +501,25 @@ class TestHeadMeta:
         r2 = self._run(spark, '<meta name="robots" content="all">'
                        '<meta name="robots" content="noindex">')
         assert r2["robots_noindex"] and not r2["robots_nofollow"]
+
+    def test_robots_flags_null_html_false(self, spark):
+        """Fetch-failure rows (NULL html) keep the boolean contract:
+        flags are False, never NULL (ADVICE r8 — F.exists over a NULL
+        array is NULL without the coalesce)."""
+        from wine_label_ocr_spark.operators.html_meta import \
+            robots_meta_flags
+        df = spark.createDataFrame(
+            [("https://a.io/", None)], "url string, html string")
+        noindex, nofollow = robots_meta_flags(F.col("html"))
+        r = df.select(noindex.alias("ni"), nofollow.alias("nf")) \
+              .collect()[0]
+        assert r["ni"] is False and r["nf"] is False
+
+    def test_anchor_index_both_none_raises(self, spark):
+        from wine_label_ocr_spark.operators.graph import anchor_text_index
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="df.*or.*links"):
+            anchor_text_index()
 
     def test_http_equiv_charset_and_empty(self, spark):
         r = self._run(spark, '<meta http-equiv="Content-Type"'

@@ -174,13 +174,20 @@ def revisit_records(pages: DataFrame, url_col: str = "url",
     first_url = F.first("url").over(w)
     first_ts = F.first("ts").over(w)
     rn = F.row_number().over(w)
+    # NULL digest = unknown payload (fetch failure / payload_col
+    # absent): the identical-payload relation is unverifiable, so such
+    # captures are ALWAYS stored as full responses — never classified
+    # as revisits of each other (ADVICE r8; window NULLs group
+    # together, which would otherwise collapse every NULL-digest
+    # capture of a surt onto the first one).
+    is_resp = (rn == 1) | F.col("digest").isNull()
     out_cols = [
         "surt", "url", "ts", "digest", "length",
-        F.when(rn == 1, F.lit("response")).otherwise(F.lit("revisit"))
+        F.when(is_resp, F.lit("response")).otherwise(F.lit("revisit"))
          .alias("record_type"),
-        F.when(rn > 1, first_url).alias("refers_to_url"),
-        F.when(rn > 1, first_ts).alias("refers_to_ts")]
+        F.when(~is_resp, first_url).alias("refers_to_url"),
+        F.when(~is_resp, first_ts).alias("refers_to_ts")]
     if keep_payload:
         out_cols.append(
-            F.when(rn == 1, F.col("_payload")).alias("html"))
+            F.when(is_resp, F.col("_payload")).alias("html"))
     return recs.select(*out_cols)

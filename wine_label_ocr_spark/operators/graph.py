@@ -316,6 +316,10 @@ def anchor_text_index(df: DataFrame | None = None, id_col: str = "url",
     single-reducer stage. Empty anchors ("" after normalization — image
     links) are dropped: they carry no signal and would otherwise
     dominate every popular target's top-k."""
+    if df is None and links is None:
+        raise ValueError(
+            "anchor_text_index needs either `df` (pages) or `links` "
+            "(a pre-extracted page_links DataFrame)")
     if links is not None:
         keyed = links.select(
             F.col("resolved" if resolve else "href").alias("dst"), "anchor")

@@ -71,7 +71,12 @@ def robots_meta_flags(html: Column) -> tuple[Column, Column]:
     robots = F.filter(_meta_entries(html), lambda e: e["k"] == "robots")
 
     def any_token(pat: str) -> Column:
-        return F.exists(robots, lambda e: F.lower(e["v"]).rlike(pat))
+        # F.exists over a NULL array (NULL html) is NULL — coalesce to
+        # False so the flags keep their boolean contract on
+        # fetch-failure rows (ADVICE r8).
+        return F.coalesce(
+            F.exists(robots, lambda e: F.lower(e["v"]).rlike(pat)),
+            F.lit(False))
 
     return (any_token(r"(^|[,\s])noindex($|[,\s])"),
             any_token(r"(^|[,\s])nofollow($|[,\s])"))

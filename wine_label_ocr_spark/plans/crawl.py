@@ -209,7 +209,8 @@ def crawl_cycle(pages: DataFrame, robots: DataFrame,
                 sitemaps: DataFrame | None = None,
                 respect_meta_robots: bool = False,
                 anchor_index_k: int | None = None,
-                broadcast_candidates: bool = False):
+                broadcast_candidates: bool = False,
+                ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """One crawl cycle: fetched ``pages (url, html)`` + per-host
     ``robots (host, robots_txt)`` + the prior cycles' seen-URL store →
     the next fetch schedule ``(url, host, seq, worker, delay_ms,
