@@ -3152,48 +3152,138 @@ _FRONTIER_PRIORITY_ORACLE_SQL = """
 """
 
 
+def _certified(row) -> bool:
+    """A driver CORRECTNESS row counts as certification when rows and
+    schema matched, nothing errored, and the value hash (when the gate
+    had one — rows-only gates record null) did not mismatch."""
+    return (isinstance(row, dict) and bool(row.get("rows_match"))
+            and bool(row.get("schema_match"))
+            and row.get("err") in (None, "")
+            and row.get("hash_match") is not False)
+
+
+def _gate_backing_files(fn) -> list[str]:
+    """Package modules a gate query imports (by source scan of its
+    absolute ``wine_label_ocr_spark.…`` imports) — the files whose churn
+    must re-promote the gate into the certification cap."""
+    import inspect
+    import os
+    import re as _re
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return []
+    here = os.path.dirname(os.path.abspath(__file__))
+    mods = set(_re.findall(
+        r"wine_label_ocr_spark(?:\.[A-Za-z_][\w]*)*", src))
+    # `from pkg.sub import name[, name2] [as alias]`: each name may be a
+    # submodule (e.g. `from wine_label_ocr_spark.sources import warc`)
+    for pkg, names in _re.findall(
+            r"from\s+(wine_label_ocr_spark(?:\.[\w]+)*)\s+import\s+"
+            r"\(?([\w,\s]+)\)?", src):
+        for name in names.replace(",", " ").split():
+            if name != "as":
+                mods.add(pkg + "." + name)
+    out = []
+    for mod in sorted(mods):
+        rel = mod.replace(".", os.sep)
+        for cand in (rel + ".py", os.path.join(rel, "__init__.py")):
+            p = os.path.join(here, cand)
+            if os.path.isfile(p):
+                out.append(p)
+                break
+    return sorted(set(out))
+
+
+def _rotation_order(gates: dict, art_dir: str | None = None) -> list[str]:
+    """Derived certification priority under the driver's ~50-entry
+    artifact cap (r8 VERDICT #7: the rule lives in CODE, not a
+    hand-maintained list). Inputs: the committed ``CORRECTNESS_r*.json``
+    driver artifacts (last certified round + its file mtime per gate)
+    and each gate's backing-module mtimes. Buckets, in priority order:
+
+    0. certification DEBT — last driver row ≥2 rounds ago (the "nothing
+       goes two rounds uncertified" invariant is already broken for
+       these; they must lead);
+    1. never driver-certified (new gates — no history at all);
+    2. backing module changed since the gate's last certification
+       (module mtime newer than that round's artifact mtime);
+    3. everything else, stalest-first, so the cap is absorbed by the
+       gates with the freshest driver rows.
+
+    Within a bucket: stalest first, then declaration order. Degrades
+    gracefully: in a fresh checkout (all mtimes equal) bucket 2 folds
+    into bucket 3 and the order is pure staleness; with no artifacts at
+    all it is declaration order. Any error → declaration order.
+
+    With |registry| > cap, bucket-3 overflow past the cap is
+    unavoidable; the builder re-verifies the overflow locally each
+    round with ``tools/check_oracle.py`` and records it in BENCH.md."""
+    import glob
+    import json as _json
+    import os
+    import re as _re
+    decl = list(gates)
+    try:
+        here = art_dir or os.path.dirname(os.path.abspath(__file__))
+        last_cert, cert_mtime, rounds = {}, {}, [0]
+        for p in sorted(glob.glob(os.path.join(here,
+                                               "CORRECTNESS_r*.json"))):
+            m = _re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            rounds.append(rnd)
+            try:
+                with open(p) as fh:
+                    data = _json.load(fh)
+            except (OSError, ValueError):
+                continue
+            mt = os.path.getmtime(p)
+            for g, row in data.items():
+                if _certified(row) and rnd >= last_cert.get(g, -1):
+                    last_cert[g] = rnd
+                    cert_mtime[g] = mt
+        cur = max(rounds) + 1
+
+        def key(pair):
+            i, name = pair
+            lc = last_cert.get(name)
+            if lc is None:
+                return (1, 0, i)
+            stale = cur - lc
+            if stale >= 3:
+                return (0, -stale, i)
+            touched = any(os.path.getmtime(f) > cert_mtime[name]
+                          for f in _gate_backing_files(gates[name]))
+            return (2 if touched else 3, -stale, i)
+
+        return [n for _, n in sorted(enumerate(decl), key=key)]
+    except Exception:
+        return decl
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Order = driver certification priority under the ~50-entry artifact
-    # cap. Rule (r7 VERDICT): NEW-or-never-certified gates outrank
-    # everything — new code has no certification history; re-certified
-    # code does. Then (2) gates whose code changed THIS round (r8), then
-    # (3) the stalest re-certifications (last hash-green in r6 — the r7
-    # cap-absorbing tail), and the cap is absorbed exclusively by
-    # r7-certified entries with untouched code (union-across-rounds
-    # keeps those certified; nothing goes two rounds uncertified).
-    return {
-        # (1) never-driver-certified before r8: the two r7 gates the cap
-        # cut (head_meta, frontier_priority) and the two upgraded from
-        # rows-only to full value oracles this round (ivf_topk via fixed
-        # centroids, compression_ratio via planted-shape zlib constants)
+    """Registry, in driver certification priority order — DERIVED by
+    ``_rotation_order`` from the committed CORRECTNESS artifacts and
+    backing-module mtimes (never/debt/touched/stalest-first; see its
+    docstring). The dict below is DECLARATION order only — grouped by
+    operator family — and is the deterministic tie-break + the fallback
+    when no artifacts are readable."""
+    declared = {
         "head_meta": q_head_meta,
         "frontier_priority": q_frontier_priority,
         "ivf_topk": q_ivf_topk,
         "compression_ratio": q_compression_ratio,
-        # (2) new r8 gates (appended as they land this round)
         "lm_buckets_pruned": q_lm_buckets_pruned,
         "media_webp_lossy": q_media_webp_lossy,
         "warc_revisit": q_warc_revisit,
-        # (3) code-touched this round (r8): robots-meta merge + the
-        # anchor_index_k/broadcast_candidates additions touched the
-        # crawl gate path; the scheme-case fix touched
-        # anchor_text_index; VP8L 2-D distance codes touched
-        # media_pixels_webp; the pruned-flavor addition touched
-        # lm_buckets
         "crawl_cycle": q_crawl_cycle,
         "crawl_cycle_funnel": q_crawl_cycle_funnel,
         "crawl_cycle_sitemap": q_crawl_cycle_sitemap,
         "anchor_text": q_anchor_text,
         "media_pixels_webp": q_media_pixels_webp,
         "lm_buckets": q_lm_buckets,
-        # (4) stalest re-certifications: last hash-green in r6 (the r7
-        # cap-absorbing tail), code untouched since — these fill the
-        # remaining ~40 slots. With 100 gates and a ~50-entry cap the
-        # steady state is alternating halves (each gate re-certifies
-        # every other round); the handful of r6 entries past slot ~50
-        # carry to the FRONT of the r9 rotation. The tail below is
-        # ordered so any overflow lands on gates whose operator code is
-        # also exercised by an in-cap gate this round.
         "tfidf_pruned": q_tfidf_pruned,
         "customers_without_orders": q_customers_without_orders,
         "quality_classifier": q_quality_classifier,
@@ -3240,10 +3330,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_quantized": q_embedding_quantized,
         "exact_dedup": q_exact_dedup,
-        # ---- entries below here absorb the driver's ~50-entry cap ----
-        # cap-absorbing tail: r7 hash-green (CORRECTNESS_r07.json), code
-        # untouched this round — the freshest certifications, so the cap
-        # always eats the entries with the most recent history
         "best_variant": q_best_variant,
         "bpe_real_tokens": q_bpe_real_tokens,
         "curation_funnel": q_curation_funnel,
@@ -3289,6 +3375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datacard": q_corpus_datacard,
         "script_profile": q_script_profile,
     }
+    return {name: declared[name] for name in _rotation_order(declared)}
 
 
 def _minhash_oracle_sql(n_perm=16, n_bands=4, k=3, min_j=0.4, max_bucket=200,
