@@ -782,6 +782,96 @@ def q_bpe_real_tokens(spark, sf):  # textops: merge-table BPE tokenization
     ).orderBy("doc_id")
 
 
+# Planted BPE-training corpus: four fixed word-mix classes assigned by
+# doc_id % 4 over the FIXED doc_id<40 window (10 copies per class at
+# every sf — the histogram, and therefore the learned merge sequence, is
+# scale-invariant). Lowercase a–z + space only: no quoting/regex seams.
+_BPE_TRAIN_TEXTS = [
+    "low lower lowest low low slow slower glow",
+    "newest newer new news renew newest newest",
+    "widest wider wide widen widow wild widest",
+    "the then there these other weather the the",
+]
+
+
+def _bpe_reference_train(texts, n_merges, min_count=2):
+    """Pure-Python reference BPE trainer (Sennrich): used ONLY at
+    oracle-SQL build time to state the expected merge table closed-form
+    (the compression_ratio planted-zlib-constants pattern). Same rules
+    the distributed trainer implements: BPE_ISH_PATTERN pre-tokens,
+    per-position overlapping pair counts, best by (count desc, pair
+    asc), greedy left-to-right merge."""
+    import collections
+    import re as _re
+    words = collections.Counter()
+    for t in texts:
+        words.update(_re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", t))
+    syms = {w: list(w) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pc = collections.Counter()
+        for w, n in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc:
+            break
+        pair, cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append(pair)
+        a, b = pair
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def q_bpe_train(spark, sf):  # textops: DISTRIBUTED BPE merge training
+    """The learn side of the BPE pair (r8 VERDICT #2; apply side =
+    bpe_real_tokens): the REAL distributed trainer — one corpus shuffle
+    to the word histogram, then per-round pair-count aggregation with a
+    one-row TakeOrdered collect and plan-literal merge application —
+    runs over the planted 40-doc corpus (doc_id<40, class = doc_id%4,
+    10 copies each at every sf). The oracle states the expected ranked
+    merge table closed-form via the embedded single-process reference
+    trainer (compression_ratio's planted-constants pattern)."""
+    from wine_label_ocr_spark.operators.textops import bpe_train
+    d = _t(spark, sf, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 40)
+    cls = F.array(*[F.lit(t) for t in _BPE_TRAIN_TEXTS])
+    text = F.get(cls, F.pmod(F.col("doc_id"),
+                             F.lit(len(_BPE_TRAIN_TEXTS))).cast("int"))
+    merges = bpe_train(d.select(text.alias("text")), n_merges=12,
+                       checkpoint_every=4)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, lhs string, rhs string").orderBy("rank")
+
+
+def _bpe_train_oracle_sql() -> str:
+    """Expected merges computed ONCE here by the reference trainer on
+    the identical 40-copy planted corpus, stated as literals (lhs/rhs —
+    LEFT/RIGHT are reserved words in DuckDB)."""
+    corpus = [_BPE_TRAIN_TEXTS[i % len(_BPE_TRAIN_TEXTS)]
+              for i in range(40)]
+    merges = _bpe_reference_train(corpus, 12)
+    values = ", ".join(f"({i}, '{a}', '{b}')"
+                       for i, (a, b) in enumerate(merges))
+    return f"""
+        SELECT CAST(rank AS INT) AS rank, lhs, rhs
+        FROM (VALUES {values}) AS t(rank, lhs, rhs)
+        ORDER BY rank
+    """
+
+
 def q_wat_sidecar(spark, sf):  # warc: WAT metadata export, end-to-end
     """WAT sidecar under the correctness gate: planted pages (title on
     all but every 7th doc, doc_id%3 outlinks) → build_wat_records →
@@ -3332,6 +3422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "best_variant": q_best_variant,
         "bpe_real_tokens": q_bpe_real_tokens,
+        "bpe_train": q_bpe_train,
         "curation_funnel": q_curation_funnel,
         "ema_final": q_ema_final,
         "host_stats": q_host_stats,
@@ -4779,6 +4870,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY doc_id
         """,
+        "bpe_train": _bpe_train_oracle_sql(),
         "wat_sidecar": """
             -- closed-form expected WAT envelope fields: header echo of
             -- url + ISO date, title absent on every 7th doc, doc_id%3

@@ -623,3 +623,89 @@ class TestBigramLM:
             round(math.log((big[(w1, w2)] + 1) / (uni[w1] + V)) * 1e6)
             for w1, w2 in zip(docs_toks[1][:-1], docs_toks[1][1:]))
         assert out[2]["logprob_scaled"] == want
+
+
+def _ref_bpe_train(texts, n_merges, min_count=2, min_word_count=1):
+    """Independent single-process BPE TRAINER (Sennrich-style, written
+    without looking at the distributed version): word histogram →
+    per-round overlapping adjacent-pair counts → best pair by
+    (count desc, pair asc) → greedy left-to-right merge."""
+    import collections
+    import re
+    words = collections.Counter()
+    for t in texts:
+        words.update(re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", t))
+    if min_word_count > 1:
+        words = collections.Counter(
+            {w: n for w, n in words.items() if n >= min_word_count})
+    syms = {w: list(w) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pc = collections.Counter()
+        for w, n in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc:
+            break
+        pair, cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append(pair)
+        a, b = pair
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from wine_label_ocr_spark.operators.textops import bpe_train
+    texts = ["low low low low low lower lower",
+             "newest newest newest newest newest newest",
+             "widest widest widest", "the theater seethes the the",
+             "aaa aaaa aa a", "er er er!", "2049 tokens, $3.50"]
+    # skewed repeats so counts separate; includes overlap cases (aaa)
+    df = spark.createDataFrame([(t,) for t in texts * 3], "text string")
+    got = bpe_train(df, n_merges=16, checkpoint_every=4)
+    want = _ref_bpe_train([t for t in texts * 3], 16)
+    assert got == want and len(got) > 8
+
+
+def test_bpe_train_then_tokenize_roundtrip(spark):
+    """Trained merges feed the existing apply path and reproduce the
+    reference trainer+tokenizer end to end (the learn→apply contract)."""
+    from wine_label_ocr_spark.operators.textops import (
+        bpe_tokenize, bpe_train)
+    texts = ["hugging bugs hugging rugs", "hugs hugs hugs bugs",
+             "rug bug hug", "debugging debuggers debug"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges = bpe_train(df, n_merges=10)
+    assert merges == _ref_bpe_train(texts, 10)
+    rows = df.select("text",
+                     bpe_tokenize(F.col("text"), merges).alias("toks")) \
+             .collect()
+    for r in rows:
+        assert r["toks"] == _ref_bpe(r["text"], merges)
+
+
+def test_bpe_train_stop_conditions(spark):
+    from wine_label_ocr_spark.operators.textops import bpe_train
+    # every pair unique → best count 1 < min_count 2 → no merges
+    df = spark.createDataFrame([("abcdefg",)], "text string")
+    assert bpe_train(df, n_merges=5) == []
+    # min_count=1 merges until single symbols exhaust (word length 7 →
+    # 6 merges max), never raises past exhaustion
+    assert len(bpe_train(df, n_merges=50, min_count=1)) == 6
+    # hapax pruning: min_word_count drops singleton words entirely
+    df2 = spark.createDataFrame(
+        [("zz zz zz",), ("qxjk",)], "text string")
+    merges = bpe_train(df2, n_merges=5, min_word_count=2)
+    assert merges == [("z", "z")]

@@ -144,6 +144,94 @@ def bpe_tokenize(text: Column, merges: list[tuple[str, str]],
         F.transform(words, lambda w: _bpe_word_tokens(w, ranks)))
 
 
+def _adjacent_pairs(syms: Column) -> Column:
+    """array<struct<lhs,rhs>> of adjacent symbol pairs (per POSITION, so
+    overlapping occurrences count — the subword-nmt counting rule);
+    empty below two symbols (guards F.sequence's descending-step trap
+    when size-2 < 0)."""
+    idx = F.sequence(F.lit(0), F.size(syms) - 2)
+    pairs = F.transform(idx, lambda i: F.struct(
+        F.get(syms, i).alias("lhs"), F.get(syms, i + 1).alias("rhs")))
+    return F.when(F.size(syms) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<lhs:string,rhs:string>>"))
+
+
+def _merge_adjacent(syms: Column, lhs: str, rhs: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of one literal pair
+    within a symbol array — the same fold rule ``_bpe_word_tokens``
+    applies at tokenize time, so trained merges replay identically."""
+    left, right = F.lit(lhs), F.lit(rhs)
+    return F.aggregate(
+        syms, F.array().cast("array<string>"),
+        lambda st, s: F.when(
+            (F.size(st) > 0)
+            & (F.get(st, F.size(st) - 1) == left) & (s == right),
+            F.concat(F.slice(st, 1, F.size(st) - 1),
+                     F.array(F.concat(left, right))))
+        .otherwise(F.concat(st, F.array(s))))
+
+
+def bpe_train(df: DataFrame, text_col: str = "text", n_merges: int = 32,
+              min_count: int = 2, min_word_count: int = 1,
+              checkpoint_every: int = 8) -> list[tuple[str, str]]:
+    """Distributed BPE merge-table TRAINING (the learn side of
+    ``bpe_tokenize``'s published-``merges.txt`` apply path): iterative
+    highest-count adjacent-pair selection over the corpus, the
+    Sennrich/GPT-2 algorithm.
+
+    1. ONE corpus-wide shuffle builds the word histogram
+       (``BPE_ISH_PATTERN`` pre-tokens → groupBy(word).count() with
+       map-side partial combine) — after this the corpus is never
+       rescanned; every merge round runs over |vocab| rows, which Zipf
+       keeps orders of magnitude below |corpus| (``min_word_count``
+       prunes the hapax tail when even |vocab| is large — at web scale
+       singleton "words" are mostly noise and can't win a merge that
+       needs ``min_count`` anyway).
+    2. Per round: adjacent-pair counts weighted by word frequency
+       (per-position, overlapping — the subword-nmt rule), global agg,
+       ``TakeOrdered(1)`` by (count desc, lhs asc, rhs asc) — a
+       deterministic tie-break shared with the in-test reference
+       trainer and the DuckDB gate constants. The per-round ``collect``
+       is ONE row (the centroid-collect shape); the winning pair is
+       applied to the cached symbol arrays as plan-literal column
+       algebra (``_merge_adjacent`` — the exact greedy fold
+       ``_bpe_word_tokens`` replays at apply time).
+    3. Lineage is truncated every ``checkpoint_every`` rounds with an
+       eager ``localCheckpoint`` (executor-local blocks — swap for
+       ``checkpoint()`` on a reliable store when training must survive
+       executor loss; the histogram is re-derivable either way).
+
+    Stops early when no pair reaches ``min_count``. Returns the ranked
+    merge list — a driver-side value BY DESIGN: it becomes the plan
+    literal ``bpe_tokenize``/``bpe_token_count`` broadcast into the
+    apply path (reference analog: the repo ships its lexicon as
+    constants, e.g. ``MakerAndCustomIDSimilarity.py``'s winery list;
+    here the lexicon is LEARNED from the corpus instead)."""
+    words = (df.select(F.explode(F.regexp_extract_all(
+                 F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)).alias("word"))
+               .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+    if min_word_count > 1:
+        words = words.filter(F.col("n") >= min_word_count)
+    cur = (words.select(F.split("word", "").alias("syms"), "n")
+           .localCheckpoint(eager=True))
+    merges: list[tuple[str, str]] = []
+    for r in range(n_merges):
+        best = (cur.select(F.explode(_adjacent_pairs(F.col("syms")))
+                           .alias("p"), "n")
+                .groupBy("p").agg(F.sum("n").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("p.lhs"), F.asc("p.rhs"))
+                .limit(1).collect())
+        if not best or best[0]["cnt"] < min_count:
+            break
+        lhs, rhs = best[0]["p"]["lhs"], best[0]["p"]["rhs"]
+        merges.append((lhs, rhs))
+        cur = cur.withColumn("syms",
+                             _merge_adjacent(F.col("syms"), lhs, rhs))
+        if (r + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return merges
+
+
 def bpe_token_count(text: Column, merges: list[tuple[str, str]],
                     literal_pair_threshold: int = 2000) -> Column:
     """Token count under a real BPE merge table — the budget column for
