@@ -353,6 +353,150 @@ def q_lang_id(spark, sf):  # textops: marker-based language id
                     lang_id(F.col("text")).alias("lang_pred"))
 
 
+# Seed corpus for the statistical lang-id head (r8 VERDICT #3) — three
+# generic sentences + one interrogative phrase-book line per language.
+# PUBLIC-knowledge sample text written for this repo; the model is
+# multinomial NB over hashed char 2–3-grams (Cavnar–Trenkle/langid.py
+# family), so the whole train+score path is exact integer algebra both
+# engines can replay.
+_LANG_SEED = [
+    ("en", "the quick brown fox jumps over the lazy dog and runs away"),
+    ("en", "she was not there when they looked for the right answer"),
+    ("en", "every morning brings another chance to think things through"),
+    ("en", "could you tell me what time it is right now please"),
+    ("de", "der schnelle braune fuchs springt über den faulen hund weg"),
+    ("de", "sie war nicht dort als sie nach der richtigen antwort suchten"),
+    ("de", "jeden morgen gibt es eine neue gelegenheit nachzudenken"),
+    ("de", "können sie mir bitte sagen wie spät es jetzt ist"),
+    ("fr", "le renard brun rapide saute par dessus le chien paresseux"),
+    ("fr", "elle n'était pas là quand ils cherchaient la bonne réponse"),
+    ("fr", "chaque matin apporte une nouvelle occasion de réfléchir"),
+    ("fr", "où est la gare et où sont les toilettes dans cette ville"),
+    ("es", "el rápido zorro marrón salta sobre el perro perezoso"),
+    ("es", "ella no estaba allí cuando buscaron la respuesta correcta"),
+    ("es", "cada mañana trae una nueva oportunidad para reflexionar"),
+    ("es", "puede decirme qué hora es ahora mismo por favor"),
+]
+
+# Planted doc texts (doc_id % 8): one phrase-book sentence per language
+# plus one function-word-FREE sample per language — the rows where the
+# marker heuristic has zero signal and only the char-gram statistics
+# decide (the pytest "beats the marker" bar, certified here by value).
+_LANG_DOCS = [
+    "wo ist der bahnhof bitte schön",
+    "where is the train station please",
+    "où est la gare s'il vous plaît",
+    "dónde está la estación de tren por favor",
+    "schadenfreude kindergarten zeitgeist doppelgänger",
+    "weatherproofing thoroughbred knighthood throughput",
+    "château grenouille écureuil chevalier papillon",
+    "ñoño añoranza cigüeña muñeca jalapeño zarzuela",
+]
+
+
+def q_lang_id_model(spark, sf):  # classify: statistical NB lang-id head
+    """The model-based lang-id upgrade over the marker heuristic
+    (q_lang_id stays as the cheap prefilter): NB over hashed char
+    2–3-grams, trained in-engine from the _LANG_SEED literals, scored
+    over planted per-doc_id texts, md5 bucket flavor for DuckDB parity.
+    Certifies the ENTIRE train+score path by value: char-gram
+    extraction, bucket hashing, add-one log-likelihood weights, the
+    per-gram unseen baseline, exact integer logits, argmax with
+    (logit desc, lang asc) tie-break, and the best-minus-second margin."""
+    from wine_label_ocr_spark.operators.classify import lang_id_classifier
+    d = _t(spark, sf, "documents").select("doc_id")
+    texts = F.array(*[F.lit(t) for t in _LANG_DOCS])
+    docs = d.select(
+        "doc_id",
+        F.get(texts, F.pmod(F.col("doc_id"),
+                            F.lit(len(_LANG_DOCS))).cast("int"))
+        .alias("text"))
+    seed = spark.createDataFrame(_LANG_SEED, "lang string, text string")
+    out = lang_id_classifier(docs, seed, oracle_safe=True)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "lang", "logit_scaled", "margin_scaled") \
+              .orderBy("doc_id")
+
+
+def _lang_grams_sql(src: str, key: str) -> str:
+    """DuckDB char-2/3-gram pipeline over ``src(key, text)`` →
+    ``(key, bucket, cnt)`` + total grams — mirrors
+    classify.lang_char_features (md5 flavor, 2^18 buckets, 192 chars)."""
+    return f"""(
+      WITH n0 AS (
+        SELECT {key},
+               substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      1, 192) AS s
+        FROM {src}),
+      g0 AS (
+        SELECT {key}, unnest(list_concat(
+          CASE WHEN length(s) >= 2 THEN list_transform(
+               generate_series(1, length(s) - 1), i -> substr(s, i, 2))
+               ELSE [] END,
+          CASE WHEN length(s) >= 3 THEN list_transform(
+               generate_series(1, length(s) - 2), i -> substr(s, i, 3))
+               ELSE [] END)) AS g
+        FROM n0)
+      SELECT {key},
+             CAST(CAST(concat('0x', substr(md5(g || '#0'), 1, 15))
+                  AS UBIGINT) AS BIGINT) % 262144 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM g0 GROUP BY 1, 2
+    )"""
+
+
+def _lang_id_model_oracle_sql() -> str:
+    """Full DuckDB twin of q_lang_id_model: trains the same NB weights
+    from the same seed literals and replays the scoring — no planted
+    constants, genuine cross-engine replication of train+score."""
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+    seed_vals = ", ".join(f"('{lang}', '{q(t)}')" for lang, t in _LANG_SEED)
+    doc_case = " ".join(f"WHEN {i} THEN '{q(t)}'"
+                        for i, t in enumerate(_LANG_DOCS))
+    return f"""
+        WITH seed(lang, text) AS (VALUES {seed_vals}),
+        docs AS (
+          SELECT doc_id, CASE doc_id % {len(_LANG_DOCS)} {doc_case} END
+                 AS text
+          FROM documents),
+        scnt AS (SELECT * FROM {_lang_grams_sql("seed", "lang")} t),
+        vv AS (SELECT COUNT(DISTINCT bucket) AS v FROM scnt),
+        tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot
+                FROM scnt GROUP BY 1),
+        w AS (SELECT lang, bucket,
+                     CAST(ROUND(ln(cnt + 1) * 1000000) AS BIGINT) AS w
+              FROM scnt),
+        base AS (SELECT lang,
+                        CAST(ROUND(ln(1.0 / (tot + v)) * 1000000)
+                             AS BIGINT) AS unk
+                 FROM tot, vv),
+        dgr AS (SELECT * FROM {_lang_grams_sql("docs", "doc_id")} t),
+        dtot AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n
+                 FROM dgr GROUP BY 1),
+        logits AS (
+          SELECT d.doc_id, b.lang,
+                 d.n * b.unk
+                 + COALESCE(CAST(SUM(g.cnt * w.w) AS BIGINT), 0) AS logit
+          FROM dtot d CROSS JOIN base b
+          LEFT JOIN dgr g ON g.doc_id = d.doc_id
+          LEFT JOIN w ON w.lang = b.lang AND w.bucket = g.bucket
+          GROUP BY d.doc_id, b.lang, d.n, b.unk),
+        ranked AS (
+          SELECT doc_id, lang, logit,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY logit DESC, lang ASC) AS rn
+          FROM logits)
+        SELECT r1.doc_id, r1.lang,
+               CAST(r1.logit AS BIGINT) AS logit_scaled,
+               CAST(r1.logit - r2.logit AS BIGINT) AS margin_scaled
+        FROM ranked r1
+        JOIN ranked r2 ON r1.doc_id = r2.doc_id AND r2.rn = 2
+        WHERE r1.rn = 1
+        ORDER BY r1.doc_id
+    """
+
+
 def q_content_fingerprint(spark, sf):  # textops: rolling-hash fingerprint
     from wine_label_ocr_spark.operators.textops import doc_fingerprint
     d = _t(spark, sf, "documents")
@@ -3402,6 +3546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
+        "lang_id_model": q_lang_id_model,
         "content_fingerprint": q_content_fingerprint,
         "tfidf_top_terms": q_tfidf_top_terms,
         "chunk_documents": q_chunk_documents,
@@ -4871,6 +5016,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "bpe_train": _bpe_train_oracle_sql(),
+        "lang_id_model": _lang_id_model_oracle_sql(),
         "wat_sidecar": """
             -- closed-form expected WAT envelope fields: header echo of
             -- url + ISO date, title absent on every 7th doc, doc_id%3

@@ -167,3 +167,136 @@ def test_wav_codec_and_audio_features(spark):
     assert got["short"]["decode_ok"] is False   # < n_fft samples
     assert got["junk"]["decode_ok"] is False
     assert len(got) == 4                         # no row vanishes
+
+
+# ---- statistical lang-id head (NB over hashed char n-grams) ----
+
+LANG_SEED = [
+    ("en", "the quick brown fox jumps over the lazy dog and runs away"),
+    ("en", "she was not there when they looked for the right answer"),
+    ("en", "every morning brings another chance to think things through"),
+    ("de", "der schnelle braune fuchs springt über den faulen hund weg"),
+    ("de", "sie war nicht dort als sie nach der richtigen antwort suchten"),
+    ("de", "jeden morgen gibt es eine neue gelegenheit nachzudenken"),
+    ("fr", "le renard brun rapide saute par dessus le chien paresseux"),
+    ("fr", "elle n'était pas là quand ils cherchaient la bonne réponse"),
+    ("fr", "chaque matin apporte une nouvelle occasion de réfléchir"),
+    ("es", "el rápido zorro marrón salta sobre el perro perezoso"),
+    ("es", "ella no estaba allí cuando buscaron la respuesta correcta"),
+    ("es", "cada mañana trae una nueva oportunidad para reflexionar"),
+    ("fr", "où est la gare et où sont les toilettes dans cette ville"),
+    ("fr", "je voudrais savoir quelle heure il est maintenant s il te plaît"),
+    ("en", "could you tell me what time it is right now please"),
+    ("de", "können sie mir bitte sagen wie spät es jetzt ist"),
+    ("es", "puede decirme qué hora es ahora mismo por favor"),
+]
+
+
+def _ref_lang_nb(texts, seed, n_min=2, n_max=3, n_buckets=1 << 18,
+                 max_chars=192):
+    """Independent single-process NB reference (md5 bucket flavor)."""
+    import hashlib
+    import math
+    import re
+
+    def grams(text):
+        s = re.sub(r"\s+", " ", text.lower()).strip()[:max_chars]
+        out = []
+        for n in range(n_min, n_max + 1):
+            out += [s[i:i + n] for i in range(len(s) - n + 1)]
+        return out
+
+    def bucket(g):
+        h = int(hashlib.md5((g + "#0").encode("utf-8")).hexdigest()[:15], 16)
+        return h % n_buckets
+
+    cnt, tot = {}, Counter()
+    for lang, t in seed:
+        for g in grams(t):
+            b = bucket(g)
+            cnt[(lang, b)] = cnt.get((lang, b), 0) + 1
+            tot[lang] += 1
+    v = len({b for (_, b) in cnt})
+    langs = sorted(tot)
+    unk = {l: round(math.log(1.0 / (tot[l] + v)) * 1e6) for l in langs}
+    results = []
+    for t in texts:
+        gs = [bucket(g) for g in grams(t)]
+        if not gs:
+            results.append((None, 0, 0))
+            continue
+        logits = {}
+        for l in langs:
+            s = sum(round(math.log(cnt.get((l, b), 0) + 1) * 1e6)
+                    for b in gs)
+            logits[l] = s + len(gs) * unk[l]
+        ranked = sorted(logits.items(), key=lambda kv: (-kv[1], kv[0]))
+        margin = (ranked[0][1] - ranked[1][1]) if len(ranked) > 1 else 0
+        results.append((ranked[0][0], ranked[0][1], margin))
+    return results
+
+
+def test_lang_id_classifier_matches_reference(spark):
+    """Exact integer logits/argmax/margin vs an independent NB
+    implementation (md5 flavor), incl. the no-grams NULL case."""
+    texts = ["wo ist der bahnhof bitte schön",
+             "where is the train station please",
+             "où est la gare s'il vous plaît",
+             "dónde está la estación de tren por favor",
+             "", "a"]
+    seed = spark.createDataFrame(LANG_SEED, "lang string, text string")
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    out = {r["doc_id"]: (r["lang"], r["logit_scaled"], r["margin_scaled"])
+           for r in C.lang_id_classifier(df, seed,
+                                         oracle_safe=True).collect()}
+    want = _ref_lang_nb(texts, LANG_SEED)
+    for i, w in enumerate(want):
+        assert out[i] == w, (i, texts[i], out[i], w)
+    assert [out[i][0] for i in range(4)] == ["de", "en", "fr", "es"]
+    assert out[4][0] is None and out[5][0] is None  # sub-bigram texts
+
+
+def test_lang_id_model_beats_marker_heuristic(spark):
+    """The r8 VERDICT #3 bar: on function-word-free text the marker
+    heuristic has no signal (its markers are function words) while the
+    char-gram NB head still classifies correctly — morphology carries
+    the n-grams."""
+    from wine_label_ocr_spark.operators.textops import lang_id
+    hard = [
+        (0, "de", "schadenfreude kindergarten zeitgeist doppelgänger"),
+        (1, "de", "fernweh weltschmerz schmetterling geschwindigkeit"),
+        (2, "en", "weatherproofing thoroughbred knighthood throughput"),
+        (3, "fr", "château grenouille écureuil chevalier papillon"),
+        (4, "es", "ñoño añoranza cigüeña muñeca jalapeño zarzuela"),
+    ]
+    seed = spark.createDataFrame(LANG_SEED, "lang string, text string")
+    df = spark.createDataFrame(hard, "doc_id long, want string, text string")
+    nb = {r["doc_id"]: r["lang"]
+          for r in C.lang_id_classifier(df, seed,
+                                        oracle_safe=True).collect()}
+    marker = {r["doc_id"]: r["m"]
+              for r in df.select("doc_id",
+                                 lang_id(F.col("text")).alias("m"))
+              .collect()}
+    nb_hits = sum(nb[i] == w for i, w, _ in hard)
+    marker_hits = sum(marker[i] == w for i, w, _ in hard)
+    assert nb_hits == len(hard), (nb, marker)
+    assert nb_hits > marker_hits  # markers can't see function-word-free text
+
+
+def test_lang_id_classifier_production_flavor_and_plan(spark):
+    """xxhash64 flavor agrees with md5 flavor on argmax (bucket ids
+    differ, the statistics don't); the scoring plan broadcasts the
+    weights and never row-explodes per language (per-lang sums are
+    columns, one doc-keyed agg)."""
+    texts = ["the cat sat on the mat with the hat",
+             "der hund lief durch den wald und über die wiese"]
+    seed = spark.createDataFrame(LANG_SEED, "lang string, text string")
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    prod = C.lang_id_classifier(df, seed, oracle_safe=False)
+    got = {r["doc_id"]: r["lang"] for r in prod.collect()}
+    assert got == {0: "en", 1: "de"}
+    plan = prod._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
