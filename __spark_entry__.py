@@ -537,6 +537,62 @@ def q_pack_sequences(spark, sf):  # training-batch packing by token budget
         F.col("n_tokens").cast("bigint").alias("n_tokens"), "bin_id")
 
 
+def q_pack_sequences_ffd(spark, sf):  # first-fit-decreasing packing
+    """The padding-tight FFD flavor (r8 VERDICT #6) over planted token
+    counts (doc_id%4 → 600/400/300/200, budget 1000, fixed doc_id<400
+    window so the composition is 100 per class at every sf): the REAL
+    Arrow bin-packer runs unsharded (exactly one deterministic pack),
+    and the oracle states the expected per-doc bin assignment via an
+    embedded reference FFD — the compression_ratio planted-constants
+    pattern. FFD packs this composition into 154 budget-respecting bins
+    vs 200 for budget-capped next-fit in id order (``pack_sequences``'s
+    floor-binning reports 150 but lets bins straddle the budget — see
+    the pytest, which pins all three counts on harsher skew)."""
+    from wine_label_ocr_spark.operators.textops import pack_sequences_ffd
+    d = _t(spark, sf, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 400)
+    lens = F.array(F.lit(600), F.lit(400), F.lit(300), F.lit(200))
+    n = F.get(lens, F.pmod(F.col("doc_id"), F.lit(4)).cast("int")) \
+         .cast("bigint")
+    return pack_sequences_ffd(d, budget_tokens=1000, count_col=n) \
+        .orderBy("doc_id")
+
+
+def _ffd_reference(items: list[tuple[int, int]],
+                   budget: int) -> dict[int, int]:
+    """Reference first-fit-decreasing used ONLY at oracle-SQL build
+    time: (n desc, id asc) order, bins probed in creation order —
+    the exact rule pack_sequences_ffd implements."""
+    rem: list[int] = []
+    out: dict[int, int] = {}
+    for i, n in sorted(items, key=lambda t: (-t[1], t[0])):
+        for b in range(len(rem)):
+            if rem[b] >= n:
+                rem[b] -= n
+                out[i] = b
+                break
+        else:
+            rem.append(max(budget - n, 0))
+            out[i] = len(rem) - 1
+    return out
+
+
+def _pack_ffd_oracle_sql() -> str:
+    lens = [600, 400, 300, 200]
+    items = [(i, lens[i % 4]) for i in range(400)]
+    bins = _ffd_reference(items, 1000)
+    values = ", ".join(f"({i}, {n}, {bins[i]})" for i, n in items)
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(bin_id AS BIGINT) AS bin_id
+        FROM (VALUES {values}) AS t(doc_id, n_tokens, bin_id)
+        JOIN (SELECT doc_id AS d2 FROM documents WHERE doc_id < 400) u
+          ON doc_id = d2
+        ORDER BY doc_id
+    """
+
+
 def q_pii_redaction(spark, sf):  # training-data PII scrub
     """Plant synthetic PII deterministically, scrub it, emit fingerprints
     plus a leak check the oracle reproduces."""
@@ -3551,6 +3607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
+        "pack_sequences_ffd": q_pack_sequences_ffd,
         "outlinks": q_outlinks,
         "outlinks_resolved": q_outlinks_resolved,
         "robots_gate": q_robots_gate,
@@ -5017,6 +5074,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_train": _bpe_train_oracle_sql(),
         "lang_id_model": _lang_id_model_oracle_sql(),
+        "pack_sequences_ffd": _pack_ffd_oracle_sql(),
         "wat_sidecar": """
             -- closed-form expected WAT envelope fields: header echo of
             -- url + ISO date, title absent on every 7th doc, doc_id%3

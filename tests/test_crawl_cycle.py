@@ -93,6 +93,27 @@ def test_crawl_cycle_funnel_counts(spark):
     assert got["scheduled"] == got["allowed"]  # scheduler drops nothing
 
 
+def test_crawl_funnel_one_pass_equals_branch_counts(spark):
+    """The Observation one-pass form (r8 VERDICT #8) counts exactly what
+    the five count branches count — same stage DAG, observed during ONE
+    materialization instead of re-executed per stage."""
+    from wine_label_ocr_spark.plans.crawl import run_crawl_funnel_one_pass
+    pages, robots, seen = _inputs(spark)
+    branches = {r["stage"]: r["n_urls"]
+                for r in crawl_cycle_funnel(pages, robots, seen).collect()}
+    one_pass = run_crawl_funnel_one_pass(pages, robots, seen)
+    assert one_pass == branches
+
+
+def test_crawl_funnel_one_pass_writes_schedule(spark, tmp_path):
+    from wine_label_ocr_spark.plans.crawl import run_crawl_funnel_one_pass
+    pages, robots, seen = _inputs(spark)
+    out = str(tmp_path / "sched")
+    counts = run_crawl_funnel_one_pass(pages, robots, seen, sink=out)
+    sched = spark.read.parquet(out)
+    assert sched.count() == counts["scheduled"] > 0
+
+
 def test_two_cycle_loop_seen_store_update(spark):
     """Cycle N's schedule, once fetched, must not reappear in cycle
     N+1 — the seen_url_fps union is the crawl-over-crawl loop."""
@@ -141,6 +162,89 @@ def test_crawl_candidates_stream_equals_batch(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert sorted(got) == want
+
+
+def test_crawl_schedule_stream_equals_batch(spark, tmp_path):
+    """The FULLY stream-native cycle (r8 VERDICT #5): robots verdict,
+    per-host delay, worker, and stateful politeness seq all ON the
+    stream — one micro-batch must be row-identical to crawl_cycle."""
+    import glob
+    import shutil
+
+    from wine_label_ocr_spark.streaming.extract_stream import (
+        crawl_schedule_stream)
+
+    pages, robots, seen = _inputs(spark)
+    want = sorted(map(tuple, crawl_cycle(pages, robots, seen)
+                      .select("url", "host", "seq", "worker", "delay_ms",
+                              "fetch_offset_ms").collect()))
+
+    src = tmp_path / "pages_src"
+    src.mkdir()
+    stage = str(tmp_path / "pages_stage")
+    pages.coalesce(1).write.parquet(stage)
+    shutil.copy(glob.glob(stage + "/part-*.parquet")[0],
+                str(src / "a.parquet"))
+    st = spark.readStream.schema("url string, html string") \
+        .parquet(str(src))
+    q = (crawl_schedule_stream(st, robots, seen)
+         .writeStream.format("memory").queryName("css_out")
+         .option("checkpointLocation", str(tmp_path / "css_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM css_out").collect()))
+    assert got == want
+
+
+def test_crawl_schedule_stream_seq_continues_across_batches(spark,
+                                                            tmp_path):
+    """Politeness state survives micro-batches: a host that scheduled k
+    URLs in batch 1 continues at seq k+1 (and offset (k)·delay) in
+    batch 2 — the streaming-native politeness contract the per-batch
+    foreachBatch planner cannot give."""
+    import glob
+    import shutil
+
+    from wine_label_ocr_spark.streaming.extract_stream import (
+        crawl_schedule_stream)
+
+    robots = spark.createDataFrame(
+        [("s.com", "User-agent: *\nAllow: /\nCrawl-delay: 2")],
+        "host string, robots_txt string")
+
+    def batch_pages(tag):
+        return spark.createDataFrame(
+            [(f"https://src{tag}.com/",
+              f'<a href="https://s.com/{tag}/a">a</a>'
+              f'<a href="https://s.com/{tag}/b">b</a>')],
+            "url string, html string")
+
+    src = tmp_path / "pages_src"
+    src.mkdir()
+    for tag in ("one", "two"):
+        stage = str(tmp_path / f"stage_{tag}")
+        batch_pages(tag).coalesce(1).write.parquet(stage)
+        shutil.copy(glob.glob(stage + "/part-*.parquet")[0],
+                    str(src / f"{tag}.parquet"))
+    st = spark.readStream.schema("url string, html string") \
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    q = (crawl_schedule_stream(st, robots)
+         .writeStream.format("memory").queryName("css_seq")
+         .option("checkpointLocation", str(tmp_path / "css_ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r["url"]: r for r in
+            spark.sql("SELECT * FROM css_seq").collect()}
+    assert len(rows) == 4
+    seqs = sorted(r["seq"] for r in rows.values())
+    assert seqs == [1, 2, 3, 4]  # one continuous per-host sequence
+    assert all(r["fetch_offset_ms"] == (r["seq"] - 1) * 2000
+               for r in rows.values())
+    # within each batch urls sort ascending; batches keep arrival order
+    by_seq = sorted(rows.values(), key=lambda r: r["seq"])
+    batch1 = {by_seq[0]["url"], by_seq[1]["url"]}
+    assert batch1 == {"https://s.com/one/a", "https://s.com/one/b"} or \
+        batch1 == {"https://s.com/two/a", "https://s.com/two/b"}
 
 
 def test_robots_map_flavor_equals_groupby_flavor(spark):

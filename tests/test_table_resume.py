@@ -305,3 +305,22 @@ def test_compact_without_stats_col(spark, tmp_path):
     assert len(t.current_files()) == 2
     assert sorted(r["a"] for r in t.read(spark).collect()) == list(range(30))
     assert t._current_snapshot()["stats_col"] is None
+
+
+def test_partition_values_path_parse():
+    """Hive-style col=value segment parsing is segment-exact: files
+    without the segment land under '' (probe treats them as
+    every-partition), nested commit dirs parse, and a col name that
+    merely prefixes another does not match."""
+    from wine_label_ocr_spark.sources.table import ManifestTable
+    files = [
+        "/t/data/commit-a/bucket=3/part-0.parquet",
+        "/t/data/commit-a/bucket=3/part-1.parquet",
+        "/t/data/commit-b/bucket=11/part-0.parquet",
+        "/t/data/commit-old/part-0.parquet",          # legacy, no segment
+        "/t/data/commit-c/subbucket=9/part-0.parquet",  # NOT 'bucket='
+    ]
+    got = ManifestTable.partition_values(files, "bucket")
+    assert sorted(got["3"]) == files[:2]
+    assert got["11"] == [files[2]]
+    assert sorted(got[""]) == sorted(files[3:])

@@ -304,6 +304,23 @@ def run_crawlloop(n_pages: int) -> dict:
         assert n_sched2_bc == n_sched2, \
             "broadcast-candidates plan changed the schedule"
 
+        # ---- cycle 2, bucketed storage-partitioned probe (r9): the
+        # store never enters a Spark scan — candidates shuffle once on
+        # the bucket key, tasks open their own bucket's files ----
+        store_b = SeenUrlStore(os.path.join(base, "seen_store_b"),
+                               n_buckets=64)
+        store_b.record_fetched(spark, b1)
+        store_b.record_fetched(spark, s1)
+        assert store_b.read(spark).count() == rows_after, \
+            "bucketed store content diverged from range store"
+        t5 = time.time()
+        s2bk = crawl_cycle(b2, robots, seen_fps=store_b).select("url")
+        n_sched2_bk = s2bk.count()
+        t_cycle2_bk = time.time() - t5
+        sr4, sw4 = _shuffle_totals(ui_port)
+        assert n_sched2_bk == n_sched2, \
+            "bucketed-probe plan changed the schedule"
+
         assert n_overlap == 0, "cycle-2 schedule re-issued a seen URL"
         assert n_fresh_only == n_sched2, "cycle 2 scheduled non-new URLs"
         # exact prune evidence: the anti-join removes from cycle 2's
@@ -346,7 +363,11 @@ def run_crawlloop(n_pages: int) -> dict:
                 "cycle2_bc_sec": round(t_cycle2_bc, 1),
                 "docs_per_sec_c2_bc": round(n_pages / t_cycle2_bc, 1),
                 "shuffle_read_mb_c2_bc": round((sr3 - sr2) / 1e6, 1),
-                "shuffle_write_mb_c2_bc": round((sw3 - sw2) / 1e6, 1)}
+                "shuffle_write_mb_c2_bc": round((sw3 - sw2) / 1e6, 1),
+                "cycle2_bk_sec": round(t_cycle2_bk, 1),
+                "docs_per_sec_c2_bk": round(n_pages / t_cycle2_bk, 1),
+                "shuffle_read_mb_c2_bk": round((sr4 - sr3) / 1e6, 1),
+                "shuffle_write_mb_c2_bk": round((sw4 - sw3) / 1e6, 1)}
     finally:
         shutil.rmtree(base, ignore_errors=True)
         spark.stop()

@@ -595,6 +595,77 @@ def pack_sequences(df: DataFrame, budget_tokens: int = 512,
         .cast("bigint").alias("bin_id"))
 
 
+def pack_sequences_ffd(df: DataFrame, budget_tokens: int = 512,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n_shards: int | None = None,
+                       count_col: Column | None = None) -> DataFrame:
+    """First-fit-decreasing sequence packing (r8 VERDICT #6) — the
+    padding-tight flavor next to ``pack_sequences``'s contiguous
+    binning: sort by token count descending, greedy first-fit into
+    fixed-budget bins. FFD's classic guarantee (≤ 11/9·OPT + 6/9 bins)
+    beats budget-CAPPED contiguous packing hardest exactly where
+    training corpora live: skewed length distributions, where capped
+    contiguous bins strand a large remainder every time a long doc
+    follows short ones (pytest pins 113 vs 150 bins on planted
+    900/120 skew). Note the contract difference from
+    ``pack_sequences``: that flavor's floor-binning lets a bin straddle
+    the budget (its count is ceil(total/budget), unbeatable but
+    overflowing), while every FFD bin genuinely fits a fixed-length
+    training sequence — the flavor to use when bins may not overflow.
+
+    FFD is inherently sequential, so it runs PER SHARD inside an Arrow
+    group (``applyInPandas``): ``n_shards`` bounds each Python bin-pack
+    to corpus/n_shards docs (the same scale switch as
+    ``pack_sequences``; packing tolerates sharding by construction — at
+    most one underfull bin per shard and budget-region), and bin ids
+    are shard-prefixed for global uniqueness. ``n_shards=None`` packs
+    exactly once for small inputs and the correctness gate.
+
+    Deterministic: docs order by (n_tokens desc, id asc); bins are
+    probed in creation order. Oversized docs (> budget) take a bin
+    alone, like the contiguous flavor. Output matches
+    ``pack_sequences``: ``(doc_id, n_tokens, bin_id)``."""
+    import pandas as pd
+
+    n_tok = count_col if count_col is not None \
+        else token_count(F.col(text_col))
+    shard = (F.lit(0).cast("bigint") if n_shards is None
+             else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+             .cast("bigint"))
+    sized = df.select(F.col(id_col).cast("bigint").alias("doc_id"),
+                      n_tok.cast("bigint").alias("n_tokens"),
+                      shard.alias("_shard"))
+    budget = int(budget_tokens)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tokens", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+        # 2^40 bins/shard before prefix collision — same space as the
+        # contiguous flavor
+        prefix = int(pdf["_shard"].iloc[0]) << 40 if len(pdf) else 0
+        remaining: list[int] = []
+        bin_ids = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            for b, rem in enumerate(remaining):
+                if rem >= n:
+                    remaining[b] = rem - n
+                    bin_ids.append(prefix + b)
+                    break
+            else:
+                remaining.append(max(budget - n, 0))
+                bin_ids.append(prefix + len(remaining) - 1)
+        out = pdf[["doc_id", "n_tokens"]].copy()
+        out["bin_id"] = pd.Series(bin_ids, dtype="int64")
+        return out
+
+    return (sized.groupBy("_shard")
+            .applyInPandas(pack,
+                           "doc_id bigint, n_tokens bigint, "
+                           "bin_id bigint"))
+
+
 # the high-frequency UTF-8-decoded-as-Latin-1/Win-1252 mojibake pairs — the
 # curated-table approach (vs a full ftfy re-decode, which needs per-row
 # Python): these cover the overwhelming majority of broken sequences in web

@@ -83,11 +83,82 @@ class SeenUrlStore:
     files whose range it can hit, not the whole store."""
 
     def __init__(self, root: str, oracle_safe: bool = False,
-                 n_files_per_commit: int = 8):
+                 n_files_per_commit: int = 8,
+                 n_buckets: int | None = None):
         from ..sources.table import ManifestTable
         self.table = ManifestTable(root)
         self.oracle_safe = oracle_safe
         self.n_files_per_commit = n_files_per_commit
+        self.n_buckets = n_buckets
+
+    # -- bucketed layout (r8 VERDICT #4) ---------------------------------
+    #
+    # ``n_buckets=N`` switches the store to a hash-bucketed file layout
+    # (``bucket=pmod(fp,N)`` Hive-style directories — the Iceberg
+    # bucket-transform analog). The payoff is ``probe_unseen``: a
+    # membership probe where the STORE side never enters a Spark scan or
+    # exchange at all — candidates shuffle ONCE on the bucket key, then
+    # each task opens only its own bucket's data files directly (Arrow
+    # reader, fp column only, batch-streamed). That is the
+    # storage-partitioned-join shape: at a 10^12-row store the default
+    # anti-join shuffles the store every cycle and broadcast_candidates
+    # requires candidates ≪ store; the bucketed probe handles
+    # corpus-wide candidate sets with store-side cost = reading the
+    # probed buckets once, no shuffle, no broadcast assumption.
+
+    def _files_by_bucket(self) -> dict[int, list[str]]:
+        files = self.table.current_files()
+        out: dict[int, list[str]] = {}
+        for v, fs in self.table.partition_values(files, "bucket").items():
+            try:
+                out[int(v)] = fs
+            except ValueError:
+                # un-bucketed legacy files: visible to every bucket
+                # (safe — a probe may read more, never miss)
+                for b in range(self.n_buckets or 1):
+                    out.setdefault(b, []).extend(fs)
+        return out
+
+    def probe_unseen(self, cand: DataFrame,
+                     fp_col: str = "fp") -> DataFrame:
+        """Rows of ``cand`` whose ``fp_col`` is NOT in the store — the
+        zero-store-exchange membership anti-join over the bucketed
+        layout. One candidate shuffle on ``pmod(fp, n_buckets)``; per
+        bucket-group, the task streams its bucket's parquet files
+        through pyarrow (fp column only — at cluster scale these reads
+        hit shared storage the same way the executors' scans do) and
+        drops matched candidates. Memory is O(candidates in bucket);
+        the store is never materialized. Requires ``n_buckets``."""
+        if self.n_buckets is None:
+            raise ValueError("probe_unseen requires a bucketed store "
+                             "(n_buckets)")
+        if self.table.is_empty():
+            return cand
+        files_by_bucket = self._files_by_bucket()
+        n = self.n_buckets
+        out_schema = cand.schema
+
+        def anti(pdf):
+            import pyarrow.parquet as pq
+            pdf = pdf.drop(columns=["_bucket"])
+            if pdf.empty:
+                return pdf
+            # Python % and Spark pmod agree on int64 (both non-negative)
+            b = int(pdf[fp_col].iloc[0]) % n
+            fps = set(pdf[fp_col].tolist())
+            for path in files_by_bucket.get(b, []):
+                pf = pq.ParquetFile(path)
+                for batch in pf.iter_batches(columns=["fp"]):
+                    fps -= set(batch.column(0).to_pylist())
+                    if not fps:
+                        return pdf.iloc[0:0]
+            return pdf[pdf[fp_col].isin(fps)]
+
+        return (cand
+                .withColumn("_bucket",
+                            F.pmod(F.col(fp_col), F.lit(n)).cast("int"))
+                .groupBy("_bucket")
+                .applyInPandas(anti, out_schema))
 
     def read(self, spark, key_between: tuple | None = None) \
             -> DataFrame | None:
@@ -98,9 +169,22 @@ class SeenUrlStore:
     def record_fetched(self, spark, fetched: DataFrame,
                        url_col: str = "url") -> int:
         """Fetched URLs → canonical 64-bit fps → MERGE-insert commit.
-        Returns the new snapshot id."""
-        fps = (seen_url_fps(fetched, url_col, self.oracle_safe)
-               .repartitionByRange(self.n_files_per_commit, "fp")
+        Returns the new snapshot id. Bucketed stores dedupe the incoming
+        batch with ``probe_unseen`` (store stays exchange-free on the
+        write path too) and commit ``bucket=`` partition directories,
+        one file per touched bucket."""
+        fps = seen_url_fps(fetched, url_col, self.oracle_safe)
+        if self.n_buckets is not None:
+            new = (self.probe_unseen(fps)
+                   .withColumn("bucket",
+                               F.pmod(F.col("fp"),
+                                      F.lit(self.n_buckets)).cast("int"))
+                   .repartition("bucket")
+                   .sortWithinPartitions("fp"))
+            return self.table.append(new, stats_col="fp",
+                                     partition_by=["bucket"],
+                                     meta={"op": "record_fetched"})
+        fps = (fps.repartitionByRange(self.n_files_per_commit, "fp")
                .sortWithinPartitions("fp"))
         return self.table.merge_insert(spark, fps, key="fp",
                                        stats_col="fp",
@@ -108,11 +192,26 @@ class SeenUrlStore:
 
     def maybe_compact(self, spark, max_files: int = 64) -> int | None:
         """Periodic maintenance: once per-cycle commits accumulate past
-        ``max_files`` data files, rewrite the store range-disjoint on fp
-        (``ManifestTable.compact``) so ``key_between`` membership probes
-        go back to touching one file per fp range instead of one file
-        per historical cycle. Safe to call every cycle — no-op below the
-        threshold; old snapshots stay time-travelable until vacuum."""
+        ``max_files`` data files, rewrite the store so probes go back to
+        touching one file per fp range (range layout) or one file per
+        bucket (bucketed layout) instead of one file per historical
+        cycle. Safe to call every cycle — no-op below the threshold; old
+        snapshots stay time-travelable until vacuum."""
+        if self.n_buckets is not None:
+            files = self.table.current_files()
+            if len(files) < max(max_files, 2):
+                return None
+            cur = self.table.read(spark)
+            if cur is None:
+                return None
+            df = (cur.withColumn("bucket",
+                                 F.pmod(F.col("fp"),
+                                        F.lit(self.n_buckets)).cast("int"))
+                  .repartition("bucket").sortWithinPartitions("fp"))
+            return self.table.overwrite(
+                df, stats_col="fp", partition_by=["bucket"], op="compact",
+                meta={"op": "seen_store_compact",
+                      "compacted_from": len(files)})
         return self.table.compact(spark, min_files=max_files,
                                   meta={"op": "seen_store_compact"})
 
@@ -123,7 +222,8 @@ def _crawl_stages(pages: DataFrame, robots: DataFrame,
                   agent: str, oracle_safe: bool,
                   sitemaps: DataFrame | None = None,
                   respect_meta_robots: bool = False,
-                  broadcast_candidates: bool = False):
+                  broadcast_candidates: bool = False,
+                  stage_wrap=None):
     """The shared stage DAG: (links, candidates, unseen, allowed,
     schedule). One construction used by both ``crawl_cycle`` (the
     product) and ``crawl_cycle_funnel`` (its per-stage survivor counts,
@@ -147,7 +247,8 @@ def _crawl_stages(pages: DataFrame, robots: DataFrame,
         from ..operators.html_meta import robots_meta_flags
         _, nofollow = robots_meta_flags(F.col("html").cast("string"))
         link_src = pages.filter(~nofollow)
-    links = extract_outlinks(link_src, resolve=True)
+    wrap = stage_wrap or (lambda name, df: df)
+    links = wrap("outlinks", extract_outlinks(link_src, resolve=True))
     cand_urls = links.select(canonical_url(F.col("resolved")).alias("url"))
     if sitemaps is not None:
         declared = dirs.select(F.explode("sitemaps").alias("url")).distinct()
@@ -156,13 +257,23 @@ def _crawl_stages(pages: DataFrame, robots: DataFrame,
                  .filter(F.col("kind") == "url")
                  .select(canonical_url(F.col("loc")).alias("url")))
         cand_urls = cand_urls.unionAll(seeds)
-    cand = (cand_urls
-            .filter(F.col("url").isNotNull())
-            .distinct())
+    cand = wrap("candidates", cand_urls
+                .filter(F.col("url").isNotNull())
+                .distinct())
     unseen = cand
     if seen_fps is not None:
         keyed = cand.withColumn("_fp", _hash64(F.col("url"), 0, oracle_safe))
-        if broadcast_candidates:
+        if isinstance(seen_fps, SeenUrlStore):
+            # bucketed storage-partitioned membership (r8 VERDICT #4):
+            # candidates shuffle once on the bucket key; the store is
+            # opened per-bucket inside the tasks — zero store-side scan
+            # or exchange, no candidates-≪-store assumption. The
+            # third membership plan next to the default anti-join
+            # (discovery crawls) and broadcast_candidates (steady-state
+            # recrawl).
+            unseen = seen_fps.probe_unseen(keyed, fp_col="_fp") \
+                             .drop("_fp")
+        elif broadcast_candidates:
             # incremental-crawl shape (candidates ≪ store): the store
             # NEVER crosses an exchange. Pass 1: store ⋉ broadcast(cand
             # fps) → the seen subset of the candidates (≤ |cand| rows,
@@ -190,9 +301,10 @@ def _crawl_stages(pages: DataFrame, robots: DataFrame,
     # per-host rule table + per-row array algebra — the candidate set is
     # never shuffled (robots_allowed's explode+groupBy(url) would
     # shuffle it twice); semantics pytest-pinned identical
+    unseen = wrap("unseen", unseen)
     rules = robots_rules_by_host(parse_robots_rules(robots, agent=agent))
-    allowed = (robots_allowed_map(unseen, rules)
-               .filter(F.col("allowed")).drop("allowed"))
+    allowed = wrap("allowed", robots_allowed_map(unseen, rules)
+                   .filter(F.col("allowed")).drop("allowed"))
     sched = schedule_frontier(allowed, dirs,
                               default_delay_ms=default_delay_ms,
                               n_workers=n_workers,
@@ -296,3 +408,45 @@ def crawl_cycle_funnel(pages: DataFrame, robots: DataFrame,
             "n_urls")
         out = c if out is None else out.unionAll(c)
     return out
+
+
+def run_crawl_funnel_one_pass(pages: DataFrame, robots: DataFrame,
+                              seen_fps: DataFrame | None = None,
+                              default_delay_ms: int = 1000,
+                              n_workers: int = 16, agent: str = "*",
+                              sitemaps: DataFrame | None = None,
+                              sink: str = "noop") -> dict[str, int]:
+    """ONE-pass crawl-funnel counters (r8 VERDICT #8 — the
+    ``plans/funnel.py`` Observation form ported to the crawl capstone):
+    materialize the schedule once and observe every stage boundary of
+    that SINGLE execution, instead of ``crawl_cycle_funnel``'s five
+    count branches re-running the shared prefix. At 100 TB that is one
+    page scan instead of five.
+
+    Built on the SAME ``_crawl_stages`` DAG as the product and the gate
+    (a ``stage_wrap`` hook attaches an Observation at each stage
+    boundary INSIDE the surviving plan), so the counters are the real
+    stages' row flows — identical numbers to the count branches,
+    observed instead of recomputed (pytest pins equality against
+    ``crawl_cycle_funnel``).
+
+    Returns ``{stage: n_urls}`` plus the schedule row count under
+    ``"scheduled"``. ``sink='noop'`` forces materialization without
+    output; a path persists the schedule as parquet."""
+    from pyspark.sql import Observation
+
+    obs: dict[str, Observation] = {}
+
+    def wrap(name: str, df: DataFrame) -> DataFrame:
+        obs[name] = Observation(f"crawl_{name}")
+        return df.observe(obs[name], F.count(F.lit(1)).alias("n"))
+
+    *_, sched = _crawl_stages(
+        pages, robots, seen_fps, default_delay_ms, n_workers, agent,
+        False, sitemaps=sitemaps, stage_wrap=wrap)
+    sched = wrap("scheduled", sched)
+    if sink == "noop":
+        sched.write.format("noop").mode("overwrite").save()
+    else:
+        sched.write.mode("overwrite").parquet(sink)
+    return {name: int(o.get["n"]) for name, o in obs.items()}

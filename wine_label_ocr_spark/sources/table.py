@@ -112,13 +112,38 @@ class ManifestTable:
 
     # -- write -------------------------------------------------------------
 
-    def _write_files(self, df: DataFrame) -> tuple[list[str], int]:
+    def _write_files(self, df: DataFrame,
+                     partition_by: list[str] | None = None
+                     ) -> tuple[list[str], int]:
         out = os.path.join(self.data_dir, f"commit-{uuid.uuid4().hex}")
-        df.write.mode("errorifexists").parquet(out)
+        w = df.write.mode("errorifexists")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(out)
         files = sorted(
-            os.path.join(out, f) for f in os.listdir(out)
-            if f.endswith(".parquet"))
+            os.path.join(root, f)
+            for root, _, names in os.walk(out)
+            for f in names if f.endswith(".parquet"))
         return files, len(files)
+
+    @staticmethod
+    def partition_values(files: list[str],
+                         col: str) -> dict[str, list[str]]:
+        """Group file paths by the ``col=value`` Hive-style path segment
+        written by a ``partition_by`` commit — the file-level partition
+        index a storage-partitioned probe uses to open ONLY its own
+        partition's files (no Spark scan, no exchange). Files without
+        the segment land under ``""`` (callers treat them as
+        every-partition, the safe degradation)."""
+        out: dict[str, list[str]] = {}
+        for f in files:
+            v = ""
+            for seg in f.split(os.sep):
+                if seg.startswith(col + "="):
+                    v = seg[len(col) + 1:]
+                    break
+            out.setdefault(v, []).append(f)
+        return out
 
     @staticmethod
     def _file_stats(files: list[str], col: str) -> dict[str, list]:
@@ -166,12 +191,18 @@ class ManifestTable:
         return col, stats
 
     def append(self, df: DataFrame, meta: dict[str, Any] | None = None,
-               stats_col: str | None = None) -> int:
+               stats_col: str | None = None,
+               partition_by: list[str] | None = None) -> int:
         """Write df's files, then commit prev ∪ new as a new snapshot (S3).
 
         ``stats_col`` (sticky across commits once set) records per-file
-        min/max for that column, enabling pruned reads."""
-        files, _ = self._write_files(df)
+        min/max for that column, enabling pruned reads. ``partition_by``
+        writes Hive-style ``col=value`` directories (the Iceberg
+        identity/bucket-transform layout analog); the partition columns
+        live in the PATH, not the file bytes, and ``partition_values``
+        recovers the file→partition index for storage-partitioned
+        probes."""
+        files, _ = self._write_files(df, partition_by)
         m = self._load()
         prev = self.current_files() if m["current"] is not None else []
         col, stats = self._snapshot_stats(files, stats_col)
@@ -189,8 +220,9 @@ class ManifestTable:
         return sid
 
     def overwrite(self, df: DataFrame, meta: dict[str, Any] | None = None,
-                  stats_col: str | None = None, op: str = "overwrite") -> int:
-        files, _ = self._write_files(df)
+                  stats_col: str | None = None, op: str = "overwrite",
+                  partition_by: list[str] | None = None) -> int:
+        files, _ = self._write_files(df, partition_by)
         m = self._load()
         col, _ = self._snapshot_stats([], stats_col)
         stats = self._file_stats(files, col) if col else {}
@@ -276,7 +308,8 @@ class ManifestTable:
 
     def merge_insert(self, spark: SparkSession, df: DataFrame, key: str,
                      meta: dict[str, Any] | None = None,
-                     stats_col: str | None = None) -> int:
+                     stats_col: str | None = None,
+                     partition_by: list[str] | None = None) -> int:
         """MERGE … WHEN NOT MATCHED THEN INSERT (S4/J11).
 
         Spark plan: left_anti join of the incoming batch against the current
@@ -289,7 +322,8 @@ class ManifestTable:
         new = df.dropDuplicates([key])
         if cur is not None:
             new = new.join(cur.select(key), key, "left_anti")
-        return self.append(new, meta=meta, stats_col=stats_col)
+        return self.append(new, meta=meta, stats_col=stats_col,
+                           partition_by=partition_by)
 
     def merge_upsert(self, spark: SparkSession, df: DataFrame, key: str,
                      meta: dict[str, Any] | None = None) -> int:

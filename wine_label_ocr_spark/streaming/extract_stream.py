@@ -178,3 +178,96 @@ def crawl_candidates_stream(stream_pages: DataFrame, robots: DataFrame,
                 .drop("_fp", "_seen_fp"))
     rules = robots_rules_by_host(parse_robots_rules(robots, agent=agent))
     return robots_allowed_map(cand, rules)
+
+
+def crawl_schedule_stream(stream_pages: DataFrame, robots: DataFrame,
+                          seen_fps: DataFrame | None = None,
+                          agent: str = "*",
+                          default_delay_ms: int = 1000,
+                          n_workers: int = 16,
+                          oracle_safe: bool = False) -> DataFrame:
+    """The COMPLETE crawl cycle on the stream (r8 VERDICT #5):
+    ``crawl_candidates_stream``'s stateless stages (outlink extraction,
+    resolution, canonicalization, seen-store test, robots verdict — all
+    pure maps + stream-static joins), then the two stages that used to
+    stay batch-side lifted onto the stream:
+
+    * per-host crawl DELAY: one more stream-static join, against the
+      same ``robots_directives`` table ``crawl_cycle`` feeds
+      ``schedule_frontier`` (host keys get the identical authority
+      normalization, conflicting rows resolve to the MAX delay — the
+      polite direction);
+    * politeness SEQUENCING: per-host ``seq``/``fetch_offset_ms`` as
+      keyed state (``applyInPandasWithState``) — the counter CONTINUES
+      across micro-batches, which is politeness done properly on a
+      stream: a host that got 10 URLs last batch starts at seq 11 now,
+      instead of every batch re-starting its delay schedule at zero.
+      Within a batch, urls sort ascending and dedupe (the batch
+      ``distinct``'s within-snapshot twin); CROSS-batch repeats are the
+      seen store's job, same contract as ``crawl_candidates_stream``.
+
+    Output matches ``crawl_cycle``: ``(url, host, seq, worker,
+    delay_ms, fetch_offset_ms)``. On a single micro-batch the schedule
+    is row-identical to the batch plan (pytest-pinned); across batches
+    it is the batch plan's politeness contract continued.
+
+    Scale shape: state is ONE (seq) long per live host; the only
+    stream-side shuffle is the host grouping that politeness needs
+    anyway (the batch plan's window shuffles the same key)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedupe import _hash64
+    from ..operators.robots import robots_directives
+    from ..operators.textops import registrable_host
+    from typing import Iterable, Iterator
+
+    cand = crawl_candidates_stream(stream_pages, robots, seen_fps,
+                                   agent=agent, oracle_safe=oracle_safe)
+    allowed = (cand.filter(F.col("allowed")).drop("allowed")
+               .withColumn("host", registrable_host(F.col("url")))
+               .filter(F.col("host").isNotNull()))
+    # per-host delay: stream-static join against the SAME directives
+    # table the batch scheduler consumes, same normalization/max rule
+    dirs = robots_directives(robots, agent=agent)
+    d_host = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("host")), "^[^/@]*@", ""),
+        ":[0-9]+$", "")
+    delays = (dirs.select(d_host.alias("host"),
+                          F.col("crawl_delay_ms").cast("bigint")
+                          .alias("_d"))
+              .groupBy("host").agg(F.max("_d").alias("_delay")))
+    keyed = (allowed.join(delays, "host", "left")
+             .withColumn("delay_ms",
+                         F.coalesce(F.col("_delay"),
+                                    F.lit(int(default_delay_ms))))
+             .withColumn("worker",
+                         F.pmod(_hash64(F.col("host"), 0, oracle_safe),
+                                F.lit(int(n_workers))).cast("int"))
+             .select("url", "host", "worker", "delay_ms"))
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (seq,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            pdf = (pdf.drop_duplicates(subset=["url"])
+                   .sort_values("url").reset_index(drop=True))
+            seqs = list(range(seq + 1, seq + 1 + len(pdf)))
+            seq += len(pdf)
+            out = pdf[["url", "host", "worker", "delay_ms"]].copy()
+            out["seq"] = pd.Series(seqs, dtype="int32")
+            out["fetch_offset_ms"] = (
+                (out["seq"] - 1) * out["delay_ms"]).astype("int64")
+            yield out[["url", "host", "seq", "worker", "delay_ms",
+                       "fetch_offset_ms"]]
+        state.update((seq,))
+
+    return (keyed.groupBy("host")
+            .applyInPandasWithState(
+                fn,
+                outputStructType=("url string, host string, seq int, "
+                                  "worker int, delay_ms bigint, "
+                                  "fetch_offset_ms bigint"),
+                stateStructType="seq int",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
