@@ -135,3 +135,30 @@ def test_lexer_total_and_consistent_on_tag_soup(pieces):
     assert out["text"] is not None
     for s in out["spans"]:
         assert 0 <= s["start"] <= s["end"] <= len(out["text"])
+
+
+def test_lexer_linear_on_truncated_tag():
+    """Regression (r9): an UNCLOSED tag open followed by a long plain run
+    — exactly what a truncated crawl capture looks like — made the old
+    attr alternation backtrack over every split of the run (exponential;
+    `<a ` + 40 chars already ran for minutes, found by the tag-soup
+    hypothesis test). With possessive run/quote quantifiers the failure
+    is a single forward scan. Pin the timing at sizes where the old
+    pattern would never return, across the shapes that drove each
+    alternation branch: plain run, slash run, unclosed double quote,
+    and a degenerate many-opens document (the documented quadratic
+    tail, still sub-second)."""
+    import time
+    docs = ["<a " + "x" * 100_000,
+            "<a " + "x/" * 50_000,
+            '<a "' + "x " * 50_000,
+            ("<a " + "y" * 50) * 2_000,
+            "pre <div>kept</div> <a " + "x" * 100_000]
+    t0 = time.time()
+    for doc in docs:
+        blocks = oracle.lex_blocks(doc)
+        for b in blocks:
+            assert b["text"] and b["n_chars"] == len(b["text"])
+    assert time.time() - t0 < 5.0, "lexer non-linear on truncated tags"
+    # the text before the truncated tag still lexes
+    assert any(b["text"] == "kept" for b in oracle.lex_blocks(docs[4]))

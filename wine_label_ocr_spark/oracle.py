@@ -91,13 +91,25 @@ _WS_RE = re.compile(r"\s+")
 _ALNUM_RE = re.compile(r"[A-Za-z0-9]")
 
 # Attribute section: plain-char RUNS are consumed atomically
-# ([^>"'/]+, with a lone / allowed when not closing the tag) instead of
+# ([^>"'/]++, with a lone / allowed when not closing the tag) instead of
 # one char per lazy iteration — same match set (the tag still ends at the
 # first unquoted > or />; fuzz + 3000-doc corpus verified span+group
 # equality), ~1.24x faster on attribute-heavy markup.
+#
+# The run/quote quantifiers MUST be possessive (++/*+): every character
+# such a unit could give back is in its own excluded class, so the token
+# required after a give-back (closing quote, '/', '>', or another
+# branch's first char) can never match there — backtracking only
+# re-enumerates run SPLITS, which on an unclosed tag (a truncated page —
+# routine in a crawl) is exponential: `<a ` + 40 plain chars and no `>`
+# ran for minutes before r9 made these possessive (hypothesis found it;
+# regression test pins the timing). Residual worst case is the unavoidable
+# scan-to-failure per unclosed tag open: linear per open, quadratic only
+# on degenerate all-`<a ` documents.
 _TAG_RE = re.compile(
     r"<!--.*?-->|<!\[CDATA\[.*?\]\]>|<!DOCTYPE[^>]*>"
-    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"'/]+|/(?!>)|\"[^\"]*\"|'[^']*')*?)(/?)>",
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)"
+    r"((?:[^>\"'/]++|/(?!>)|\"[^\"]*+\"|'[^']*+')*?)(/?)>",
     re.DOTALL,
 )
 _CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_-]+)")
