@@ -123,3 +123,75 @@ def test_pdf_branch_same_span_schema():
 def test_never_raises_on_garbage(payload):
     r = oracle.extract(payload, "u")
     assert isinstance(r["text"], str)
+
+
+@pytest.mark.parametrize("flavor", [0, 1, 2, 3, 4])
+def test_pdf_flavors_round_trip(flavor):
+    """Every content-stream encoding _make_pdf emits (uncompressed Tj,
+    FlateDecode, TJ arrays, hex strings, '/" shows) must round-trip the
+    paragraphs and title exactly."""
+    from wine_label_ocr_spark.fixtures import _make_pdf
+    paras = ["Chateau d'Exemple grand cru 2015 réserve spéciale",
+             "body with (nested (parens)) and \\ a backslash",
+             "singleword"]
+    title = "PDF DOC 42 — tëst"
+    r = oracle.extract(_make_pdf(paras, title, flavor=flavor), "u")
+    assert r["method"] == "pdf"
+    assert r["title"] == title
+    assert r["text"] == "\n\n".join(paras)
+
+
+def test_pdf_tj_kern_threshold():
+    """TJ adjustments at/below -180 are word gaps; above, letter kerns."""
+    body = b"BT [ (wo) -50 (rd) -180 (next) -179.9 (glued) ] TJ ET"
+    assert oracle._pdf_block_text(body) == "word nextglued"
+
+
+def test_pdf_show_ops_and_hex():
+    body = (b"BT (a) Tj (b) ' 1 2 (c) \" "
+            b"<4 8656C6C6F> Tj [ <77> -300 (x) ] TJ ET")
+    assert oracle._pdf_block_text(body) == "a b c Hello w x"
+
+
+def test_pdf_literal_escapes():
+    # octal (1-3 digits), \n \r \t, line continuation, escaped delimiters
+    raw = rb"A\101\12B\n\(x\)\\ y\
+z"
+    assert oracle._pdf_str_bytes(raw) == b"AA\nB\n(x)\\ yz"
+
+
+def test_pdf_utf16_title_and_odd_hex():
+    assert oracle._pdf_unhex(b"FEFF004100E9") == "Aé"
+    assert oracle._pdf_unhex(b"48 65 6C 6C 6F 2") == "Hello "  # odd → pad 0
+    assert oracle._pdf_unhex(b"zz") == ""  # non-hex garbage → empty
+
+
+def test_pdf_inflate_cap_and_corrupt_stream():
+    """A zip bomb inflates only to the cap; corrupt Flate data without a
+    BT is skipped; neither raises."""
+    import zlib
+    bomb = zlib.compress(b"BT (x) Tj ET " + b"\x00" * 64_000_000)
+    payload = b"%PDF-1.4\nstream\n" + bomb + b"\nendstream\n"
+    r = oracle.extract(payload, "u")
+    assert r["text"] == "x"
+    corrupt = b"%PDF-1.4\nstream\n\x78\x9c\xff\xff\xff\nendstream\nBT (ok) Tj ET\n"
+    assert oracle.extract(corrupt, "u")["text"] == "ok"
+
+
+def test_pdf_truncated_garbage_linear():
+    """Truncated strings/blocks and pathological inputs stay linear and
+    never raise (the backtracking-regex regression class)."""
+    import time
+    cases = [
+        b"%PDF-1.4\nBT (never closed",
+        b"%PDF-1.4\nBT [ (a) -250 (b " + b"\\" * 5000,
+        b"%PDF-1.4\nBT " + b"((((" * 2000,
+        b"%PDF-1.4\n" + b"BT " * 3000,
+        b"%PDF-1.4\nBT <" + b"4" * 9999,
+        b"%PDF-1.4\nstream\n" + b"\x9c" * 50000 + b"BT (t) Tj ET endstream",
+    ]
+    t0 = time.monotonic()
+    for payload in cases:
+        r = oracle.extract(payload, "u")
+        assert isinstance(r["text"], str)
+    assert time.monotonic() - t0 < 5.0

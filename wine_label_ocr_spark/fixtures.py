@@ -92,15 +92,86 @@ def _pdf_escape(s: str) -> bytes:
     return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 
-def _make_pdf(paras: list[str], title: str) -> bytes:
-    """A minimal deterministic PDF-like payload: uncompressed text-show ops."""
-    out = [b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"]
-    out.append(b"1 0 obj << /Title (" + _pdf_escape(title) + b") >> endobj\n")
-    out.append(b"2 0 obj << /Length 0 >> stream\n")
-    for p in paras:
-        out.append(b"BT (" + _pdf_escape(p) + b") Tj ET\n")
-    out.append(b"endstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n")
-    return b"".join(out)
+def _pdf_escape_octal(s: str) -> bytes:
+    """Literal-string escape using octal ``\\ddd`` for delimiters, controls
+    and non-ASCII bytes (ISO 32000-1 §7.3.4.2) — exercises the octal path
+    of the extractor's unescaper."""
+    out = bytearray()
+    for b in s.encode("utf-8"):
+        if b in (0x5C, 0x28, 0x29) or b >= 0x80 or b < 0x20:
+            out += b"\\%03o" % b
+        else:
+            out.append(b)
+    return bytes(out)
+
+
+def _split_mid_space(p: str) -> tuple[str, str] | None:
+    k = p.find(" ", len(p) // 2)
+    if k == -1:
+        k = p.rfind(" ")
+    if k <= 0 or not p[:k] or not p[k + 1:]:
+        return None
+    return p[:k], p[k + 1:]
+
+
+def _make_pdf(paras: list[str], title: str, flavor: int = 0) -> bytes:
+    """A minimal deterministic PDF-like payload. ``flavor`` picks the
+    content-stream shape so each parser path in ``oracle._pdf_paragraphs``
+    gets fixture coverage; every flavor round-trips ``paras``/``title``:
+
+    0 — uncompressed ``(s) Tj`` shows, literal ``/Title`` (legacy shape)
+    1 — FlateDecode content stream, two shows per BT block
+    2 — ``[(w) -250 (w)] TJ`` arrays (word-gap kern + no-space kerns)
+    3 — hex strings with embedded whitespace, UTF-16BE hex ``/Title``
+    4 — ``'`` / ``"`` show operators, octal escapes
+    """
+    import zlib
+    if flavor == 3:
+        tb = b"\xfe\xff" + title.encode("utf-16-be")
+        title_obj = (b"1 0 obj << /Title <" + tb.hex().upper().encode("ascii")
+                     + b"> >> endobj\n")
+    else:
+        title_obj = b"1 0 obj << /Title (" + _pdf_escape(title) + b") >> endobj\n"
+
+    body = bytearray()
+    for pi, p in enumerate(paras):
+        if flavor == 2:
+            items: list[bytes] = []
+            for k, w in enumerate(p.split(" ")):
+                if k:
+                    items.append(b"-250")  # <= word-gap threshold: a space
+                if k == 0 and len(w) > 1:
+                    # intra-word kerns above the threshold join with no space
+                    items.append(b"(" + _pdf_escape(w[:1]) + b") -50 10 ("
+                                 + _pdf_escape(w[1:]) + b")")
+                else:
+                    items.append(b"(" + _pdf_escape(w) + b")")
+            body += b"BT [ " + b" ".join(items) + b" ] TJ ET\n"
+        elif flavor == 3:
+            hx = p.encode("utf-8").hex().upper()
+            spaced = " ".join(hx[i:i + 32] for i in range(0, len(hx), 32))
+            body += b"BT <" + spaced.encode("ascii") + b"> Tj ET\n"
+        elif flavor == 4:
+            op = b"'" if pi % 2 else b'"'
+            pre = b"" if pi % 2 else b"0.25 0 "
+            body += b"BT " + pre + b"(" + _pdf_escape_octal(p) + b") " + op + b" ET\n"
+        elif flavor == 1 and (halves := _split_mid_space(p)):
+            body += (b"BT (" + _pdf_escape(halves[0]) + b") Tj 0 -14 Td ("
+                     + _pdf_escape(halves[1]) + b") Tj ET\n")
+        else:
+            body += b"BT (" + _pdf_escape(p) + b") Tj ET\n"
+
+    if flavor == 1:
+        data = zlib.compress(bytes(body))
+        stream_obj = (b"2 0 obj << /Filter /FlateDecode /Length "
+                      + str(len(data)).encode("ascii") + b" >> stream\n"
+                      + data + b"\nendstream endobj\n")
+    else:
+        stream_obj = (b"2 0 obj << /Length 0 >> stream\n" + bytes(body)
+                      + b"endstream endobj\n")
+
+    return (b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n" + title_obj + stream_obj
+            + b"trailer << /Root 1 0 R >>\n%%EOF\n")
 
 
 def make_page(i: int) -> dict[str, Any]:
@@ -229,9 +300,12 @@ def documents_as_pages(spark, sf_dir: str):
 def documents_as_pdf_pages(spark, sf_dir: str):
     """documents.parquet → PDF-payload pages (layout-parse branch).
 
-    Each document's text becomes one uncompressed PDF text-show operator;
-    the pipeline must route it via the ``%PDF-`` magic to the layout
-    parser and recover ``text`` byte-identically.
+    Each document's text becomes one PDF text object, with the
+    content-stream shape cycling through every ``_make_pdf`` flavor
+    (uncompressed Tj / FlateDecode / TJ arrays / hex strings /
+    ``'``-``"`` shows) keyed on ``doc_id % 5``; the pipeline must route
+    it via the ``%PDF-`` magic to the layout parser and recover
+    ``text`` byte-identically whatever the encoding.
     """
     def gen(batches):
         import pandas as pd
@@ -241,7 +315,8 @@ def documents_as_pdf_pages(spark, sf_dir: str):
                 rows.append({
                     "url": f"https://pdf.example.com/doc/{int(d):09d}.pdf",
                     "warc_ts": EPOCH + timedelta(seconds=(int(d) * 61) % 31_536_000),
-                    "html": _make_pdf([t], f"PDF DOC {int(d)}"),
+                    "html": _make_pdf([t], f"PDF DOC {int(d)}",
+                                      flavor=int(d) % 5),
                     "text": t,
                     "lang": l,
                 })

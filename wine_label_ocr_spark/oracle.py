@@ -115,10 +115,41 @@ _TAG_RE = re.compile(
 _CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_-]+)")
 _TITLE_RE = re.compile(r"(?is)<title[^>]*>(.*?)</title>")
 
-# PDF branch: uncompressed text-show operators `BT (..) Tj ET` and the Info
-# dict `/Title (..)` (a real subset of the PDF content-stream syntax).
-_PDF_TEXT_RE = re.compile(rb"BT\s*\(((?:[^()\\]|\\.)*)\)\s*Tj\s*ET", re.DOTALL)
-_PDF_TITLE_RE = re.compile(rb"/Title\s*\(((?:[^()\\]|\\.)*)\)")
+# PDF branch (r9: full content-stream text extraction). A text object is
+# `BT … ET`; inside it the show operators are `(s) Tj`, `(s) '`,
+# `aw ac (s) "`, and the array form `[(a) -250 (b)] TJ` (ISO 32000-1
+# §9.4.3); strings may be literal (balanced parens + escapes, §7.3.4.2)
+# or hex (`<…>`, §7.3.4.3). Content streams usually ship
+# FlateDecode-compressed inside `stream…endstream`; `_pdf_paragraphs`
+# inflates those with stdlib zlib (output capped — a crawl sees zip
+# bombs) and scans raw regions too, so the uncompressed fixture shape
+# keeps working unchanged. All patterns here use possessive quantifiers
+# (see _TAG_RE) and the paren scanner is a manual linear pass — no
+# backtracking blow-ups on truncated/garbage payloads.
+_PDF_TITLE_RE = re.compile(rb"/Title\s*+(?:\(((?:[^()\\]|\\.)*+)\)|<([0-9A-Fa-f\s]*+)>)")
+_PDF_BT_RE = re.compile(
+    rb"(?<![A-Za-z0-9])BT(?![A-Za-z0-9])(.*?)(?<![A-Za-z0-9])ET(?![A-Za-z0-9])",
+    re.DOTALL)
+_PDF_STREAM_RE = re.compile(rb"stream\r?\n?(.*?)(?:\r\n?|\n)?endstream",
+                            re.DOTALL)
+# content-stream tokens OTHER than literal strings (those need a manual
+# scanner: balanced parens aren't regular); branches are first-byte
+# disjoint, quantifiers possessive — one linear pass
+_PDF_TOK_RE = re.compile(
+    rb"[\x00\t\n\x0c\r ]++"                              # whitespace
+    rb"|(?P<dict><<|>>)"                                 # before hex: << is a dict
+    rb"|(?P<hex><[0-9A-Fa-f\x00\t\n\x0c\r ]*+>?)"        # hex string
+    rb"|(?P<arr>[\[\]])"
+    rb"|(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]/%]*+)"
+    rb"|(?P<num>[-+]?+(?:[0-9]++(?:\.[0-9]*+)?+|\.[0-9]++))"
+    rb"|%[^\r\n]*+"                                      # comment
+    rb"|(?P<op>[^\x00\t\n\x0c\r ()<>\[\]/%]++)"
+    rb"|(?P<other>[<>])")
+# inserting a space for a TJ kern adjustment at or below this many
+# thousandths of text space is the standard extractor heuristic for a
+# word gap (pdftotext-family); above it the adjustment is letter kerning
+_PDF_TJ_SPACE_KERN = -180.0
+_PDF_MAX_INFLATE = 8_000_000  # per-stream inflate cap (zip-bomb guard)
 
 
 def normalize_ws(s: str) -> str:
@@ -204,20 +235,175 @@ def detect_charset(payload: bytes, http_charset: str | None = None) -> str:
         return "latin-1"
 
 
-def _pdf_unescape(raw: bytes) -> str:
-    out = []
+_PDF_ESC = {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b",
+            0x66: b"\x0c"}
+
+
+def _pdf_str_bytes(raw: bytes) -> bytes:
+    """Resolve literal-string escapes (ISO 32000-1 §7.3.4.2) to the raw
+    string bytes: \\n \\r \\t \\b \\f, octal \\ddd (1–3 digits), a
+    backslash-EOL line continuation (vanishes), and any other escaped
+    char standing for itself (covers \\( \\) \\\\)."""
+    if 0x5C not in raw:
+        return raw
+    out = bytearray()
     i, n = 0, len(raw)
     while i < n:
         c = raw[i]
-        if c == 0x5C and i + 1 < n:  # backslash escape: \( \) \\ \n \r \t
-            nxt = raw[i + 1]
-            mapped = {0x6E: "\n", 0x72: "\r", 0x74: "\t"}.get(nxt)
-            out.append(mapped if mapped is not None else chr(nxt))
-            i += 2
-        else:
-            out.append(chr(c))
+        if c != 0x5C or i + 1 >= n:
+            out.append(c)
             i += 1
-    return "".join(out).encode("latin-1").decode("utf-8", "replace")
+            continue
+        nxt = raw[i + 1]
+        mapped = _PDF_ESC.get(nxt)
+        if mapped is not None:
+            out += mapped
+            i += 2
+        elif 0x30 <= nxt <= 0x37:  # octal, up to 3 digits
+            j = i + 1
+            while j < min(i + 4, n) and 0x30 <= raw[j] <= 0x37:
+                j += 1
+            out.append(int(raw[i + 1:j], 8) & 0xFF)
+            i = j
+        elif nxt in (0x0A, 0x0D):  # line continuation
+            i += 2
+            if nxt == 0x0D and i < n and raw[i] == 0x0A:
+                i += 1
+        else:
+            out.append(nxt)
+            i += 2
+    return bytes(out)
+
+
+def _pdf_decode_text(raw: bytes) -> str:
+    """PDF text-string decode: UTF-16BE when the BOM says so (§7.9.2.2),
+    else UTF-8 with replacement (the pragmatic web superset of
+    PDFDocEncoding's ASCII range)."""
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", "replace")
+    return raw.decode("utf-8", "replace")
+
+
+def _pdf_unescape(raw: bytes) -> str:
+    return _pdf_decode_text(_pdf_str_bytes(raw))
+
+
+def _pdf_unhex(h: bytes) -> str:
+    """Hex string (§7.3.4.3): whitespace ignored, odd length padded with
+    a trailing 0."""
+    compact = bytes(c for c in h if c not in b"<>\x00\t\n\x0c\r ")
+    if len(compact) % 2:
+        compact += b"0"
+    try:
+        return _pdf_decode_text(bytes.fromhex(compact.decode("ascii")))
+    except ValueError:
+        return ""
+
+
+def _pdf_scan_literal(data: bytes, start: int) -> tuple[bytes, int]:
+    """Scan a literal string from the byte after its opening '(' —
+    balanced unescaped parens nest (§7.3.4.2). Returns (raw escaped
+    bytes, index after the closing paren); a truncated string ends at
+    EOF. One forward pass, no backtracking."""
+    depth, i, n = 1, start, len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x5C:
+            i += 2
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return data[start:i], i + 1
+        i += 1
+    return data[start:n], n
+
+
+def _pdf_block_text(block: bytes) -> str:
+    """Text shown by one BT..ET text object, in operator order: `Tj`,
+    `'`, `\"` show their string operand; `[..] TJ` concatenates the
+    array's strings, inserting a space where a kern adjustment at or
+    below _PDF_TJ_SPACE_KERN marks a word gap. Positioning operators
+    (Td/TD/T*/Tm) contribute nothing — the caller whitespace-normalizes,
+    so a separating space per show is enough."""
+    parts: list[str] = []
+    last_str: str | None = None
+    arr: list[str] | None = None
+    closed_arr: list[str] | None = None
+    pos, n = 0, len(block)
+    while pos < n:
+        if block[pos] == 0x28:  # literal string — manual scan
+            raw, pos = _pdf_scan_literal(block, pos + 1)
+            s = _pdf_unescape(raw)
+            if arr is not None:
+                arr.append(s)
+            else:
+                last_str = s
+            continue
+        m = _PDF_TOK_RE.match(block, pos)
+        if m is None:  # unscannable byte (inline image data etc.)
+            pos += 1
+            continue
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "hex":
+            s = _pdf_unhex(m.group("hex"))
+            if arr is not None:
+                arr.append(s)
+            else:
+                last_str = s
+        elif kind == "arr":
+            if m.group("arr") == b"[":
+                arr, closed_arr = [], None
+            else:
+                closed_arr, arr = arr, None
+        elif kind == "num":
+            if arr is not None:
+                try:
+                    if float(m.group("num")) <= _PDF_TJ_SPACE_KERN:
+                        arr.append(" ")
+                except ValueError:
+                    pass
+        elif kind == "op":
+            op = m.group("op")
+            if op in (b"Tj", b"'", b'"'):
+                if last_str is not None:
+                    parts.append(last_str)
+                    last_str = None
+            elif op == b"TJ":
+                if closed_arr is not None:
+                    parts.append("".join(closed_arr))
+                    closed_arr = None
+    return " ".join(p for p in parts if p)
+
+
+def _pdf_paragraphs(payload: bytes) -> list[str]:
+    """All text-object paragraphs of a PDF payload in document order.
+
+    Walks `stream…endstream` segments: FlateDecode bodies inflate via
+    zlib (decompressobj — trailing bytes tolerated; output capped at
+    _PDF_MAX_INFLATE per stream; corrupt data skipped), raw bodies that
+    carry a BT are scanned as-is (uncompressed content streams), and
+    the regions BETWEEN streams are scanned too — fixtures and hand-made
+    PDFs put text objects at top level. Each BT..ET is one paragraph."""
+    import zlib
+    pieces: list[bytes] = []
+    pos = 0
+    for m in _PDF_STREAM_RE.finditer(payload):
+        pieces.append(payload[pos:m.start()])
+        data = m.group(1)
+        try:
+            pieces.append(zlib.decompressobj().decompress(
+                data, _PDF_MAX_INFLATE))
+        except zlib.error:
+            if b"BT" in data:
+                pieces.append(data)
+        pos = m.end()
+    pieces.append(payload[pos:])
+    return [_pdf_block_text(bm.group(1))
+            for piece in pieces for bm in _PDF_BT_RE.finditer(piece)]
 
 
 def lex_blocks(decoded: str) -> list[dict[str, Any]]:
@@ -447,12 +633,15 @@ def extract(payload: bytes, url: str,
     declarations — see ``detect_charset``.
     """
     if payload[:5] == b"%PDF-":
-        paras = [_pdf_unescape(m.group(1)) for m in _PDF_TEXT_RE.finditer(payload)]
-        paras = [normalize_ws(p) for p in paras]
+        paras = [normalize_ws(p) for p in _pdf_paragraphs(payload)]
         paras = [p for p in paras if p]
         text = "\n\n".join(paras)
         tm = _PDF_TITLE_RE.search(payload)
-        title = normalize_ws(_pdf_unescape(tm.group(1))) if tm else None
+        title = None
+        if tm:
+            raw_title = (_pdf_unescape(tm.group(1)) if tm.group(1) is not None
+                         else _pdf_unhex(tm.group(2)))
+            title = normalize_ws(raw_title)
         kept = [{
             "text": p, "n_chars": len(p), "link_chars": 0,
             "boiler": False, "tag": "pdf", "block_index": i,
