@@ -1662,6 +1662,27 @@ def q_audio_features(spark, sf):  # multimodal: real WAV decode + FFT
             .orderBy("url"))
 
 
+def q_audio_resample(spark, sf):  # multimodal: REAL PCM rate conversion
+    """Sample-rate conversion under the value gate: planted exact-bin
+    tones (rate 8192, bin k = 32 + doc_id % 64) are resampled to 4096
+    with the windowed-sinc kernel, then the standard FFT feature path
+    runs over the RESAMPLED bytes. The physical frequency must survive
+    the conversion exactly: bin doubles (2k at the halved rate), the
+    milli-Hz frequency is unchanged (8000·k), and 2048 source samples
+    become exactly 1024 — every value closed-form in doc_id (reference
+    analog: the fixed-cadence capture loop resamples its camera feed,
+    hybrid.py preprocess variants)."""
+    from wine_label_ocr_spark.fixtures import documents_as_media_audio
+    from wine_label_ocr_spark.operators.multimodal import (
+        audio_features, resample_audio)
+    pages = documents_as_media_audio(spark, sf)
+    res = resample_audio(pages, target_rate=4096)
+    return (audio_features(res.filter("decode_ok"), id_col="url")
+            .select("url", "sample_rate", "n_samples", "dominant_bin",
+                    "dominant_freq_mhz", "decode_ok")
+            .orderBy("url"))
+
+
 def q_outlinks(spark, sf):  # graph: href extraction for frontier/link graph
     """Outlink extraction over planted html (absolute/uppercase-HREF/
     fragment-only/relative/UNQUOTED/<area image-map> shapes, plus
@@ -3581,6 +3602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring": q_exact_substring,
         "text_fix": q_text_fix,
         "audio_features": q_audio_features,
+        "audio_resample": q_audio_resample,
         "interval_join": q_interval_join,
         "unigram_logprob": q_unigram_logprob,
         "minhash_lsh": q_minhash_lsh,
@@ -4614,6 +4636,18 @@ def oracle_sql() -> dict[str, str]:
                    8192 AS sample_rate,
                    2048 AS n_samples,
                    CAST(32 + doc_id % 64 AS INT) AS dominant_bin,
+                   CAST((32 + doc_id % 64) * 8000 AS BIGINT) AS dominant_freq_mhz,
+                   TRUE AS decode_ok
+            FROM documents
+            ORDER BY url
+        """,
+        "audio_resample": """
+            -- windowed-sinc 8192→4096: tone bin doubles, physical Hz
+            -- unchanged, 2048 samples → exactly 1024
+            SELECT 'audio:' || printf('%09d', doc_id) AS url,
+                   4096 AS sample_rate,
+                   1024 AS n_samples,
+                   CAST(2 * (32 + doc_id % 64) AS INT) AS dominant_bin,
                    CAST((32 + doc_id % 64) * 8000 AS BIGINT) AS dominant_freq_mhz,
                    TRUE AS decode_ok
             FROM documents

@@ -169,6 +169,71 @@ def test_wav_codec_and_audio_features(spark):
     assert len(got) == 4                         # no row vanishes
 
 
+def test_resample_pcm_kernel():
+    """Windowed-sinc PCM resampling: exact tone-bin preservation down,
+    up, and at rational ratios; anti-aliasing above the target Nyquist;
+    identity at equal rates; amplitude within 0.1%."""
+    import numpy as np
+    from wine_label_ocr_spark.operators.multimodal import resample_pcm
+
+    t = np.arange(2048)
+    tone = lambda k: np.round(9000.0 * np.sin(2 * np.pi * k * t / 1024.0)) \
+        .astype(np.int16)  # noqa: E731
+
+    def dom(x, n_fft):
+        spec = np.abs(np.fft.rfft(x[:n_fft, 0].astype(np.float64)))
+        spec[0] = 0.0
+        return int(np.argmax(spec))
+
+    s = tone(50)  # 400 Hz at 8192
+    down = resample_pcm(s, 8192, 4096)
+    assert down.shape == (1024, 1) and dom(down, 1024) == 100
+    up = resample_pcm(s, 8192, 16384)
+    assert up.shape[0] == 4096 and dom(up, 1024) == 25
+    rational = resample_pcm(s, 8192, 3072)  # L=3, M=8
+    assert rational.shape[0] == 2048 * 3 // 8
+    assert dom(rational, 512) == 67  # 400 Hz ≈ bin 66.67 at (3072, 512)
+    # amplitude preserved in the passband
+    assert abs(np.max(np.abs(down)) / 9000.0 - 1.0) < 1e-3
+
+    alias = resample_pcm(tone(400), 8192, 4096)  # 3200 Hz > 2048 Nyquist
+    rms = lambda x: np.sqrt(np.mean(x.astype(np.float64) ** 2))  # noqa: E731
+    assert rms(alias) < 0.02 * rms(tone(400))  # stopband, not folded
+
+    same = resample_pcm(s, 8192, 8192)
+    assert (same[:, 0] == s).all()
+    # stereo shape preserved
+    st = resample_pcm(np.stack([s, -s], axis=1), 8192, 4096)
+    assert st.shape == (1024, 2)
+
+
+def test_resample_audio_operator(spark):
+    """resample_audio re-encodes playable WAVs at the target rate; the
+    FFT path over the RESAMPLED bytes finds the same physical frequency;
+    junk rows survive with decode_ok=false; plan is a pure map."""
+    import numpy as np
+    from wine_label_ocr_spark.operators.multimodal import (
+        audio_features, encode_wav, resample_audio)
+
+    t = np.arange(2048)
+    tone = lambda k: np.round(9000.0 * np.sin(2 * np.pi * k * t / 1024.0)) \
+        .astype(np.int16)  # noqa: E731
+    rows = [("a", bytes(encode_wav(tone(40), 8192))),
+            ("junk", b"RIFFxxxxWAVEnope")]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    res = resample_audio(df, target_rate=4096)
+    assert "Exchange" not in res._jdf.queryExecution() \
+        .executedPlan().toString()
+    got = {r["url"]: r for r in res.collect()}
+    assert got["a"]["decode_ok"] and got["a"]["n_samples_out"] == 1024
+    assert got["junk"]["decode_ok"] is False
+    feats = {r["url"]: r for r in audio_features(
+        res.filter("decode_ok")).collect()}
+    # 320 Hz tone: bin 40 at (8192, 1024) → bin 80 at (4096, 1024)
+    assert feats["a"]["dominant_bin"] == 80
+    assert feats["a"]["dominant_freq_mhz"] == 40 * 8000  # same physical Hz
+
+
 # ---- statistical lang-id head (NB over hashed char n-grams) ----
 
 LANG_SEED = [

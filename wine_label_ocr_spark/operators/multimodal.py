@@ -14,13 +14,16 @@ baseline-sequential JPEG (``decode_jpeg``: Annex-K Huffman, dequant,
 exact float IDCT, chroma upsample, YCbCr→RGB), and GIF (``decode_gif``:
 LZW with dict resets, interlace, first frame of animations) — each gets
 true per-channel pixel statistics (``pixel_features``) and perceptual
-hashes. Progressive JPEG and audio/video resample remain the documented
-STUBS: their feature vector derives deterministically from the parsed
-header, and ``decode_stub`` on a non-media payload raises
-``NotImplementedError`` unless ``fake=True``. The Spark-side plumbing —
-schema, batching, partitioning, UDF signature — is real and tested; a
-production deploy swaps the remaining stub kernels for Pillow/ffmpeg
-with no plan changes.
+hashes. Audio is REAL end-to-end for PCM WAV: RIFF decode
+(``decode_wav``), FFT spectral features (``audio_features``), and
+sample-rate conversion (``resample_pcm``/``resample_audio`` —
+windowed-sinc rational resampling, anti-aliased, pure numpy). The
+remaining seam is VIDEO sample decode (MP4 exposes real container
+metadata only) and non-PCM audio codecs: ``decode_stub`` on such a
+payload raises ``NotImplementedError`` unless ``fake=True``. The
+Spark-side plumbing — schema, batching, partitioning, UDF signature —
+is real and tested; a production deploy swaps the remaining codec
+kernels for Pillow/ffmpeg with no plan changes.
 """
 
 from __future__ import annotations
@@ -208,6 +211,86 @@ def decode_wav(payload: bytes):
         return None
     arr = np.frombuffer(data[:n * 2 * channels], dtype="<i2")
     return arr.reshape(n, channels), rate
+
+
+def resample_pcm(arr, src_rate: int, dst_rate: int, taps: int = 33):
+    """REAL PCM sample-rate conversion: rational-ratio windowed-sinc
+    interpolation (the polyphase family every audio resampler uses —
+    Hann-windowed sinc kernel, cutoff at min(src, dst) Nyquist so
+    downsampling anti-aliases). Pure numpy over int16 ``(n, ch)``
+    samples — no codec library; per-output-sample kernel normalization
+    makes DC gain exactly 1 (no edge droop). Memory is O(n_out·ch):
+    the kernel loop runs over ``taps``, not materialized as a matrix."""
+    import math
+
+    import numpy as np
+    a = np.asarray(arr, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    if src_rate == dst_rate:
+        return a.copy()
+    if src_rate <= 0 or dst_rate <= 0:
+        raise ValueError("rates must be positive")
+    n, ch = a.shape
+    g = math.gcd(src_rate, dst_rate)
+    up, down = dst_rate // g, src_rate // g
+    n_out = (n * up) // down
+    if n_out == 0:
+        return np.zeros((0, ch), dtype=np.int16)
+    half = taps // 2
+    cutoff = min(1.0, up / down)  # fraction of the SOURCE Nyquist
+    pos = np.arange(n_out, dtype=np.float64) * (down / up)
+    base = np.floor(pos).astype(np.int64)
+    frac = pos - base
+    src = a.astype(np.float64)
+    out = np.zeros((n_out, ch), dtype=np.float64)
+    wsum = np.zeros(n_out, dtype=np.float64)
+    for j in range(-half, half + 1):
+        x = j - frac                                   # kernel offset
+        w = cutoff * np.sinc(cutoff * x) \
+            * (0.5 + 0.5 * np.cos(np.pi * x / (half + 1)))  # Hann taper
+        idx = np.clip(base + j, 0, n - 1)              # edge-hold padding
+        out += w[:, None] * src[idx]
+        wsum += w
+    out /= wsum[:, None]
+    return np.clip(np.rint(out), -32768, 32767).astype(np.int16)
+
+
+def resample_audio(df: DataFrame, target_rate: int, id_col: str = "url",
+                   payload_col: str = "payload",
+                   taps: int = 33) -> DataFrame:
+    """WAV payloads → re-encoded WAV payloads at ``target_rate`` via one
+    Arrow-batched ``mapInPandas`` (pure map, zero Exchange — the same
+    plan shape as ``extract_media_features``). Channels are averaged to
+    mono before conversion (the training-pipeline shape: one waveform
+    per document). Non-decodable payloads keep their row with
+    ``decode_ok=false`` and a NULL payload (ST8 policy)."""
+    def run(batches: Iterable) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for key, payload in zip(pdf[id_col], pdf[payload_col]):
+                got = decode_wav(bytes(payload) if payload is not None else b"")
+                if got is None:
+                    out.append((key, None, target_rate, None, None,
+                                None, False))
+                    continue
+                arr, rate = got
+                mono = (arr.astype(np.int64).sum(axis=1)
+                        // arr.shape[1]).astype(np.int16)
+                res = resample_pcm(mono, rate, target_rate, taps=taps)
+                out.append((key, rate, target_rate, int(arr.shape[0]),
+                            int(res.shape[0]),
+                            encode_wav(res[:, 0], target_rate), True))
+            yield pd.DataFrame(out, columns=[
+                id_col, "src_rate", "dst_rate", "n_samples_in",
+                "n_samples_out", "payload", "decode_ok"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=(f"{id_col} string, src_rate int, dst_rate int, "
+                     "n_samples_in int, n_samples_out int, "
+                     "payload binary, decode_ok boolean"))
 
 
 def audio_features(df: DataFrame, id_col: str = "url",
@@ -3299,8 +3382,9 @@ def decode_stub(payload: bytes, fake: bool = False) -> dict:
     undecodable images (lossy-VP8 WebP, arithmetic/12-bit JPEG) fall
     back to header-derived
     features; otherwise the deterministic fake (``fake=True``) or
-    ``NotImplementedError`` (audio/video resample still needs ffmpeg —
-    the remaining seam)."""
+    ``NotImplementedError`` (video sample decode and non-PCM audio
+    codecs still need ffmpeg — the remaining seam; PCM WAV resampling
+    itself is real, see ``resample_pcm``)."""
     hdr = parse_image_header(payload)
     if hdr is not None:
         # real frame count for animated GIFs AND animated WebPs
