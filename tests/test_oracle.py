@@ -125,11 +125,12 @@ def test_never_raises_on_garbage(payload):
     assert isinstance(r["text"], str)
 
 
-@pytest.mark.parametrize("flavor", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("flavor", [0, 1, 2, 3, 4, 5, 6])
 def test_pdf_flavors_round_trip(flavor):
     """Every content-stream encoding _make_pdf emits (uncompressed Tj,
-    FlateDecode, TJ arrays, hex strings, '/" shows) must round-trip the
-    paragraphs and title exactly."""
+    FlateDecode, TJ arrays, hex strings, '/" shows, ASCII85+Flate,
+    ASCIIHex transport) must round-trip the paragraphs and title
+    exactly."""
     from wine_label_ocr_spark.fixtures import _make_pdf
     paras = ["Chateau d'Exemple grand cru 2015 réserve spéciale",
              "body with (nested (parens)) and \\ a backslash",
@@ -195,3 +196,23 @@ def test_pdf_truncated_garbage_linear():
         r = oracle.extract(payload, "u")
         assert isinstance(r["text"], str)
     assert time.monotonic() - t0 < 5.0
+
+
+def test_pdf_ascii_filter_chains():
+    """ASCIIHex / ASCII85 stream probes: charset-strict (raw content
+    streams never false-fire), terminator-required, odd hex padded."""
+    import base64
+    import zlib
+    body = b"BT (deep) Tj ET"
+    a85 = base64.a85encode(zlib.compress(body)) + b"~>"
+    payload = b"%PDF-1.4\nstream\n" + a85 + b"\nendstream\n"
+    assert oracle.extract(payload, "u")["text"] == "deep"
+    hx = body.hex().upper().encode() + b">"
+    payload = b"%PDF-1.4\nstream\n" + hx + b"\nendstream\n"
+    assert oracle.extract(payload, "u")["text"] == "deep"
+    # raw uncompressed body still scanned directly (no false codec fire)
+    payload = b"%PDF-1.4\nstream\n" + body + b"\nendstream\n"
+    assert oracle.extract(payload, "u")["text"] == "deep"
+    # a85 garbage with terminator but invalid grouping → skipped, no raise
+    payload = b"%PDF-1.4\nstream\nuuuuu~>\nendstream\nBT (ok) Tj ET"
+    assert oracle.extract(payload, "u")["text"] == "ok"

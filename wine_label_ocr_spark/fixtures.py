@@ -124,6 +124,8 @@ def _make_pdf(paras: list[str], title: str, flavor: int = 0) -> bytes:
     2 — ``[(w) -250 (w)] TJ`` arrays (word-gap kern + no-space kerns)
     3 — hex strings with embedded whitespace, UTF-16BE hex ``/Title``
     4 — ``'`` / ``"`` show operators, octal escapes
+    5 — ASCII85-wrapped FlateDecode stream (``[/ASCII85Decode /FlateDecode]``)
+    6 — ASCIIHexDecode stream (uncompressed shows, hex transport)
     """
     import zlib
     if flavor == 3:
@@ -164,6 +166,18 @@ def _make_pdf(paras: list[str], title: str, flavor: int = 0) -> bytes:
     if flavor == 1:
         data = zlib.compress(bytes(body))
         stream_obj = (b"2 0 obj << /Filter /FlateDecode /Length "
+                      + str(len(data)).encode("ascii") + b" >> stream\n"
+                      + data + b"\nendstream endobj\n")
+    elif flavor == 5:
+        import base64
+        data = base64.a85encode(zlib.compress(bytes(body)), wrapcol=64) + b"~>"
+        stream_obj = (b"2 0 obj << /Filter [/ASCII85Decode /FlateDecode] "
+                      b"/Length " + str(len(data)).encode("ascii")
+                      + b" >> stream\n" + data + b"\nendstream endobj\n")
+    elif flavor == 6:
+        hx = bytes(body).hex().upper().encode("ascii")
+        data = b"\n".join(hx[i:i + 64] for i in range(0, len(hx), 64)) + b">"
+        stream_obj = (b"2 0 obj << /Filter /ASCIIHexDecode /Length "
                       + str(len(data)).encode("ascii") + b" >> stream\n"
                       + data + b"\nendstream endobj\n")
     else:
@@ -316,7 +330,7 @@ def documents_as_pdf_pages(spark, sf_dir: str):
                     "url": f"https://pdf.example.com/doc/{int(d):09d}.pdf",
                     "warc_ts": EPOCH + timedelta(seconds=(int(d) * 61) % 31_536_000),
                     "html": _make_pdf([t], f"PDF DOC {int(d)}",
-                                      flavor=int(d) % 5),
+                                      flavor=int(d) % 7),
                     "text": t,
                     "lang": l,
                 })

@@ -379,27 +379,71 @@ def _pdf_block_text(block: bytes) -> str:
     return " ".join(p for p in parts if p)
 
 
+def _inflate(data: bytes) -> bytes | None:
+    import zlib
+    try:
+        out = zlib.decompressobj().decompress(data, _PDF_MAX_INFLATE)
+    except zlib.error:
+        return None
+    return out or None
+
+
+_A85_OK = frozenset(range(0x21, 0x76)) | set(b"z\x00\t\n\x0c\r ")
+_HEX_OK = frozenset(b"0123456789abcdefABCDEF\x00\t\n\x0c\r ")
+
+
+def _pdf_decode_stream(data: bytes) -> bytes | None:
+    """Decode one stream body through the offline-decodable filter
+    chains (ISO 32000-1 §7.4): FlateDecode; ASCIIHexDecode or
+    ASCII85Decode (§7.4.2/7.4.3), each alone or wrapping Flate. The
+    `/Filter` entry lives in the object dict OUTSIDE the captured body,
+    so the chain is probed — safely: the ASCII codecs only fire when
+    the body is entirely inside their charsets (with the right
+    terminator), which compressed/binary bodies essentially never are,
+    and a wrong guess yields garbage with no `BT` (harmless)."""
+    out = _inflate(data)
+    if out is not None:
+        return out
+    s = data.strip(b"\x00\t\n\x0c\r ")
+    if s[-2:] == b"~>" and all(c in _A85_OK for c in s[:-2]):
+        import base64
+        try:
+            dec = base64.a85decode(s[:-2].translate(None, b"\x00\t\n\x0c\r "))
+        except ValueError:
+            return None
+        return _inflate(dec) or dec or None
+    if s[-1:] == b">" and all(c in _HEX_OK for c in s[:-1]):
+        compact = s[:-1].translate(None, b"\x00\t\n\x0c\r ")
+        if len(compact) % 2:
+            compact += b"0"  # odd length pads with 0 (§7.4.2)
+        try:
+            dec = bytes.fromhex(compact.decode("ascii"))
+        except ValueError:
+            return None
+        return _inflate(dec) or dec or None
+    return None
+
+
 def _pdf_paragraphs(payload: bytes) -> list[str]:
     """All text-object paragraphs of a PDF payload in document order.
 
-    Walks `stream…endstream` segments: FlateDecode bodies inflate via
-    zlib (decompressobj — trailing bytes tolerated; output capped at
-    _PDF_MAX_INFLATE per stream; corrupt data skipped), raw bodies that
-    carry a BT are scanned as-is (uncompressed content streams), and
-    the regions BETWEEN streams are scanned too — fixtures and hand-made
-    PDFs put text objects at top level. Each BT..ET is one paragraph."""
-    import zlib
+    Walks `stream…endstream` segments: bodies decode through
+    ``_pdf_decode_stream`` (Flate / ASCIIHex / ASCII85 chains — output
+    capped at _PDF_MAX_INFLATE per stream; corrupt data skipped), raw
+    bodies that carry a BT are scanned as-is (uncompressed content
+    streams), and the regions BETWEEN streams are scanned too —
+    fixtures and hand-made PDFs put text objects at top level. Each
+    BT..ET is one paragraph."""
     pieces: list[bytes] = []
     pos = 0
     for m in _PDF_STREAM_RE.finditer(payload):
         pieces.append(payload[pos:m.start()])
         data = m.group(1)
-        try:
-            pieces.append(zlib.decompressobj().decompress(
-                data, _PDF_MAX_INFLATE))
-        except zlib.error:
-            if b"BT" in data:
-                pieces.append(data)
+        dec = _pdf_decode_stream(data)
+        if dec is not None:
+            pieces.append(dec)
+        elif b"BT" in data:
+            pieces.append(data)
         pos = m.end()
     pieces.append(payload[pos:])
     return [_pdf_block_text(bm.group(1))
