@@ -1683,6 +1683,20 @@ def q_audio_resample(spark, sf):  # multimodal: REAL PCM rate conversion
             .orderBy("url"))
 
 
+def q_audio_spectrogram(spark, sf):  # multimodal: framed STFT features
+    """Hann-windowed STFT under the value gate: the planted exact-bin
+    tones (rate 8192, bin k = 32 + doc_id % 64 at n_fft 1024) dominate
+    EVERY frame, so the per-frame dominant-bin array is closed-form:
+    2048 samples at hop 512 → exactly 3 frames, each argmax = k."""
+    from wine_label_ocr_spark.fixtures import documents_as_media_audio
+    from wine_label_ocr_spark.operators.multimodal import audio_spectrogram
+    pages = documents_as_media_audio(spark, sf)
+    return (audio_spectrogram(pages, id_col="url", n_fft=1024, hop=512)
+            .select("url", "sample_rate", "n_frames", "dominant_bins",
+                    "decode_ok")
+            .orderBy("url"))
+
+
 def q_outlinks(spark, sf):  # graph: href extraction for frontier/link graph
     """Outlink extraction over planted html (absolute/uppercase-HREF/
     fragment-only/relative/UNQUOTED/<area image-map> shapes, plus
@@ -3603,6 +3617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fix": q_text_fix,
         "audio_features": q_audio_features,
         "audio_resample": q_audio_resample,
+        "audio_spectrogram": q_audio_spectrogram,
         "interval_join": q_interval_join,
         "unigram_logprob": q_unigram_logprob,
         "minhash_lsh": q_minhash_lsh,
@@ -4649,6 +4664,19 @@ def oracle_sql() -> dict[str, str]:
                    1024 AS n_samples,
                    CAST(2 * (32 + doc_id % 64) AS INT) AS dominant_bin,
                    CAST((32 + doc_id % 64) * 8000 AS BIGINT) AS dominant_freq_mhz,
+                   TRUE AS decode_ok
+            FROM documents
+            ORDER BY url
+        """,
+        "audio_spectrogram": """
+            -- Hann STFT frames: 2048 samples, n_fft 1024, hop 512 → 3
+            -- frames, each dominated by the planted tone bin
+            SELECT 'audio:' || printf('%09d', doc_id) AS url,
+                   8192 AS sample_rate,
+                   3 AS n_frames,
+                   [CAST(32 + doc_id % 64 AS INT),
+                    CAST(32 + doc_id % 64 AS INT),
+                    CAST(32 + doc_id % 64 AS INT)] AS dominant_bins,
                    TRUE AS decode_ok
             FROM documents
             ORDER BY url

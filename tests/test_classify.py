@@ -234,6 +234,62 @@ def test_resample_audio_operator(spark):
     assert feats["a"]["dominant_freq_mhz"] == 40 * 8000  # same physical Hz
 
 
+def test_stft_and_mel_filterbank():
+    """Hann STFT: exact frame count, exact-bin tones dominate every
+    frame; HTK-mel filterbank matches an independent reference
+    construction and pools deterministically."""
+    import numpy as np
+    from wine_label_ocr_spark.operators.multimodal import (
+        mel_filterbank, stft_frames)
+
+    t = np.arange(2048)
+    s = np.round(9000.0 * np.sin(2 * np.pi * 40 * t / 1024.0)) \
+        .astype(np.int16)
+    spec = stft_frames(s, 1024, 512)
+    assert spec.shape == (3, 513)
+    spec[:, 0] = 0.0
+    assert (np.argmax(spec, axis=1) == 40).all()
+    assert stft_frames(s[:1000], 1024, 512).shape == (0, 513)  # too short
+
+    fb = mel_filterbank(20, 1024, 8192)
+    assert fb.shape == (20, 513)
+    # independent reference: band i peaks at the i+1'th mel-spaced edge
+    mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)  # noqa: E731
+    edges = 700.0 * (10.0 ** (np.linspace(0, mel(4096.0), 22) / 2595.0) - 1)
+    freqs = np.arange(513) * 8.0
+    for i in (0, 9, 19):
+        peak_bin = int(np.argmax(fb[i]))
+        assert abs(freqs[peak_bin] - edges[i + 1]) <= 8.0  # within one bin
+    # triangles partition: weights non-negative, rows non-empty
+    assert (fb >= 0).all() and (fb.sum(axis=1) > 0).all()
+
+
+def test_audio_spectrogram_operator(spark):
+    """audio_spectrogram: per-frame dominant bins exact on planted
+    tones, mel argmax stable across frames, junk rows kept, pure map."""
+    import numpy as np
+    from wine_label_ocr_spark.operators.multimodal import (
+        audio_spectrogram, encode_wav)
+
+    t = np.arange(2048)
+    tone = lambda k: np.round(9000.0 * np.sin(2 * np.pi * k * t / 1024.0)) \
+        .astype(np.int16)  # noqa: E731
+    rows = [("a", bytes(encode_wav(tone(40), 8192))),
+            ("b", bytes(encode_wav(tone(90), 8192))),
+            ("junk", b"RIFFxxxxWAVEnope")]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    res = audio_spectrogram(df, n_fft=1024, hop=512, n_mels=20)
+    assert "Exchange" not in res._jdf.queryExecution() \
+        .executedPlan().toString()
+    got = {r["url"]: r for r in res.collect()}
+    assert got["a"]["n_frames"] == 3
+    assert list(got["a"]["dominant_bins"]) == [40, 40, 40]
+    assert list(got["b"]["dominant_bins"]) == [90, 90, 90]
+    assert len(set(got["a"]["dominant_mels"])) == 1
+    assert got["a"]["dominant_mels"][0] < got["b"]["dominant_mels"][0]
+    assert got["junk"]["decode_ok"] is False
+
+
 # ---- statistical lang-id head (NB over hashed char n-grams) ----
 
 LANG_SEED = [

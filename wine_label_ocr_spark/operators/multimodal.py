@@ -256,6 +256,84 @@ def resample_pcm(arr, src_rate: int, dst_rate: int, taps: int = 33):
     return np.clip(np.rint(out), -32768, 32767).astype(np.int16)
 
 
+def mel_filterbank(n_mels: int, n_fft: int, rate: int):
+    """Standard HTK-mel triangular filterbank (mel = 2595·log10(1+f/700)
+    — a published formula, no fitted constants): ``(n_mels, n_fft//2+1)``
+    float64 weights, each row a triangle between adjacent mel-spaced
+    edge frequencies, evaluated at the rfft bin centers."""
+    import numpy as np
+    mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)  # noqa: E731
+    imel = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)  # noqa: E731
+    edges = imel(np.linspace(0.0, mel(rate / 2.0), n_mels + 2))
+    freqs = np.arange(n_fft // 2 + 1) * (rate / n_fft)
+    fb = np.zeros((n_mels, freqs.size))
+    for i in range(n_mels):
+        lo, mid, hi = edges[i], edges[i + 1], edges[i + 2]
+        up = (freqs - lo) / max(mid - lo, 1e-12)
+        down = (hi - freqs) / max(hi - mid, 1e-12)
+        fb[i] = np.clip(np.minimum(up, down), 0.0, None)
+    return fb
+
+
+def stft_frames(mono, n_fft: int, hop: int):
+    """Hann-windowed magnitude STFT of an int16 mono signal:
+    ``(n_frames, n_fft//2+1)`` float64, frames = 1 + (n−n_fft)//hop
+    (no padding — partial tail frames are dropped, the deterministic
+    shard-stable choice)."""
+    import numpy as np
+    x = np.asarray(mono, dtype=np.float64)
+    n = x.shape[0]
+    if n < n_fft:
+        return np.zeros((0, n_fft // 2 + 1))
+    n_frames = 1 + (n - n_fft) // hop
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+    idx = (np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :])
+    return np.abs(np.fft.rfft(x[idx] * win[None, :], axis=1))
+
+
+def audio_spectrogram(df: DataFrame, id_col: str = "url",
+                      payload_col: str = "payload", n_fft: int = 1024,
+                      hop: int = 512, n_mels: int = 0) -> DataFrame:
+    """WAV payloads → framed spectral features via one Arrow-batched
+    ``mapInPandas`` (pure map, zero Exchange): per file, decode PCM,
+    average channels, Hann-windowed magnitude STFT, per-frame dominant
+    bin (DC excluded — exact integers, the gate surface), and with
+    ``n_mels > 0`` the per-frame argmax HTK-mel band (``dominant_mels``,
+    else NULL). Non-decodable payloads keep their row with
+    ``decode_ok=false`` (ST8 policy)."""
+    def run(batches: Iterable) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        fb_cache: dict = {}
+        for pdf in batches:
+            out = []
+            for key, payload in zip(pdf[id_col], pdf[payload_col]):
+                got = decode_wav(bytes(payload) if payload is not None else b"")
+                if got is None or got[0].shape[0] < n_fft:
+                    out.append((key, None, None, None, None, False))
+                    continue
+                arr, rate = got
+                mono = arr.astype(np.int64).sum(axis=1) // arr.shape[1]
+                spec = stft_frames(mono, n_fft, hop)
+                spec[:, 0] = 0.0
+                bins = [int(b) for b in np.argmax(spec, axis=1)]
+                mels = None
+                if n_mels > 0:
+                    if rate not in fb_cache:
+                        fb_cache[rate] = mel_filterbank(n_mels, n_fft, rate)
+                    mels = [int(m) for m in
+                            np.argmax(spec @ fb_cache[rate].T, axis=1)]
+                out.append((key, rate, int(spec.shape[0]), bins, mels, True))
+            yield pd.DataFrame(out, columns=[
+                id_col, "sample_rate", "n_frames", "dominant_bins",
+                "dominant_mels", "decode_ok"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=(f"{id_col} string, sample_rate int, n_frames int, "
+                     "dominant_bins array<int>, dominant_mels array<int>, "
+                     "decode_ok boolean"))
+
+
 def resample_audio(df: DataFrame, target_rate: int, id_col: str = "url",
                    payload_col: str = "payload",
                    taps: int = 33) -> DataFrame:
