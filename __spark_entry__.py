@@ -1697,6 +1697,22 @@ def q_audio_spectrogram(spark, sf):  # multimodal: framed STFT features
             .orderBy("url"))
 
 
+def q_audio_dedup(spark, sf):  # multimodal: content-level audio dedup
+    """Spectral-fingerprint dedup under the value gate: the planted
+    corpus reuses 64 tone bins across 500 docs, so content dedup must
+    recover exactly 64 groups of ⌈500/64⌉-member shape with closed-form
+    membership (all doc_ids ≡ k−32 mod 64), independent of byte-level
+    container differences."""
+    from wine_label_ocr_spark.fixtures import documents_as_media_audio
+    from wine_label_ocr_spark.operators.multimodal import audio_content_dedup
+    pages = documents_as_media_audio(spark, sf)
+    return (audio_content_dedup(pages, id_col="url", n_fft=1024, hop=512)
+            .select("dominant_bins",
+                    F.col("n_dups").cast("bigint").alias("n_dups"),
+                    "canonical_id", "members")
+            .orderBy("canonical_id"))
+
+
 def q_outlinks(spark, sf):  # graph: href extraction for frontier/link graph
     """Outlink extraction over planted html (absolute/uppercase-HREF/
     fragment-only/relative/UNQUOTED/<area image-map> shapes, plus
@@ -3618,6 +3634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "audio_resample": q_audio_resample,
         "audio_spectrogram": q_audio_spectrogram,
+        "audio_dedup": q_audio_dedup,
         "interval_join": q_interval_join,
         "unigram_logprob": q_unigram_logprob,
         "minhash_lsh": q_minhash_lsh,
@@ -4680,6 +4697,20 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS decode_ok
             FROM documents
             ORDER BY url
+        """,
+        "audio_dedup": """
+            -- 64 tone bins shared across 500 docs → 64 content-dup
+            -- groups with closed-form membership
+            SELECT [CAST(32 + doc_id % 64 AS INT),
+                    CAST(32 + doc_id % 64 AS INT),
+                    CAST(32 + doc_id % 64 AS INT)] AS dominant_bins,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups,
+                   MIN('audio:' || printf('%09d', doc_id)) AS canonical_id,
+                   list('audio:' || printf('%09d', doc_id)
+                        ORDER BY 'audio:' || printf('%09d', doc_id)) AS members
+            FROM documents
+            GROUP BY 1
+            ORDER BY canonical_id
         """,
         "quality_classifier": """
             -- md5-flavor hashed uni+bi-gram buckets; weight(b) = b%2001-1000

@@ -290,6 +290,29 @@ def test_audio_spectrogram_operator(spark):
     assert got["junk"]["decode_ok"] is False
 
 
+def test_audio_content_dedup(spark):
+    """Byte-different re-encodings of the same recording collapse to
+    one spectral-fingerprint group; different recordings don't."""
+    import numpy as np
+    from wine_label_ocr_spark.operators.multimodal import (
+        audio_content_dedup, encode_wav)
+
+    t = np.arange(2048)
+    tone = lambda k: np.round(9000.0 * np.sin(2 * np.pi * k * t / 1024.0)) \
+        .astype(np.int16)  # noqa: E731
+    same = tone(40)
+    padded = np.concatenate([same, np.zeros(100, np.int16)])  # byte-diff copy
+    rows = [("a", bytes(encode_wav(same, 8192))),
+            ("b", bytes(encode_wav(padded, 8192))),
+            ("c", bytes(encode_wav(tone(60), 8192))),
+            ("junk", b"nope")]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r["canonical_id"]: r for r in audio_content_dedup(df).collect()}
+    assert list(got["a"]["members"]) == ["a", "b"] and got["a"]["n_dups"] == 2
+    assert list(got["c"]["members"]) == ["c"]
+    assert "junk" not in got
+
+
 # ---- statistical lang-id head (NB over hashed char n-grams) ----
 
 LANG_SEED = [

@@ -334,6 +334,25 @@ def audio_spectrogram(df: DataFrame, id_col: str = "url",
                      "decode_ok boolean"))
 
 
+def audio_content_dedup(df: DataFrame, id_col: str = "url",
+                        payload_col: str = "payload", n_fft: int = 1024,
+                        hop: int = 512) -> DataFrame:
+    """Content-level audio deduplication: the fingerprint is the
+    per-frame dominant-bin sequence from ``audio_spectrogram`` — a
+    spectral signature that survives container/byte differences
+    (re-encoded or trailing-padded copies of the same recording
+    collapse; the audio analog of ``image_dhash`` dedup). ONE narrow
+    shuffle on the fingerprint with map-side combine; no pairwise
+    comparison anywhere — the 100 TB shape."""
+    spec = audio_spectrogram(df, id_col=id_col, payload_col=payload_col,
+                             n_fft=n_fft, hop=hop)
+    return (spec.filter("decode_ok")
+            .groupBy("dominant_bins")
+            .agg(F.count("*").alias("n_dups"),
+                 F.min(id_col).alias("canonical_id"),
+                 F.sort_array(F.collect_list(id_col)).alias("members")))
+
+
 def resample_audio(df: DataFrame, target_rate: int, id_col: str = "url",
                    payload_col: str = "payload",
                    taps: int = 33) -> DataFrame:
