@@ -213,7 +213,12 @@ def q_fuzzy_blocked_join(spark, sf):  # J2/J3/J6 — blocked fuzzy theta join
                       "lang", "source")
     a = d.alias("a")
     b = d.alias("b")
-    lev = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+    # banded levenshtein (guide §1.2 "per-task work"): a kept pair needs
+    # sim >= 0.5 ⟺ lev <= maxlen/2 <= 20 (pfx is <= 40 chars), so the
+    # threshold form — O(len·20) band instead of the full O(len²) DP —
+    # returns the exact distance for every pair that can survive and -1
+    # (guarded below) only for pairs the sim filter discarded anyway
+    lev = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"), 20)
     sim = F.lit(1.0) - lev / F.greatest(F.length("a.pfx"), F.length("b.pfx"))
     return (
         a.join(b, (F.col("a.lang") == F.col("b.lang"))
@@ -221,8 +226,10 @@ def q_fuzzy_blocked_join(spark, sf):  # J2/J3/J6 — blocked fuzzy theta join
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").cast("bigint").alias("doc_a"),
                 F.col("b.doc_id").cast("bigint").alias("doc_b"),
+                lev.alias("_lev"),
                 F.round(sim, 6).alias("sim"))
-        .filter(F.col("sim") >= 0.5)
+        .filter((F.col("_lev") >= 0) & (F.col("sim") >= 0.5))
+        .drop("_lev")
     )
 
 
@@ -339,7 +346,12 @@ def q_bpe_token_counts(spark, sf):  # textops: BPE-ish tokenizer
 
 def q_quality_scores(spark, sf):  # textops: quality score + gate
     from wine_label_ocr_spark.operators.textops import quality_gate, quality_score
-    d = _t(spark, sf, "documents")
+    # the documents scan is one split at bench scale (small compressed
+    # parquet, large maxPartitionBytes) — an explicit repartition spreads
+    # the per-row token/regex work over every core (guide §2.5; the same
+    # pattern ema_phase_batch uses); output is per-row, order-free
+    d = _t(spark, sf, "documents").repartition(
+        max(spark.sparkContext.defaultParallelism, 8))
     return d.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.round(quality_score(F.col("text")), 6).alias("quality"),
@@ -498,10 +510,14 @@ def _lang_id_model_oracle_sql() -> str:
 
 
 def q_content_fingerprint(spark, sf):  # textops: rolling-hash fingerprint
-    from wine_label_ocr_spark.operators.textops import doc_fingerprint
+    # DataFrame kernel form — same fingerprints as the doc_fingerprint
+    # column algebra (pinned by tests), ~4× cheaper per token because
+    # hashlib amortizes the digest Spark's md5 expression re-creates
     d = _t(spark, sf, "documents")
-    return d.select(F.col("doc_id").cast("bigint").alias("doc_id"),
-                    doc_fingerprint(F.col("text")).alias("content_fp"))
+    from wine_label_ocr_spark.operators.textops import doc_fingerprints
+    return (doc_fingerprints(d)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "content_fp"))
 
 
 def q_unigram_logprob(spark, sf):  # corpus-LM quality scoring
@@ -676,9 +692,12 @@ def q_latest_capture(spark, sf):  # A8/U3 — crawl-scale last-wins per url
 
 
 def q_exact_dedup(spark, sf):  # dedupe: exact content dedup
-    from wine_label_ocr_spark.operators.dedupe import exact_dedup
+    # id-only form: the gate projects nothing but the surviving id, so
+    # the shuffle carries (content_key, id) pairs, not whole rows
+    from wine_label_ocr_spark.operators.dedupe import exact_dedup_ids
     d = _t(spark, sf, "documents")
-    return exact_dedup(d).select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    return exact_dedup_ids(d).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"))
 
 
 def q_minhash_lsh(spark, sf):  # dedupe: MinHash+LSH near-dup pairs
@@ -2358,14 +2377,17 @@ def q_salted_agg(spark, sf):  # skew: salted two-phase agg ≡ direct groupBy
 
 
 def q_ema_final(spark, sf):  # W4/ST3 — recursive EMA per key (final value)
-    from wine_label_ocr_spark.streaming.state import ema_phase_batch
+    # EMA evolution is independent of the peak/phase state, so the final
+    # value per key comes from the dedicated all-keys-at-once vectorized
+    # fold (state.ema_final_by_key) — bit-identical to folding the full
+    # ema_phase_batch trace and taking max_by(ema, (ts, event_id)), at
+    # none of the per-group applyInPandas overhead (r10: 2.7 s → sub-1 s
+    # at sf1.0). Equivalence pinned by tests/test_streaming.py.
+    from wine_label_ocr_spark.streaming.state import ema_final_by_key
     e = _t(spark, sf, "events")
-    trace = ema_phase_batch(e)
-    # last-row-per-key via max_by: reuses the kernel's user_id hash
-    # partitioning (no second shuffle/sort like a desc row_number window)
-    return (trace.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
-            .agg(F.round(F.max_by("ema", F.struct("ts", "event_id")), 6)
-                 .alias("ema_final")))
+    return (ema_final_by_key(e)
+            .select(F.col("user_id").cast("bigint").alias("user_id"),
+                    F.round("ema_final", 6).alias("ema_final")))
 
 
 def q_sessionize(spark, sf):  # ST6 — inactivity-gap sessions (native windows)

@@ -1,0 +1,266 @@
+"""r10 optimization equivalence pins.
+
+Each optimized operator must produce BIT-IDENTICAL results to the shape
+it replaced; these tests keep the old shape alive as an inline reference
+and compare against it on adversarial inputs (nulls, ties, ragged
+vectors, empty/long groups).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import Window as W, functions as F
+
+
+def _bits(x):
+    return None if x is None else struct.pack("<d", x).hex()
+
+
+# ---------------------------------------------------------------------------
+# cosine_topk: numpy kernel vs legacy expression plan
+# ---------------------------------------------------------------------------
+
+def _legacy_cosine_topk(q, c, k):
+    from wine_label_ocr_spark.operators.ann import cosine
+    scored = (c.join(F.broadcast(q))
+              .select("q_id", "c_id",
+                      cosine(F.col("_qv"), F.col("_cv")).alias("cosine")))
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "c_id", F.round("cosine", 6).alias("cosine"),
+                    "rank"))
+
+
+def _canon_topk(df):
+    return sorted((r["q_id"], r["c_id"], _bits(r["cosine"]), r["rank"])
+                  for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def vec_corpus(spark):
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [round(rnd.uniform(-1, 1), 3) for _ in range(8)])
+            for i in range(300)]
+    # exact duplicates → cosine ties that exercise the c_id tie-break
+    rows += [(1000 + i, list(rows[i][1])) for i in range(10)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_cosine_topk_numpy_matches_legacy(spark, vec_corpus):
+    from wine_label_ocr_spark.operators.ann import cosine_topk
+    qdf = (vec_corpus.filter(F.col("vec_id") % 50 == 0)
+           .select(F.col("vec_id").alias("q_id"), "embedding"))
+    got = _canon_topk(cosine_topk(qdf, vec_corpus, k=4))
+    q = qdf.select("q_id", F.col("embedding").alias("_qv"))
+    c = vec_corpus.select(F.col("vec_id").alias("c_id"),
+                          F.col("embedding").alias("_cv"))
+    want = _canon_topk(_legacy_cosine_topk(q, c, 4))
+    assert got == want
+
+
+def test_cosine_topk_null_and_ragged_corpus(spark, vec_corpus):
+    from wine_label_ocr_spark.operators.ann import cosine_topk
+    extra = spark.createDataFrame(
+        [(2000, None), (2001, [1.0, 2.0]), (2002, [0.0] * 8)],
+        "vec_id bigint, embedding array<double>")
+    # tiny corpus: NULL-cosine rows (null vec, ragged dim, zero norm is
+    # fine) must land in the tail ranks exactly like the legacy plan
+    corpus = vec_corpus.limit(2).unionByName(extra)
+    qdf = (vec_corpus.filter(F.col("vec_id") == 0)
+           .select(F.col("vec_id").alias("q_id"), "embedding"))
+    got = _canon_topk(cosine_topk(qdf, corpus, k=5))
+    q = qdf.select("q_id", F.col("embedding").alias("_qv"))
+    c = corpus.select(F.col("vec_id").alias("c_id"),
+                      F.col("embedding").alias("_cv"))
+    want = _canon_topk(_legacy_cosine_topk(q, c, 5))
+    assert got == want
+
+
+def test_cosine_topk_float32_uses_legacy_plan(spark):
+    # float element types keep the legacy expression path (float math is
+    # its own contract) — the plan must not contain a Python kernel
+    from wine_label_ocr_spark.operators.ann import cosine_topk
+    df = spark.createDataFrame([(0, [1.0, 2.0]), (1, [2.0, 1.0])],
+                               "vec_id bigint, embedding array<float>")
+    q = df.select(F.col("vec_id").alias("q_id"), "embedding")
+    plan = cosine_topk(q, df, k=1)._jdf.queryExecution().toString()
+    assert "MapInPandas" not in plan
+
+
+# ---------------------------------------------------------------------------
+# ema_final_by_key vs the full phase-machine trace
+# ---------------------------------------------------------------------------
+
+def test_ema_final_matches_trace_fold(spark):
+    import random
+    rnd = random.Random(11)
+    rows = []
+    eid = 0
+    for uid in range(17):
+        n = rnd.choice([1, 2, 3, 40, 700])  # 700 hits the scalar fallback
+        for i in range(n):
+            rows.append((uid, eid, float(rnd.uniform(0, 50)),
+                         1_700_000_000_000 + i * 137 + uid))
+            eid += 1
+    ev = (spark.createDataFrame(rows, "user_id bigint, event_id bigint, "
+                                "value double, ms bigint")
+          .withColumn("ts", F.timestamp_millis(F.col("ms"))).drop("ms"))
+    from wine_label_ocr_spark.streaming.state import (ema_final_by_key,
+                                                      ema_phase_batch)
+    got = {r["user_id"]: _bits(r["ema_final"])
+           for r in ema_final_by_key(ev).collect()}
+    trace = ema_phase_batch(ev)
+    want = {r["user_id"]: _bits(r["f"])
+            for r in (trace.groupBy("user_id")
+                      .agg(F.max_by("ema", F.struct("ts", "event_id"))
+                           .alias("f")).collect())}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# doc_fingerprints (Python kernel) vs doc_fingerprint column algebra
+# ---------------------------------------------------------------------------
+
+def test_doc_fingerprints_matches_column_form(spark):
+    from wine_label_ocr_spark.operators.textops import (doc_fingerprint,
+                                                        doc_fingerprints)
+    texts = [
+        (0, "plain words here"),
+        (1, ""),
+        (2, None),
+        (3, "  leading and   runs\tand\nnewlines  "),
+        (4, "unicode nbsp stays one token"),  # java \s ≠ unicode space
+        (5, " ".join(f"t{i}" for i in range(100))),  # > 64 tokens
+        (6, "café naïve 中文 emoji\U0001F600"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["content_fp"]
+           for r in doc_fingerprints(df).collect()}
+    want = {r["doc_id"]: r["fp"]
+            for r in df.select("doc_id",
+                               doc_fingerprint(F.col("text")).alias("fp"))
+            .collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# exact_dedup min_by form vs the old aggregate + semi-join form
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup_matches_semijoin_form(spark):
+    from wine_label_ocr_spark.operators.dedupe import content_key, exact_dedup
+    rows = [(3, "dup text", "a"), (1, "dup  text ", "b"), (2, "other", "c"),
+            (7, "dup text", "d"), (None, "dup text", "e"), (9, None, "f"),
+            (8, None, "g")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, tag string")
+    key = content_key(F.col("text")).alias("_ck")
+    w = df.select("*", key)
+    keep = w.groupBy("_ck").agg(F.min("doc_id").alias("doc_id"))
+    want = sorted(map(tuple, w.join(keep, ["doc_id", "_ck"], "left_semi")
+                      .drop("_ck").collect()))
+    got = sorted(map(tuple, exact_dedup(df).collect()))
+    assert got == want
+    # id-only form: same surviving id set
+    from wine_label_ocr_spark.operators.dedupe import exact_dedup_ids
+    assert (sorted(r["doc_id"] for r in exact_dedup_ids(df).collect())
+            == sorted(r["doc_id"] for r in exact_dedup(df)
+                      .select("doc_id").collect()))
+
+
+# ---------------------------------------------------------------------------
+# minhash pair generation: grouped form vs windowed self-join form
+# ---------------------------------------------------------------------------
+
+def test_minhash_pairs_match_selfjoin_form(spark):
+    from wine_label_ocr_spark.operators.dedupe import (
+        jaccard, lsh_bands, minhash_lsh_pairs, minhash_signature, shingles)
+    base_words = "the quick brown fox jumps over a lazy dog tonight".split()
+    rows = []
+    for i in range(40):
+        words = list(base_words)
+        if i % 3 == 0:
+            words[i % len(words)] = f"tok{i}"
+        rows.append((i, " ".join(words)))
+    rows += [(100 + i, "completely different text body number %d" % i)
+             for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(map(tuple,
+                     minhash_lsh_pairs(df, n_perm=16, n_bands=4,
+                                       min_jaccard=0.3, max_bucket=10)
+                     .collect()))
+    # reference: the pre-r10 window + self-join candidate generation
+    k, n_perm, n_bands, rpb, max_bucket = 3, 16, 4, 4, 10
+    base = df.select(F.col("doc_id").alias("_id"),
+                     shingles(F.col("text"), k).alias("_sh"))
+    buck = base.select(
+        "_id", F.explode(lsh_bands(minhash_signature(F.col("_sh"), n_perm,
+                                                     False),
+                                   n_bands, rpb)).alias("_b"),
+    ).select("_id", F.col("_b.band").alias("band"),
+             F.col("_b.band_hash").alias("band_hash"))
+    sized = buck.withColumn(
+        "_bn", F.count("*").over(W.partitionBy("band", "band_hash")))
+    buck = sized.filter(F.col("_bn") <= max_bucket).drop("_bn")
+    a, b = buck.alias("a"), buck.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.band_hash") == F.col("b.band_hash"))
+                    & (F.col("a._id") < F.col("b._id")))
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    txt_a = df.select(F.col("doc_id").alias("id_a"),
+                      F.col("text").alias("_ta"))
+    txt_b = df.select(F.col("doc_id").alias("id_b"),
+                      F.col("text").alias("_tb"))
+    want = sorted(map(tuple,
+                      (pairs.join(txt_a, "id_a").join(txt_b, "id_b")
+                       .withColumn("jaccard", F.round(
+                           jaccard(shingles(F.col("_ta"), k),
+                                   shingles(F.col("_tb"), k)), 6))
+                       .filter(F.col("jaccard") >= 0.3)
+                       .select("id_a", "id_b", "jaccard")).collect()))
+    assert got == want
+    assert len(got) > 0  # the fixture must actually produce pairs
+
+
+# ---------------------------------------------------------------------------
+# fuzzy join threshold form: banded levenshtein cannot change the output
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_threshold_levenshtein_equivalence(spark):
+    import random
+    rnd = random.Random(5)
+    alpha = "abcdef "
+    rows = [(i, "en", "s%d" % (i % 2),
+             "".join(rnd.choice(alpha) for _ in range(rnd.randint(1, 40))))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, "
+                               "source string, pfx string")
+    a, b = df.alias("a"), df.alias("b")
+    join_cond = ((F.col("a.lang") == F.col("b.lang"))
+                 & (F.col("a.source") == F.col("b.source"))
+                 & (F.col("a.doc_id") < F.col("b.doc_id")))
+    lev_full = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+    sim_full = (F.lit(1.0) - lev_full
+                / F.greatest(F.length("a.pfx"), F.length("b.pfx")))
+    want = sorted(map(tuple, a.join(b, join_cond)
+                      .select(F.col("a.doc_id").alias("doc_a"),
+                              F.col("b.doc_id").alias("doc_b"),
+                              F.round(sim_full, 6).alias("sim"))
+                      .filter(F.col("sim") >= 0.5).collect()))
+    lev_t = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"), 20)
+    sim_t = (F.lit(1.0) - lev_t
+             / F.greatest(F.length("a.pfx"), F.length("b.pfx")))
+    got = sorted(map(tuple, a.join(b, join_cond)
+                     .select(F.col("a.doc_id").alias("doc_a"),
+                             F.col("b.doc_id").alias("doc_b"),
+                             lev_t.alias("_lev"),
+                             F.round(sim_t, 6).alias("sim"))
+                     .filter((F.col("_lev") >= 0) & (F.col("sim") >= 0.5))
+                     .drop("_lev").collect()))
+    assert got == want
+    assert len(got) > 0

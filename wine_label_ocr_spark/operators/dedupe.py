@@ -48,13 +48,34 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep one row per content key (deterministic: min id wins).
 
-    One shuffle on the 128-bit content hash; partial aggregation runs
-    map-side, so the shuffle carries one row per distinct key per mapper.
+    One shuffle on the 128-bit content hash; ``min_by`` carries the whole
+    winning row through the aggregation, so the former shape — aggregate
+    the keys, then a second scan + semi join back — collapses to a single
+    scan with map-side partial aggregation (guide §2.4: one Exchange, no
+    join). NULL keys (NULL text) and NULL ``id_col`` rows can never
+    survive the old null-rejecting semi join, so they are filtered here —
+    identical output, pinned by tests/test_r10_optimizations.py.
     """
     key = content_key(F.col(text_col)).alias("_ck")
-    w = df.select("*", key)
-    keep = (w.groupBy("_ck").agg(F.min(id_col).alias(id_col)))
-    return w.join(keep, [id_col, "_ck"], "left_semi").drop("_ck")
+    w = df.select("*", key).filter(F.col("_ck").isNotNull())
+    winner = (w.groupBy("_ck")
+              .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("_row"))
+              .select("_row.*"))
+    return winner.filter(F.col(id_col).isNotNull())
+
+
+def exact_dedup_ids(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Surviving ids only — ``exact_dedup(df).select(id_col)`` without
+    carrying the payload: the shuffle holds (content_key, partial-min id)
+    pairs instead of whole rows (guide §2.3 "shuffle keys instead of
+    payloads"). Same id set by construction (min id per non-null key;
+    NULL keys/ids never survive either form)."""
+    key = content_key(F.col(text_col)).alias("_ck")
+    return (df.select(F.col(id_col), key)
+            .filter(F.col("_ck").isNotNull() & F.col(id_col).isNotNull())
+            .groupBy("_ck").agg(F.min(id_col).alias(id_col))
+            .select(id_col))
 
 
 def shingles(text: Column, k: int = 3) -> Column:
@@ -143,24 +164,40 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                             n_bands, rows_per_band)).alias("_b"),
     ).select("_id", F.col("_b.band").alias("band"),
              F.col("_b.band_hash").alias("band_hash"))
-    sized = buck.withColumn(
-        "_bn", F.count("*").over(W.partitionBy("band", "band_hash")))
-    buck = sized.filter(F.col("_bn") <= max_bucket).drop("_bn")
-    a = buck.alias("a")
-    b = buck.alias("b")
-    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.band_hash") == F.col("b.band_hash"))
-                    & (F.col("a._id") < F.col("b._id")))
-             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    # Pair generation as ONE aggregation: group each (band, band_hash)
+    # bucket, drop oversized buckets (the same skew guard the former
+    # window count applied), and emit every a<b pair from the sorted id
+    # array. The former shape — window count (exchange + sort) feeding a
+    # bucket self-join (two more exchanges) — becomes a single exchange
+    # on the bucket key with no join (guide §2.4); the candidate set is
+    # identical: all unordered id pairs sharing a surviving bucket.
+    ids = F.array_sort(F.collect_list("_id")).alias("_ids")
+    grouped = (buck.groupBy("band", "band_hash").agg(ids)
+               .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket)))
+    pair_structs = F.flatten(F.transform(
+        F.col("_ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("_ids"), i + 2,
+                    F.greatest(F.size("_ids") - (i + 1), F.lit(0))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    pairs = (grouped.select(F.explode(pair_structs).alias("_p"))
+             .select(F.col("_p.id_a").alias("id_a"),
+                     F.col("_p.id_b").alias("id_b"))
              .dropDuplicates(["id_a", "id_b"]))
     # Verify: re-derive shingles ONLY for rows that appear in a candidate
     # pair. Joining back on the text column (broadcast-small pairs side)
     # beats joining the precomputed `base` twice — that shape recomputed
     # and shuffled the full corpus's shingle arrays 2× (measured ~40% of
     # the operator at sf0.1); pairs ≪ corpus is the LSH invariant.
+    # The broadcast hints pin the PAIR-sized side as the build side: the
+    # planner's static estimate for the aggregate output is unknown, so
+    # it was broadcasting the CORPUS text table instead (guide §3.1 —
+    # estimates after aggregates are badly wrong) — wrong at any scale
+    # and measured 3× slower at sf1.0 from per-run corpus broadcasts.
     txt_a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
     txt_b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
-    return (pairs.join(txt_a, "id_a").join(txt_b, "id_b")
+    half = txt_a.join(F.broadcast(pairs), "id_a")  # ≤ |pairs| rows out
+    return (txt_b.join(F.broadcast(half), "id_b")
             .withColumn("jaccard", F.round(
                 jaccard(shingles(F.col("_ta"), k), shingles(F.col("_tb"), k)), 6))
             .filter(F.col("jaccard") >= min_jaccard)

@@ -245,6 +245,10 @@ def quality_features(text: Column) -> dict[str, Column]:
     n = F.length(text)
     alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
     punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()-]", ""))
+    # (r10 note: a contains()-over-normalized-string restatement of the
+    # token/stopword counts measured SLOWER than this array form at sf1.0
+    # — 1.52 s vs 1.22 s for the token+intersect pair — so the original
+    # shape stays.)
     toks = tokens_col(text)
     n_tok = F.size(toks)
     stop = F.size(F.array_intersect(
@@ -310,6 +314,63 @@ def lang_id(text: Column) -> Column:
              for lang, c in sorted(scores.items(), reverse=True)]
     best = F.greatest(*pairs)  # struct compare: score first, then lang desc→ reverse gives asc tie-break
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def doc_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     n_tokens: int = 64) -> DataFrame:
+    """DataFrame form of ``doc_fingerprint`` → (id_col, content_fp).
+
+    Same values, computed in an Arrow-batched Python kernel: Spark's
+    ``md5`` expression constructs a fresh digest per call (~10 µs/token
+    measured at sf1.0 — 65% of the query), while ``hashlib`` amortizes
+    to ~0.5 µs. The kernel replicates the column algebra exactly:
+    tokens are the ``[ \\t\\n\\x0b\\f\\r]+``-separated non-empty runs
+    (Java ``\\s``, which Spark's split uses — NOT Python's unicode-aware
+    ``\\s``), value = first 7 hex chars of md5, fold
+    ``(acc*31 + v) mod 2147483647`` over the first ``n_tokens`` tokens
+    (all values < 2^36, so Python/JVM integer arithmetic agree exactly).
+    Equivalence vs the column form is pinned by tests/test_textops.py.
+    """
+    import re as _re
+
+    from hashlib import md5 as _md5
+
+    split = _re.compile(r"[ \t\n\x0b\f\r]+").split
+    mod = 2147483647
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            fps: list[int | None] = []
+            for t in pdf[text_col]:
+                if t is None:
+                    fps.append(None)
+                    continue
+                h = 0
+                seen = 0
+                for tok in split(t):
+                    if tok:
+                        seen += 1
+                        if seen > n_tokens:
+                            break
+                        v = int(_md5(tok.encode("utf-8")).hexdigest()[:7], 16)
+                        h = (h * 31 + v) % mod
+                fps.append(h)
+            yield pd.DataFrame({id_col: pdf[id_col], "content_fp": fps})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    # explicit repartition: the corpus scan is often a single split
+    # (small compressed parquet under a large maxPartitionBytes), which
+    # would serialize the whole kernel onto one worker; a user-specified
+    # count is exempt from AQE coalescing (guide §2.5)
+    n = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    src = df.select(id_col, text_col)
+    if src.rdd.getNumPartitions() < n:
+        src = src.repartition(n)
+    return src.mapInPandas(kernel,
+                           schema=f"{id_col} {id_type}, content_fp bigint")
 
 
 def doc_fingerprint(text: Column, n_tokens: int = 64) -> Column:

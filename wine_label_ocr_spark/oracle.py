@@ -191,12 +191,22 @@ def extract_year(text: str) -> int | None:
 
     Mirrors ``_extract_year_from_text`` (final_run_ocr.py:153-185): try each
     pattern in priority order; the first in-range hit wins.
+
+    The priority pattern's ``(?i)`` alternation is the expensive scan;
+    it can only match when one of its literal markers is present, so a
+    C-level substring probe gates it (same hit set — profiled ~12% of
+    the extract kernel on marker-free documents).
     """
-    for pat in _YEAR_RES:
-        for m in pat.finditer(text):
+    tl = text.lower()
+    if ("vintage" in tl or "copyright" in tl or "©" in tl or "(c)" in tl):
+        for m in _YEAR_RES[0].finditer(text):
             y = int(m.group(1))
             if YEAR_MIN <= y <= YEAR_MAX:
                 return y
+    for m in _YEAR_RES[1].finditer(text):
+        y = int(m.group(1))
+        if YEAR_MIN <= y <= YEAR_MAX:
+            return y
     return None
 
 
@@ -472,7 +482,8 @@ def lex_blocks(decoded: str) -> list[dict[str, Any]]:
     # 25% of kernel time at ~78 calls/doc, most with nothing to flush)
     def flush(next_tag: str) -> None:
         nonlocal seg_boiler, seg_link, cur_tag
-        raw = "".join([t for t, _ in segs])
+        # single-seg blocks are the common case — skip the list + join
+        raw = segs[0][0] if len(segs) == 1 else "".join([t for t, _ in segs])
         text = normalize_ws(_htmlmod.unescape(raw))
         if text:
             link_chars = 0
@@ -493,16 +504,26 @@ def lex_blocks(decoded: str) -> list[dict[str, Any]]:
         seg_link = False
         cur_tag = next_tag
 
-    pos = 0
     # local bindings — the loop runs once per tag over every document;
     # a single action-dict lookup replaces the 3 set probes + 'a' compare
     # (boring tags — the majority — now cost ONE dict miss)
     act_get = _TAG_ACTION.get
     segs_append = segs.append  # one list object for the whole document
-    for m in _TAG_RE.finditer(decoded):
-        start, end = m.span()
-        if pos != start and skip_depth == 0:
-            pre = decoded[pos:start]
+    # ONE C-level split pass instead of finditer: parts is
+    # [text, g1, g2, g3, g4, text, g1, ...] — the inter-tag text arrives
+    # as list elements (no match objects, no span()/groups() calls, no
+    # slicing), same match set and groups by construction (re.split
+    # splits on every _TAG_RE match and interleaves its 4 groups)
+    parts = _TAG_RE.split(decoded)
+    last = len(parts) - 1
+    idx = 0
+    while idx < last:
+        pre = parts[idx]
+        g1 = parts[idx + 1]
+        g2 = parts[idx + 2]
+        g4 = parts[idx + 4]
+        idx += 5
+        if pre and skip_depth == 0:
             # not-isspace() ≡ strip() truthiness for non-empty strings,
             # without allocating the stripped copy
             if not pre.isspace():
@@ -515,8 +536,6 @@ def lex_blocks(decoded: str) -> list[dict[str, Any]]:
                 segs_append((pre, link_depth > 0))
                 if link_depth > 0:
                     seg_link = True
-        pos = end
-        g1, g2, _g3, g4 = m.groups()
         if g2 is None:
             continue  # comment / doctype / CDATA
         tag = g2.lower()
@@ -553,7 +572,7 @@ def lex_blocks(decoded: str) -> list[dict[str, Any]]:
             elif not closing:
                 cur_tag = tag
     # trailing text after the last tag (degraded/truncated documents)
-    tail = decoded[pos:]
+    tail = parts[last]
     if tail and not tail.isspace() and skip_depth == 0:
         segs_append((tail, link_depth > 0))
         if boiler_depth > 0:

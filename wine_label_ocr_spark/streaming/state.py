@@ -161,6 +161,63 @@ def ema_phase_batch(events: DataFrame, n_partitions: int | None = None) -> DataF
                 schema=OUTPUT_DDL))
 
 
+def ema_final_by_key(events: DataFrame,
+                     n_partitions: int | None = None) -> DataFrame:
+    """Final EMA per user — the ``ema_final`` fast path.
+
+    The EMA recursion is independent of the peak/phase state, so the
+    final-value query does not need the full kernel or its per-group
+    ``applyInPandas`` call overhead (~15k Python calls + pandas frames at
+    sf1.0). One ``mapInPandas`` per partition: concatenate the partition's
+    batches (every user's rows are co-located by the explicit hash
+    repartition), sort by (user_id, ts, event_id), then fold the EMA for
+    ALL users simultaneously — step j updates every group with > j rows
+    via one vectorized ``0.25*x + 0.75*ema`` (two IEEE multiplies + one
+    add per element, the exact op sequence of ``_run_kernel``'s scalar
+    loop, so results are bit-identical — pinned by tests). Emits one row
+    per user.
+    """
+    import numpy as np
+
+    ev = events.select("user_id", "event_id", "ts", "value")
+    n = n_partitions or max(
+        events.sparkSession.sparkContext.defaultParallelism * 2, 16)
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts,
+                                                         ignore_index=True)
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        u = pdf["user_id"].to_numpy()
+        v = pdf["value"].to_numpy(dtype="float64")
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        lens = ends - starts
+        ema = v[starts].copy()          # first event: ema = value
+        # skew guard: a group far longer than the rest would turn the
+        # step loop into per-row vector calls — fold those scalar instead
+        # (same op order either way)
+        long_cut = 512
+        for gi in np.flatnonzero(lens > long_cut):
+            e = v[starts[gi]]
+            for x in v[starts[gi] + 1:ends[gi]]:
+                e = ALPHA * x + (1 - ALPHA) * e
+            ema[gi] = e
+        alive = (lens > 1) & (lens <= long_cut)
+        j = 1
+        while alive.any():
+            idx = starts[alive] + j
+            ema[alive] = ALPHA * v[idx] + (1 - ALPHA) * ema[alive]
+            j += 1
+            alive = alive & (lens > j)
+        yield pd.DataFrame({"user_id": u[starts], "ema_final": ema})
+
+    return (ev.repartition(n, "user_id")
+            .mapInPandas(kernel, schema="user_id bigint, ema_final double"))
+
+
 def _stateful_fn(key: tuple, pdfs: Iterable[pd.DataFrame],
                  state: GroupState) -> Iterator[pd.DataFrame]:
     if state.exists:
