@@ -56,7 +56,12 @@ def test_extract_path_is_pure_map(spark):
 
 
 def test_native_ops_are_codegen(spark):
-    plan = plan_of(E.q_quality_scores(spark, SF))
+    df = E.q_quality_scores(spark, SF)
+    # the r10 explicit repartition wraps the plan in AdaptiveSparkPlan,
+    # which hides the codegen "*(n)" markers until the query has run —
+    # execute it so toString renders the FINAL plan
+    df.collect()
+    plan = plan_of(df)
     assert "*(" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, \
         "textops must stay JVM-side"

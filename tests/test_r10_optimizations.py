@@ -264,3 +264,134 @@ def test_fuzzy_threshold_levenshtein_equivalence(spark):
                      .drop("_lev").collect()))
     assert got == want
     assert len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_blocked_join: Myers bit-parallel block kernel vs legacy SMJ theta join
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_blocked_join_matches_legacy(spark):
+    """Adversarial block corpus: null keys, null ids, null/empty/unicode
+    prefixes, duplicate ids, an oversized block — the kernel path must
+    reproduce the legacy join's survivors and bit-identical sims."""
+    import random
+    rnd = random.Random(11)
+    alpha = "abcdef éü字 "
+    rows = []
+    for i in range(120):
+        rows.append((i, "en", "s%d" % (i % 3),
+                     "".join(rnd.choice(alpha)
+                             for _ in range(rnd.randint(1, 40)))))
+    # NOTE: no empty prefixes here — an empty prefix makes the LEGACY
+    # join throw DIVIDE_BY_ZERO under ANSI (catalyst may evaluate the
+    # sim conjunct before the doc_id inequality, so the empty SELF-pair
+    # divides by greatest(0,0)). The kernel path drops such pairs — the
+    # DuckDB-oracle semantic — covered by test_fuzzy_kernel_empty_pair.
+    rows += [(200, None, "s0", "abc"), (201, "en", None, "abc"),
+             (None, "en", "s0", "abc"), (202, "en", "s0", None),
+             (108, "en", "s0", "duplicate id row"),  # dup id 108
+             # guaranteed survivors: near-identical prefixes in one block
+             (300, "en", "s0", "the quick brown fox jumps over the dog"),
+             (301, "en", "s0", "the quick brown fox jumps over the d0g"),
+             (302, "en", "s0", "the quick brown fox jumped over a dog!"),
+             (303, "en", "s1", "the quick brown fox jumps over the dog")]
+    # an oversized block that must contribute nothing
+    rows += [(1000 + i, "xx", "big", "same text") for i in range(80)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, pfx string")
+
+    from wine_label_ocr_spark.operators.similarity import blocked_prefix_pairs
+    max_block = 60
+    pairs = blocked_prefix_pairs(df, id_col="doc_id",
+                                 block_cols=("lang", "source"),
+                                 pfx_col="pfx", max_block=max_block)
+    sim_k = F.lit(1.0) - F.col("lev") / F.col("maxlen")
+    got = sorted((r[0], r[1], _bits(r[2])) for r in
+                 pairs.select(F.col("id_a").cast("bigint"),
+                              F.col("id_b").cast("bigint"),
+                              F.round(sim_k, 6))
+                 .filter(F.round(sim_k, 6) >= 0.5).collect())
+
+    d = (df.withColumn("_bn", F.count("*").over(
+            W.partitionBy("lang", "source")))
+         .filter(F.col("_bn") <= max_block).drop("_bn"))
+    a, b = d.alias("a"), d.alias("b")
+    lev = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"), 20)
+    sim = F.lit(1.0) - lev / F.greatest(F.length("a.pfx"),
+                                        F.length("b.pfx"))
+    want = sorted((r[0], r[1], _bits(r[2])) for r in
+                  a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                         & (F.col("a.source") == F.col("b.source"))
+                         & (F.col("a.doc_id") < F.col("b.doc_id")))
+                  .select(F.col("a.doc_id").cast("bigint"),
+                          F.col("b.doc_id").cast("bigint"),
+                          lev.alias("_lev"), F.round(sim, 6).alias("sim"))
+                  .filter((F.col("_lev") >= 0) & (F.col("sim") >= 0.5))
+                  .drop("_lev").collect())
+    assert got == want
+    assert len(got) > 0
+
+
+def test_myers_distances_match_dp():
+    """The bit-parallel kernel is exact unit-cost Levenshtein."""
+    import itertools
+    import random
+    from wine_label_ocr_spark.operators.similarity import (
+        _myers_pair_distances)
+
+    def dp(a, b):
+        m, n = len(a), len(b)
+        row = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, row[0] = row[0], i
+            for j in range(1, n + 1):
+                cur = row[j]
+                row[j] = min(row[j] + 1, row[j - 1] + 1,
+                             prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return row[n]
+
+    rnd = random.Random(5)
+    strs = ["".join(rnd.choice("abc éü字")
+                    for _ in range(rnd.randint(0, 40))) for _ in range(80)]
+    strs += ["", "", "a", "identical", "identical"]
+    pairs = list(itertools.combinations(range(len(strs)), 2))
+    pi = [p[0] for p in pairs]
+    pj = [p[1] for p in pairs]
+    got = _myers_pair_distances(strs, pi, pj)
+    for k, (i, j) in enumerate(pairs):
+        assert got[k] == dp(strs[i], strs[j]), (strs[i], strs[j])
+
+
+# ---------------------------------------------------------------------------
+# segmentation: mapInArrow kernel vs legacy mapInPandas form
+# ---------------------------------------------------------------------------
+
+def test_segment_arrow_matches_pandas(spark):
+    import json
+    from wine_label_ocr_spark.fixtures import pages_spark
+    from wine_label_ocr_spark.operators.segmentation import (
+        SEGMENT_DDL, _segment_batches, segment)
+    pages = pages_spark(spark, 300, partitions=4).drop("text")
+    new = segment(pages)
+    old = pages.select("url", "warc_ts", "html", "lang").mapInPandas(
+        _segment_batches, schema=SEGMENT_DDL)
+    a = sorted(json.dumps(r.asDict(recursive=True), default=str)
+               for r in new.collect())
+    b = sorted(json.dumps(r.asDict(recursive=True), default=str)
+               for r in old.collect())
+    assert a == b
+    assert len(a) == 300
+
+
+def test_fuzzy_kernel_empty_pair(spark):
+    """Two empty prefixes in one block: the kernel drops the pair (the
+    DuckDB-oracle semantic — NULL sim fails the filter) instead of the
+    legacy ANSI division-by-zero."""
+    from wine_label_ocr_spark.operators.similarity import blocked_prefix_pairs
+    df = spark.createDataFrame(
+        [(1, "en", "s0", ""), (2, "en", "s0", ""), (3, "en", "s0", "abcd"),
+         (4, "en", "s0", "abce")],
+        "doc_id bigint, lang string, source string, pfx string")
+    got = blocked_prefix_pairs(df, max_block=10).collect()
+    assert sorted((r["id_a"], r["id_b"]) for r in got) == [(3, 4)]

@@ -462,3 +462,137 @@ def span_similarity_join(a: DataFrame, b: DataFrame,
 
     return (pairs.groupBy("pair_id")
             .applyInPandas(score_group, schema=SPAN_PAIR_RESULT_DDL))
+
+
+# ---------------------------------------------------------------------------
+# Blocked all-pairs prefix Levenshtein (r10) — the J2/J3 theta-join hot loop
+# as a bit-parallel batch kernel.
+#
+# The former shape (SMJ self-join on the block key + per-pair JVM
+# `levenshtein(a, b, 20)`) measured ~14 µs/pair at sf1.0: the quadratic
+# pair enumeration materializes every joined row before the distance
+# prunes it.  Myers' bit-parallel algorithm (Myers 1999, JACM 46(3) —
+# "A fast bit-vector algorithm for approximate string matching") computes
+# the EXACT unit-cost Levenshtein distance in O(ceil(m/64)·n) word ops;
+# prefixes here are ≤ 40 chars, so one 64-bit word per pattern suffices,
+# and the whole block's pair set advances in lock-step as numpy uint64
+# vectors (~1 µs/pair single-core, no per-pair row materialization).
+# Same distances, same survivors — pinned by tests.
+# ---------------------------------------------------------------------------
+
+def _myers_pair_distances(strs: list, pi, pj):
+    """Exact Levenshtein for pairs (strs[pi[k]], strs[pj[k]]), len ≤ 64.
+
+    Vectorized Myers bit-vector DP over all pairs at once: per text
+    position one gather + ~14 uint64 vector ops. Returns int64 distances.
+    """
+    import numpy as np
+
+    n = len(strs)
+    maxL = max((len(s) for s in strs), default=0)
+    C = np.zeros((n, max(maxL, 1)), dtype=np.uint32)
+    L = np.zeros(n, dtype=np.int64)
+    for idx, s in enumerate(strs):
+        L[idx] = len(s)
+        if s:
+            C[idx, :len(s)] = np.frombuffer(s.encode("utf-32-le"),
+                                            dtype=np.uint32)
+    uniq, inv = np.unique(C, return_inverse=True)
+    Cd = inv.reshape(C.shape).astype(np.int64)
+    Peq = np.zeros((n, len(uniq)), dtype=np.uint64)
+    pos_bits = np.uint64(1) << np.arange(max(maxL, 1), dtype=np.uint64)
+    for t in range(maxL):
+        valid = L > t
+        np.bitwise_or.at(Peq, (np.nonzero(valid)[0], Cd[valid, t]),
+                         pos_bits[t])
+    pi = np.asarray(pi)
+    pj = np.asarray(pj)
+    m = L[pi].astype(np.uint64)
+    one = np.uint64(1)
+    hb = np.where(m > 0, one << (m - one), np.uint64(0)).astype(np.uint64)
+    Pv = np.where(m > 0, (hb << one) - one, np.uint64(0)).astype(np.uint64)
+    Mv = np.zeros(len(pi), dtype=np.uint64)
+    score = m.astype(np.int64)
+    out = np.zeros(len(pi), dtype=np.int64)
+    Lj = L[pj]
+    for t in range(maxL):
+        Eq = Peq[pi, Cd[pj, t]]
+        Xv = Eq | Mv
+        Xh = (((Eq & Pv) + Pv) ^ Pv) | Eq
+        Ph = Mv | ~(Xh | Pv)
+        Mh = Pv & Xh
+        score += ((Ph & hb) != 0).astype(np.int64)
+        score -= ((Mh & hb) != 0).astype(np.int64)
+        Ph = (Ph << one) | one
+        Mh = Mh << one
+        Pv = Mh | ~(Xv | Ph)
+        Mv = Ph & Xv
+        done = Lj == t + 1
+        if done.any():
+            out[done] = score[done]
+    out[Lj == 0] = m[Lj == 0].astype(np.int64)
+    zm = m == 0
+    out[zm] = Lj[zm]
+    return out
+
+
+def blocked_prefix_pairs(df: DataFrame, id_col: str = "doc_id",
+                         block_cols: tuple = ("lang", "source"),
+                         pfx_col: str = "pfx",
+                         max_block: int = 500,
+                         max_dist_x2_vs_len: bool = True) -> DataFrame:
+    """All within-block id pairs with exact prefix Levenshtein distance.
+
+    Semantics identical to the former SMJ theta join it replaces:
+
+    * a block larger than ``max_block`` rows (counting EVERY row, nulls
+      included — the former window ``count(*)``) contributes nothing;
+    * blocks keyed by a NULL component contribute nothing (null-rejecting
+      equality, J4);
+    * rows with NULL id or NULL prefix never pair (null comparisons in
+      the former join/filter discarded them);
+    * pairs are strictly ``id_a < id_b``;
+    * when ``max_dist_x2_vs_len`` — the sim ≥ 0.5 gate — only pairs with
+      ``2·lev ≤ max(len_a, len_b)`` and non-empty max length survive
+      (exactly the rounded-sim condition: candidate ratios lie on a
+      1/maxlen ≥ 1/64 grid, so no float-rounding boundary exists).
+
+    Returns ``(id_a, id_b, lev int, maxlen int)``; the caller derives the
+    similarity natively so the arithmetic matches the former plan
+    expression bit-for-bit.
+    """
+    import numpy as np
+
+    schema = "id_a long, id_b long, lev int, maxlen int"
+    n_keys = len(block_cols)
+
+    def kernel(key, pdf):
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "lev": pd.Series(dtype="int32"),
+                              "maxlen": pd.Series(dtype="int32")})
+        if any(k is None for k in key[:n_keys]) or len(pdf) > max_block:
+            return empty
+        ok = pdf[pdf[id_col].notna() & pdf[pfx_col].notna()]
+        if len(ok) < 2:
+            return empty
+        ids = ok[id_col].to_numpy()
+        if ids.dtype != np.int64:
+            ids = ids.astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        strs = ok[pfx_col].to_numpy()[order].tolist()
+        n = len(ids)
+        pi, pj = np.triu_indices(n, 1)
+        lev = _myers_pair_distances(strs, pi, pj)
+        L = np.array([len(s) for s in strs], dtype=np.int64)
+        maxlen = np.maximum(L[pi], L[pj])
+        keep = ids[pi] < ids[pj]
+        if max_dist_x2_vs_len:
+            keep &= (maxlen > 0) & (2 * lev <= maxlen)
+        return pd.DataFrame({"id_a": ids[pi[keep]], "id_b": ids[pj[keep]],
+                             "lev": lev[keep].astype(np.int32),
+                             "maxlen": maxlen[keep].astype(np.int32)})
+
+    return (df.groupBy(*[F.col(c) for c in block_cols])
+            .applyInPandas(kernel, schema=schema))
