@@ -395,3 +395,128 @@ def test_fuzzy_kernel_empty_pair(spark):
         "doc_id bigint, lang string, source string, pfx string")
     got = blocked_prefix_pairs(df, max_block=10).collect()
     assert sorted((r["id_a"], r["id_b"]) for r in got) == [(3, 4)]
+
+
+# ---------------------------------------------------------------------------
+# simhash64 / minhash band kernels (xxhash64 flavor) vs expression forms
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def hash_texts(spark):
+    import random
+    rnd = random.Random(9)
+    alphabet = "abcdefghij klmnop 字éü "
+    rows = [(i, "".join(rnd.choice(alphabet)
+                        for _ in range(rnd.randint(0, 300))))
+            for i in range(150)]
+    rows += [(900, None), (901, ""), (902, "   "), (903, "one"),
+             (904, "one two"), (905, "one two three"),
+             (906, "tab\tand\nnewline  runs"), (907, "dup dup dup dup")]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _simhash_expr(text):
+    """The pre-r10 expression form of simhash64(oracle_safe=False)."""
+    from wine_label_ocr_spark.functions import let
+    from wine_label_ocr_spark.operators.dedupe import _hash64
+    from wine_label_ocr_spark.operators.textops import tokens_col
+    toks = tokens_col(text)
+    hashes = F.transform(toks, lambda t: _hash64(t, 0, False))
+
+    def bits_of(h):
+        return F.array(*[
+            (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            for j in range(64)])
+
+    counts = F.aggregate(
+        hashes, F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(acc, bits_of(h), lambda x, y: x + y))
+    bit_vals = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
+    pow2 = F.array(*[F.lit(v).cast("long") for v in bit_vals])
+
+    def fold(c):
+        return F.aggregate(
+            F.zip_with(c, pow2,
+                       lambda cnt, v: F.when(cnt > 0, v)
+                       .otherwise(F.lit(0).cast("long"))),
+            F.lit(0).cast("long"), lambda a, b: a.bitwiseOR(b))
+
+    return let(counts, fold)
+
+
+def test_simhash_kernel_matches_expression(spark, hash_texts):
+    from wine_label_ocr_spark.operators.dedupe import simhash64
+    got = {r["doc_id"]: r["s"] for r in hash_texts.select(
+        "doc_id", simhash64(F.col("text")).alias("s")).collect()}
+    want = {r["doc_id"]: r["s"] for r in hash_texts.select(
+        "doc_id", _simhash_expr(F.col("text")).alias("s")).collect()}
+    assert got == want
+    assert want[901] == 0 and want[900] is None  # fixture sanity
+
+
+def test_minhash_kernel_bands(spark, hash_texts):
+    from wine_label_ocr_spark.operators.dedupe import (lsh_bands,
+                                                       minhash_lsh_pairs,
+                                                       minhash_signature,
+                                                       shingles)
+    # band rows: kernel vs expression form
+    bands_expr = (hash_texts.select(
+        F.col("doc_id").alias("_id"),
+        F.explode(lsh_bands(minhash_signature(
+            shingles(F.col("text"), 3), 16, False), 4, 4)).alias("_b"))
+        .select("_id", "_b.band", "_b.band_hash"))
+    want = sorted(map(tuple, bands_expr.collect()))
+    from wine_label_ocr_spark.operators.dedupe import _minhash_bands_kernel
+    from pyspark.sql.functions import pandas_udf
+    kern = pandas_udf(_minhash_bands_kernel(3, 16, 4), "array<string>")
+    got = sorted(map(tuple, hash_texts.select(
+        F.col("doc_id").alias("_id"), kern(F.col("text")).alias("_bh"))
+        .select("_id", F.posexplode("_bh").alias("band", "band_hash"))
+        .collect()))
+    assert got == want
+
+
+def test_minhash_pairs_end_to_end_kernel_vs_r9(spark, hash_texts):
+    """Full minhash_lsh_pairs output (xxhash64 flavor) is unchanged by
+    the kernel band path."""
+    from wine_label_ocr_spark.operators.dedupe import minhash_lsh_pairs
+    dup = hash_texts.unionByName(
+        hash_texts.filter("doc_id < 20").select(
+            (F.col("doc_id") + 2000).alias("doc_id"), "text"))
+    got = sorted((r["id_a"], r["id_b"], _bits(r["jaccard"])) for r in
+                 minhash_lsh_pairs(dup, n_perm=16, n_bands=4,
+                                   min_jaccard=0.4).collect())
+    assert len(got) >= 20  # the duplicated docs must collide
+    # reference: monkey-free expression shape — rebuild buck inline
+    from wine_label_ocr_spark.operators.dedupe import (jaccard, lsh_bands,
+                                                       minhash_signature,
+                                                       shingles)
+    base = dup.select(F.col("doc_id").alias("_id"),
+                      shingles(F.col("text"), 3).alias("_sh"))
+    buck = base.select(
+        "_id", F.explode(lsh_bands(minhash_signature(F.col("_sh"), 16, False),
+                                   4, 4)).alias("_b")).select(
+        "_id", F.col("_b.band").alias("band"),
+        F.col("_b.band_hash").alias("band_hash"))
+    ids = F.array_sort(F.collect_list("_id")).alias("_ids")
+    grouped = (buck.groupBy("band", "band_hash").agg(ids)
+               .filter((F.size("_ids") >= 2) & (F.size("_ids") <= 200)))
+    pair_structs = F.flatten(F.transform(
+        F.col("_ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("_ids"), i + 2,
+                    F.greatest(F.size("_ids") - (i + 1), F.lit(0))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    pairs = (grouped.select(F.explode(pair_structs).alias("_p"))
+             .select("_p.id_a", "_p.id_b").dropDuplicates(["id_a", "id_b"]))
+    txt_a = dup.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    txt_b = dup.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    half = txt_a.join(F.broadcast(pairs), "id_a")
+    want = sorted((r["id_a"], r["id_b"], _bits(r["jaccard"])) for r in
+                  (txt_b.join(F.broadcast(half), "id_b")
+                   .withColumn("jaccard", F.round(
+                       jaccard(shingles(F.col("_ta"), 3),
+                               shingles(F.col("_tb"), 3)), 6))
+                   .filter(F.col("jaccard") >= 0.4)
+                   .select("id_a", "id_b", "jaccard")).collect())
+    assert got == want

@@ -27,6 +27,7 @@ skew — the explicit skew handling the north rule asks for.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
+from pyspark.sql.functions import pandas_udf
 
 from .textops import tokens_col
 
@@ -138,6 +139,79 @@ def jaccard(sh_a: Column, sh_b: Column) -> Column:
     return inter / F.greatest(union, F.lit(1))
 
 
+def _minhash_bands_kernel(k: int, n_perm: int, n_bands: int):
+    """Batch kernel: text → LSH band-hash array, xxhash64 flavor.
+
+    Replicates the expression chain exactly: Java-``\\s`` tokens, k-gram
+    shingles ("<k tokens → one whole-join shingle"; duplicates need no
+    dedup — ``min`` is idempotent), per-permutation signed min of
+    ``xxhash64(shingle, lit(p))`` (string hash seed 42 chained into
+    hashInt of the IntegerType literal), then per-band
+    ``md5(",".join(signed signature slice))``.
+
+    NULL text → the expression's shingle array is ``[NULL]`` and
+    ``xxhash64`` skips null inputs, leaving ``hashInt(p, 42)`` — the
+    kernel reproduces that too.
+    """
+    import re
+    from hashlib import md5
+
+    import numpy as np
+
+    from ..functions.xxh64 import _SPARK_SEED, spark_xxhash64_str, xxh64_int
+
+    split = re.compile(r"[ \t\n\x0b\f\r]+").split
+    rpb = n_perm // n_bands
+    null_sig = np.array(
+        [np.int64(np.uint64(xxh64_int(p, _SPARK_SEED)))
+         for p in range(n_perm)], dtype=np.int64)
+
+    def kernel(texts):
+        import pandas as pd
+
+        shingles_flat: list[str] = []
+        starts = []
+        kinds = []  # 0 = normal doc, 1 = null text
+        for t in texts:
+            starts.append(len(shingles_flat))
+            if t is None:
+                kinds.append(1)
+                continue
+            kinds.append(0)
+            toks = [tok for tok in split(t) if tok]
+            if len(toks) >= k:
+                shingles_flat.extend(
+                    " ".join(toks[i:i + k])
+                    for i in range(len(toks) - k + 1))
+            else:
+                shingles_flat.append(" ".join(toks))
+        n = len(texts)
+        sigs = np.empty((n, n_perm), dtype=np.int64)
+        kinds_arr = np.asarray(kinds)
+        valid = np.nonzero(kinds_arr == 0)[0]
+        if len(valid):
+            # every non-null doc has ≥ 1 shingle (empty text → [""]), so
+            # the valid docs' segments tile the flat array with no empty
+            # segment — reduceat is safe on their start offsets
+            h0 = spark_xxhash64_str(shingles_flat)
+            s_valid = np.asarray(starts)[valid]
+            for p in range(n_perm):
+                hp = xxh64_int(p, h0).view(np.int64)
+                sigs[valid, p] = np.minimum.reduceat(hp, s_valid)
+        sigs[kinds_arr == 1] = null_sig
+        out = []
+        for i in range(n):
+            row = sigs[i]
+            out.append([
+                md5(",".join(str(int(v))
+                             for v in row[b * rpb:(b + 1) * rpb])
+                    .encode()).hexdigest()
+                for b in range(n_bands)])
+        return pd.Series(out)
+
+    return kernel
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 3,
                       n_perm: int = 32, n_bands: int = 8,
@@ -152,18 +226,35 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     exact Jaccard verify on the shingle arrays.
     """
     rows_per_band = n_perm // n_bands
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), k).alias("_sh"))
     # Bands carry ONLY (id, band, band_hash) through the shuffle — the wide
     # shingle arrays stay out of the explode/join entirely (a ~n_bands×
     # shuffle-volume cut).
-    buck = base.select(
-        "_id",
-        F.explode(lsh_bands(minhash_signature(F.col("_sh"), n_perm, oracle_safe),
-                            n_bands, rows_per_band)).alias("_b"),
-    ).select("_id", F.col("_b.band").alias("band"),
-             F.col("_b.band_hash").alias("band_hash"))
+    if oracle_safe:
+        base = df.select(
+            F.col(id_col).alias("_id"),
+            shingles(F.col(text_col), k).alias("_sh"))
+        buck = base.select(
+            "_id",
+            F.explode(lsh_bands(minhash_signature(F.col("_sh"), n_perm,
+                                                  oracle_safe),
+                                n_bands, rows_per_band)).alias("_b"),
+        ).select("_id", F.col("_b.band").alias("band"),
+                 F.col("_b.band_hash").alias("band_hash"))
+    else:
+        # r10: the xxhash64 production flavor computes shingle → signature
+        # → band hashes in ONE vectorized Arrow kernel. The interpreted
+        # higher-order lambda chain (slice/join per shingle position ×
+        # n_perm hashes per shingle) measured ~2 ms/doc at sf1.0; the
+        # kernel's bucketed numpy XXH64 (functions.xxh64 — bit-exact vs
+        # F.xxhash64, pinned by tests/test_xxh64.py) brings the same
+        # band hashes out in ~50 µs/doc. Values pinned identical by
+        # tests/test_r10_optimizations.py::test_minhash_kernel_bands.
+        bands_udf = pandas_udf(
+            _minhash_bands_kernel(k, n_perm, n_bands), "array<string>")
+        buck = df.select(
+            F.col(id_col).alias("_id"),
+            bands_udf(F.col(text_col)).alias("_bh"),
+        ).select("_id", F.posexplode("_bh").alias("band", "band_hash"))
     # Pair generation as ONE aggregation: group each (band, band_hash)
     # bucket, drop oversized buckets (the same skew guard the former
     # window count applied), and emit every a<b pair from the sorted id
@@ -603,14 +694,73 @@ def incremental_dedup(new_docs: DataFrame, prior_fps: DataFrame,
     return fresh.join(dup_ids, id_col, "left_anti")
 
 
+_JAVA_WS_SPLIT = None  # compiled lazily inside the worker
+
+
+def _simhash64_kernel(texts):
+    """Batch SimHash (xxhash64 flavor) — bit-identical to the expression
+    form below, computed vectorized: one bucketed XXH64 pass over every
+    token of the batch, bit-unpack to [T,64], per-doc prefix-sum
+    difference for the ±1 bit votes, pack the sign bits back to int64.
+    Tokens are the Java-``\\s`` runs the expression's split produces.
+    """
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.xxh64 import spark_xxhash64_str
+
+    split = re.compile(r"[ \t\n\x0b\f\r]+").split
+    toks_all: list[str] = []
+    starts = []
+    null_mask = []
+    for t in texts:
+        null_mask.append(t is None)
+        starts.append(len(toks_all))
+        if t is not None:
+            toks_all.extend(tok for tok in split(t) if tok)
+    starts.append(len(toks_all))
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    if toks_all:
+        h = spark_xxhash64_str(toks_all, extra_int_seed=0)
+        bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8),
+                             axis=1, bitorder="little").astype(np.int32)
+        csum = np.vstack([np.zeros((1, 64), dtype=np.int64),
+                          np.cumsum(bits, axis=0, dtype=np.int64)])
+        s = np.asarray(starts)
+        cnt_set = csum[s[1:]] - csum[s[:-1]]          # [n, 64] set-bit counts
+        n_tok = (s[1:] - s[:-1]).reshape(-1, 1)
+        pos = (2 * cnt_set) > n_tok                   # sum of ±1 votes > 0
+        out = np.packbits(pos, axis=1,
+                          bitorder="little").view("<u8").ravel().view(np.int64)
+    res = pd.array(out, dtype="Int64")
+    res[np.asarray(null_mask)] = None
+    return pd.Series(res)
+
+
 def simhash64(text: Column, oracle_safe: bool = False) -> Column:
     """64-bit SimHash over whitespace tokens.
 
     Per token: 64-bit hash; per bit: +1 if set else -1; sum over tokens;
-    simhash bit j = 1 iff sum_j > 0. Expressed as one ``aggregate`` with a
-    ``zip_with`` accumulator — all codegen, no shuffle, no Python.
+    simhash bit j = 1 iff sum_j > 0.
+
+    ``oracle_safe=True`` (the DuckDB-parity md5 flavor) keeps the
+    expression form: one ``aggregate`` with a ``zip_with`` accumulator.
+    The xxhash64 production flavor goes through a vectorized Arrow batch
+    kernel instead (r10): the interpreted higher-order lambdas cost
+    ~0.3 µs per element-op — ×64 bits × tokens per doc they dominated the
+    map — while the kernel's bucketed numpy XXH64
+    (``functions.xxh64``, bit-exact vs ``F.xxhash64``, pinned by
+    tests/test_xxh64.py) and bit-matrix vote runs the whole batch in C.
+    Same values — pinned by tests/test_r10_optimizations.py.
     """
     from ..functions import let
+
+    if not oracle_safe:
+        kern = pandas_udf(_simhash64_kernel, "long")
+        return kern(text)
 
     toks = tokens_col(text)
     # hash each token ONCE (transform), then fan out to 64 bits from the
