@@ -249,8 +249,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         # F.xxhash64, pinned by tests/test_xxh64.py) brings the same
         # band hashes out in ~50 µs/doc. Values pinned identical by
         # tests/test_r10_optimizations.py::test_minhash_kernel_bands.
+        # asNondeterministic: posexplode's implicit `size(..) > 0` filter
+        # otherwise gets pushed below the repartition and the optimizer
+        # DUPLICATES the kernel — two ArrowEvalPython nodes, every doc
+        # hashed twice (guide §4.4; seen in plans/r10/minhash_lsh). The
+        # kernel is pure; the flag only pins its single evaluation point.
         bands_udf = pandas_udf(
-            _minhash_bands_kernel(k, n_perm, n_bands), "array<string>")
+            _minhash_bands_kernel(k, n_perm, n_bands),
+            "array<string>").asNondeterministic()
         buck = df.select(
             F.col(id_col).alias("_id"),
             bands_udf(F.col(text_col)).alias("_bh"),
