@@ -29,6 +29,12 @@ def get_spark(app: str = "wine_label_ocr_spark", master: str | None = None,
         .master(master)
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        # floor on scan parallelism (guide §6): a 100 MB single-file
+        # table otherwise splits into a handful of tasks and serializes
+        # the scan-side map work (measured −40% on lineitem_agg /
+        # orders_by_segment at sf1.0); derived from the session's
+        # parallelism, so at real scale (plenty of splits) it is a no-op
+        .config("spark.sql.files.minPartitionNum", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
