@@ -520,3 +520,16 @@ def test_minhash_pairs_end_to_end_kernel_vs_r9(spark, hash_texts):
                    .filter(F.col("jaccard") >= 0.4)
                    .select("id_a", "id_b", "jaccard")).collect())
     assert got == want
+
+
+def test_content_key_stays_expression(spark):
+    """r10 negative result, pinned: a content_key Arrow kernel measured
+    SLOWER than the expression (boundary cost > regex saving), so the
+    expression form must remain — no Python eval in the exact_dedup
+    plan."""
+    from wine_label_ocr_spark.operators.dedupe import exact_dedup_ids
+    df = spark.createDataFrame([(1, "a b"), (2, "a  b")],
+                               "doc_id bigint, text string")
+    plan = exact_dedup_ids(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert sorted(r["doc_id"] for r in exact_dedup_ids(df).collect()) == [1]
