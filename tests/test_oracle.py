@@ -145,13 +145,13 @@ def test_pdf_flavors_round_trip(flavor):
 def test_pdf_tj_kern_threshold():
     """TJ adjustments at/below -180 are word gaps; above, letter kerns."""
     body = b"BT [ (wo) -50 (rd) -180 (next) -179.9 (glued) ] TJ ET"
-    assert oracle._pdf_block_text(body) == "word nextglued"
+    assert oracle._pdf_piece_paragraphs(body) == ["word nextglued"]
 
 
 def test_pdf_show_ops_and_hex():
     body = (b"BT (a) Tj (b) ' 1 2 (c) \" "
             b"<4 8656C6C6F> Tj [ <77> -300 (x) ] TJ ET")
-    assert oracle._pdf_block_text(body) == "a b c Hello w x"
+    assert oracle._pdf_piece_paragraphs(body) == ["a b c Hello w x"]
 
 
 def test_pdf_literal_escapes():
@@ -216,3 +216,31 @@ def test_pdf_ascii_filter_chains():
     # a85 garbage with terminator but invalid grouping → skipped, no raise
     payload = b"%PDF-1.4\nstream\nuuuuu~>\nendstream\nBT (ok) Tj ET"
     assert oracle.extract(payload, "u")["text"] == "ok"
+
+
+def test_pdf_et_inside_string_not_a_terminator():
+    """r10 ADVICE fix: a standalone `ET` (or `BT`) token INSIDE a shown
+    literal string must not truncate or open a text object — BT/ET are
+    recognized at the token level, not by a byte-regex."""
+    from wine_label_ocr_spark.fixtures import _make_pdf
+    for flavor in range(7):
+        p = _make_pdf(["WINE ET CHEESE pairing notes"], "t", flavor=flavor)
+        assert oracle.extract(p, "u")["text"] == \
+            "WINE ET CHEESE pairing notes", flavor
+    # BT inside a string between blocks must not open a bogus block
+    body = b"%PDF-1.4\n( BT junk ET ) BT (real) Tj ET"
+    assert oracle.extract(body, "u")["text"] == "real"
+    # truncated block (no closing ET) still yields nothing, as before
+    body2 = b"%PDF-1.4\nBT (lost) Tj"
+    assert oracle.extract(body2, "u")["text"] == ""
+
+
+def test_pdf_raw_body_scanned_when_decode_lacks_bt():
+    """r10 ADVICE fix: when a codec probe 'succeeds' on a body that was
+    really raw text (garbage decode with no BT), the raw body is scanned
+    as well, so the real text object is not shadowed."""
+    # an all-A85-charset raw body ending in ~> : a85decode succeeds and
+    # yields garbage without BT; the raw bytes carry the real block
+    raw = b"BT (kept) Tj ET ~>"
+    body = b"%PDF-1.4\nstream\n" + raw + b"\nendstream"
+    assert oracle.extract(body, "u")["text"] == "kept"

@@ -317,9 +317,10 @@ def documents_as_pdf_pages(spark, sf_dir: str):
     Each document's text becomes one PDF text object, with the
     content-stream shape cycling through every ``_make_pdf`` flavor
     (uncompressed Tj / FlateDecode / TJ arrays / hex strings /
-    ``'``-``"`` shows) keyed on ``doc_id % 5``; the pipeline must route
-    it via the ``%PDF-`` magic to the layout parser and recover
-    ``text`` byte-identically whatever the encoding.
+    ``'``-``"`` shows / ASCII85+Flate / ASCIIHex+Flate) keyed on
+    ``doc_id % 7``; the pipeline must route it via the ``%PDF-`` magic
+    to the layout parser and recover ``text`` byte-identically whatever
+    the encoding.
     """
     def gen(batches):
         import pandas as pd

@@ -127,9 +127,6 @@ _TITLE_RE = re.compile(r"(?is)<title[^>]*>(.*?)</title>")
 # (see _TAG_RE) and the paren scanner is a manual linear pass — no
 # backtracking blow-ups on truncated/garbage payloads.
 _PDF_TITLE_RE = re.compile(rb"/Title\s*+(?:\(((?:[^()\\]|\\.)*+)\)|<([0-9A-Fa-f\s]*+)>)")
-_PDF_BT_RE = re.compile(
-    rb"(?<![A-Za-z0-9])BT(?![A-Za-z0-9])(.*?)(?<![A-Za-z0-9])ET(?![A-Za-z0-9])",
-    re.DOTALL)
 _PDF_STREAM_RE = re.compile(rb"stream\r?\n?(.*?)(?:\r\n?|\n)?endstream",
                             re.DOTALL)
 # content-stream tokens OTHER than literal strings (those need a manual
@@ -336,33 +333,50 @@ def _pdf_scan_literal(data: bytes, start: int) -> tuple[bytes, int]:
     return data[start:n], n
 
 
-def _pdf_block_text(block: bytes) -> str:
-    """Text shown by one BT..ET text object, in operator order: `Tj`,
-    `'`, `\"` show their string operand; `[..] TJ` concatenates the
-    array's strings, inserting a space where a kern adjustment at or
-    below _PDF_TJ_SPACE_KERN marks a word gap. Positioning operators
-    (Td/TD/T*/Tm) contribute nothing — the caller whitespace-normalizes,
-    so a separating space per show is enough."""
+def _pdf_piece_paragraphs(piece: bytes) -> list[str]:
+    """Paragraphs (one per BT..ET text object) of one decoded region, by
+    a SINGLE token-level pass: `BT`/`ET` are operator tokens like any
+    other, so string contents can never open or truncate a text object
+    (r10 ADVICE fix — the former regex located BT..ET over raw bytes and
+    a literal `ET` inside a shown string silently dropped the rest of
+    the block; reference extractors tokenize before operator
+    detection). Inside a block the show operators are `Tj`, `'`, `\"`
+    (string operand) and `[..] TJ` (array concatenated, a kern
+    adjustment ≤ _PDF_TJ_SPACE_KERN marks a word gap); positioning
+    operators contribute nothing. Strings BETWEEN blocks are consumed as
+    tokens (never shown, never spoofing a BT). A truncated block with no
+    closing ET yields nothing, as before."""
+    paras: list[str] = []
+    in_bt = False
     parts: list[str] = []
     last_str: str | None = None
     arr: list[str] | None = None
     closed_arr: list[str] | None = None
-    pos, n = 0, len(block)
+    pos, n = 0, len(piece)
     while pos < n:
-        if block[pos] == 0x28:  # literal string — manual scan
-            raw, pos = _pdf_scan_literal(block, pos + 1)
-            s = _pdf_unescape(raw)
-            if arr is not None:
-                arr.append(s)
-            else:
-                last_str = s
+        if piece[pos] == 0x28:  # literal string — manual scan
+            raw, pos = _pdf_scan_literal(piece, pos + 1)
+            if in_bt:
+                s = _pdf_unescape(raw)
+                if arr is not None:
+                    arr.append(s)
+                else:
+                    last_str = s
             continue
-        m = _PDF_TOK_RE.match(block, pos)
+        m = _PDF_TOK_RE.match(piece, pos)
         if m is None:  # unscannable byte (inline image data etc.)
             pos += 1
             continue
         pos = m.end()
         kind = m.lastgroup
+        if not in_bt:
+            if kind == "op" and m.group("op") == b"BT":
+                in_bt = True
+                parts = []
+                last_str = None
+                arr = None
+                closed_arr = None
+            continue
         if kind == "hex":
             s = _pdf_unhex(m.group("hex"))
             if arr is not None:
@@ -383,7 +397,10 @@ def _pdf_block_text(block: bytes) -> str:
                     pass
         elif kind == "op":
             op = m.group("op")
-            if op in (b"Tj", b"'", b'"'):
+            if op == b"ET":
+                paras.append(" ".join(p for p in parts if p))
+                in_bt = False
+            elif op in (b"Tj", b"'", b'"'):
                 if last_str is not None:
                     parts.append(last_str)
                     last_str = None
@@ -391,7 +408,7 @@ def _pdf_block_text(block: bytes) -> str:
                 if closed_arr is not None:
                     parts.append("".join(closed_arr))
                     closed_arr = None
-    return " ".join(p for p in parts if p)
+    return paras
 
 
 def _inflate(data: bytes) -> bytes | None:
@@ -457,12 +474,15 @@ def _pdf_paragraphs(payload: bytes) -> list[str]:
         dec = _pdf_decode_stream(data)
         if dec is not None:
             pieces.append(dec)
-        elif b"BT" in data:
+        # raw-body fallback (r10 ADVICE fix): scan the raw body when the
+        # decode produced nothing OR when a codec probe "succeeded" on a
+        # body that was really raw text (garbage decode with no BT would
+        # otherwise shadow the real text object in the raw bytes)
+        if (dec is None or b"BT" not in dec) and b"BT" in data:
             pieces.append(data)
         pos = m.end()
     pieces.append(payload[pos:])
-    return [_pdf_block_text(bm.group(1))
-            for piece in pieces for bm in _PDF_BT_RE.finditer(piece)]
+    return [p for piece in pieces for p in _pdf_piece_paragraphs(piece)]
 
 
 def lex_blocks(decoded: str) -> list[dict[str, Any]]:
